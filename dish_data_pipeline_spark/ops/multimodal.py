@@ -1,0 +1,121 @@
+"""Multimodal column conventions: opaque ``BINARY`` content + typed
+metadata struct (SURVEY.md §7.7).
+
+Schema convention for multimodal tables:
+
+    content BINARY,
+    meta STRUCT<mime: STRING, n_bytes: BIGINT, source: STRING>
+
+Loading real media uses ``spark.read.format("binaryFile")`` (path,
+modificationTime, length, content). Decode / feature-extraction run
+as Arrow-batched ``mapInPandas`` over the binary column — the
+image/audio libraries are not available in this container, so the
+decode kernel is STUBBED (raises NotImplementedError) while the
+Spark-side plumbing (schema, batching, partitioning) is real and
+tested with a deterministic fake extractor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def text_to_binary_content(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adapter: treat document text bytes as opaque binary content
+    with the standard meta struct (stands in for real media here)."""
+    content = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("content", content).withColumn(
+        "meta",
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(content).cast("bigint").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ),
+    )
+
+
+def decode_image(content: bytes) -> object:
+    """Real image decode requires PIL/opencv — not in this container.
+
+    The Spark-side contract is: bytes in → decoded array out. Swap
+    this stub for a real decoder on a cluster with the libs baked in.
+    """
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "environment; use fake_feature_extract for plumbing tests"
+    )
+
+
+def fake_feature_extract(content: bytes, n_features: int = 4) -> list[float]:
+    """Deterministic stand-in feature extractor (byte statistics) —
+    exercises the exact mapInPandas path a real model/decoder uses."""
+    if not content:
+        return [0.0] * n_features
+    n = len(content)
+    return [
+        float(n),
+        float(sum(content) % 997),
+        float(content[0]),
+        float(content[-1]),
+    ][:n_features]
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    batch_extractor=None,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary content.
+
+    ``mapInPandas`` streams record batches through Python once —
+    partition-parallel, no row-at-a-time serde. The extractor runs
+    per batch; default is the deterministic fake (real decoders plug
+    in unchanged).
+    """
+    extractor = batch_extractor or (
+        lambda blobs: [fake_feature_extract(b) for b in blobs]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = extractor(list(pdf[content_col]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                }
+            )
+
+    flat = df.select(
+        F.col(id_col),
+        F.col(content_col),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    return flat.mapInPandas(run, FEATURE_SCHEMA)

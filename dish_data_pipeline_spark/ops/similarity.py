@@ -1,0 +1,171 @@
+"""Vector similarity search over an embedding column
+(``embeddings(vec_id, embedding ARRAY<FLOAT>, label)``).
+
+Two tiers (SURVEY.md §7.7):
+
+- ``cosine_topk`` — brute-force top-k: broadcast the (small) query
+  set against all candidates; dot products computed JVM-side with
+  ``zip_with``/``aggregate`` higher-order functions (no Python UDF).
+  At 100 TB this is the per-batch exact scorer — candidates stream
+  through executors, only k rows per query survive the window.
+- ``lsh_bucket_topk`` — the scale path: sign-random-projection LSH
+  buckets (deterministic hyperplanes from a seed), candidates only
+  within matching buckets → shuffle is bucket-bounded, never
+  all-pairs.
+
+Determinism contract for the oracle: per-element products are exact
+IEEE doubles summed by a SEQUENTIAL left fold — Spark's
+``aggregate`` (init 0.0, so 0.0+p1 == p1 exactly) and DuckDB's
+``list_reduce`` fold in the same order, giving bit-identical sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Deterministic dot product: double products, sequential left fold.
+DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def dot(a: str, b: str) -> F.Column:
+    return F.expr(DOT_EXPR.format(a=a, b=b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_normalized: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id.
+
+    Queries are filtered from the corpus and broadcast; the cross
+    join is |queries| × N with only k survivors per query after the
+    rank window. Self-matches are excluded.
+    """
+    q = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).filter(F.col("query_id").isin(query_ids))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = dot("q_vec", "c_vec")
+    if not assume_normalized:
+        sim = sim / (
+            F.sqrt(dot("q_vec", "q_vec")) * F.sqrt(dot("c_vec", "c_vec"))
+        )
+    scored = pairs.withColumn("cosine", sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane_component(seed: int, p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1) —
+    splitmix-style integer hash, no RNG state, reproducible across
+    engines, runs, and cluster sizes."""
+    x = (
+        seed * 0x9E3779B97F4A7C15
+        + p * 0xBF58476D1CE4E5B9
+        + d * 0x94D049BB133111EB
+    ) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 31
+    x = (x * 0xD6E8FEB86659FD93) & 0xFFFFFFFFFFFFFFFF
+    x ^= x >> 29
+    return (x / 2**63) - 1.0
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-random-projection LSH.
+
+    Each of ``n_tables`` hash tables assigns every vector an
+    ``n_planes``-bit signature; candidates are compared only when
+    they share a (table, bucket) pair — a plain equi-join, so the
+    shuffle is bucket-bounded (never all-pairs): the 100 TB-safe
+    shape. Multiple tables trade extra (cheap, map-side) signature
+    computation for recall. See ``cosine_topk`` for the exact scorer.
+    """
+    tables = [
+        [
+            [_plane_component(seed + t, p, d) for d in range(dim)]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+    tables_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in plane]) for plane in tbl])
+            for tbl in tables
+        ]
+    )
+
+    def with_buckets(df: DataFrame, vec: str) -> DataFrame:
+        # One (table_id, bucket) row per table: signature = sign bits
+        # of the plane dot products, packed into a long.
+        sig_array = F.expr(
+            "transform(_tables, tbl -> aggregate(transform(tbl, p -> "
+            f"CASE WHEN aggregate(zip_with(p, {vec}, (x, y) -> x * CAST(y AS DOUBLE)), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END), "
+            "0L, (acc, b) -> acc * 2 + b))"
+        )
+        return (
+            df.withColumn("_tables", tables_lit)
+            .withColumn("_sigs", sig_array)
+            .drop("_tables")
+            .select(
+                "*",
+                F.posexplode("_sigs").alias("table_id", "bucket"),
+            )
+            .drop("_sigs")
+        )
+
+    cands = with_buckets(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+    )
+    qs = with_buckets(
+        embeddings.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).filter(F.col("query_id").isin(query_ids)),
+        "q_vec",
+    )
+    pairs = (
+        F.broadcast(qs)
+        .join(cands, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", dot("q_vec", "c_vec"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

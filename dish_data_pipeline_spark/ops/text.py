@@ -1,0 +1,98 @@
+"""Text-analysis operators over a document table
+(``documents(doc_id, text, lang, source, n_chars)``).
+
+All pure ``pyspark.sql.functions`` column expressions — JVM-side,
+whole-stage-codegen'd, no UDFs. Language ID and quality scoring are
+shared SQL expression strings so the Spark plan and the DuckDB
+oracle evaluate literally the same CASE/regex logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish word pieces: alphanumeric runs. Same regex dialect subset
+# works in Java regex (Spark) and RE2 (DuckDB).
+TOKEN_RE = "[A-Za-z0-9]+"
+
+# Tiny per-language stopword markers for the n-gram/stopword
+# language-ID heuristic. Deterministic by construction.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und"],
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "los"],
+    "fr": ["le", "la", "les"],
+    "zh": ["de", "le", "shi"],
+}
+
+
+def lang_score_exprs(text_col: str = "text") -> dict[str, Column]:
+    """Per-language marker-hit counts (Spark Columns)."""
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out[f"score_{lang}"] = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        ).cast("bigint")
+    return out
+
+
+def lang_pick_case_sql() -> str:
+    """CASE chain picking argmax score with alphabetical tie-break —
+    identical SQL string evaluated by Spark (via F.expr) and DuckDB."""
+    langs = sorted(LANG_MARKERS)
+    clauses = []
+    for i, lang in enumerate(langs):
+        others = [f"score_{lang} >= score_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(others) if others else "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / punctuation statistics per document."""
+    text = F.col(text_col)
+    tokens = F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
+    return (
+        df.withColumn("n_chars_calc", F.length(text).cast("bigint"))
+        .withColumn("n_tokens", F.size(tokens).cast("bigint"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(tokens)).cast("bigint"))
+        .withColumn(
+            "n_punct",
+            (
+                F.length(text)
+                - F.length(F.regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+            ).cast("bigint"),
+        )
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: per-language hit counts + argmax
+    pick (alphabetical tie-break)."""
+    out = df
+    for name, col in lang_score_exprs(text_col).items():
+        out = out.withColumn(name, col)
+    return out.withColumn("lang_pred", F.expr(lang_pick_case_sql()))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint (md5 of the raw text) —
+    the exact-dedup key."""
+    return df.withColumn("fingerprint", F.md5(F.col(text_col)))
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Heuristic quality score in [0,1]: token-length sanity ×
+    punctuation sanity. Pure arithmetic → oracle-exact."""
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)).cast("double")
+    avg_tok = n_chars / F.greatest(n_tokens, F.lit(1.0))
+    tok_sane = F.when((avg_tok >= 2) & (avg_tok <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct = (
+        n_chars - F.length(F.regexp_replace(text, "[^A-Za-z0-9 ]", "")).cast("double")
+    ) / F.greatest(n_chars, F.lit(1.0))
+    punct_sane = F.when(punct <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    return tok_sane * punct_sane

@@ -1,0 +1,126 @@
+"""End-to-end batch pipeline mirroring reference ``main()`` semantics
+(reference pipeline/data_pipeline.py:245-272).
+
+Per feed: extract → flatten+enrich → DQ gate → (recoverable-dup?
+dedup and continue : skip + audit FAILED) → staging truncate-load →
+keep-latest upsert into target → audit SUCCESS. Audit fires on the
+failure path too (try/except, like the reference — but without its
+unbound ``source_files`` bug, defect ledger item 2).
+
+The six Airflow tasks of the reference DAG collapse into this one
+driver program; XCom disappears because dataflow stays inside the
+lazy plan (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dish_data_pipeline_spark import io as dio
+from dish_data_pipeline_spark.operators.audit import audit_row
+from dish_data_pipeline_spark.operators.dedup import dedup_keyed
+from dish_data_pipeline_spark.operators.enrich import add_load_metadata
+from dish_data_pipeline_spark.operators.flatten import normalize_records
+from dish_data_pipeline_spark.operators.quality import (
+    DEFAULT_POLICIES,
+    is_recoverable,
+    run_data_quality_checks,
+)
+from dish_data_pipeline_spark.operators.upsert import upsert_keep_latest
+from dish_data_pipeline_spark.sources.rest import (
+    fetch_paginated_data,
+    records_to_dataframe,
+)
+
+
+@dataclass
+class FeedConfig:
+    """One feed = one endpoint + DQ policy + merge keys."""
+
+    name: str
+    endpoint: str
+    keys: list[str]
+    required: list[str]
+    schema: object | None = None  # explicit StructType when known
+
+
+@dataclass
+class PipelineResult:
+    table: str
+    status: str
+    record_count: int
+    issues: list[str] = field(default_factory=list)
+
+
+def run_feed(
+    spark: SparkSession,
+    feed: FeedConfig,
+    base_url: str,
+    warehouse_dir: str,
+    http_get=None,
+    load_date: dt.date | None = None,
+) -> PipelineResult:
+    """Run one feed end to end against a file warehouse layout:
+    ``<warehouse>/raw/``, ``staging_<name>/``, ``tgt_<name>/``,
+    ``load_audit/``."""
+    raw_dir = os.path.join(warehouse_dir, "raw")
+    staging_path = os.path.join(warehouse_dir, f"staging_{feed.name}")
+    target_path = os.path.join(warehouse_dir, f"tgt_{feed.name}")
+    audit_path = os.path.join(warehouse_dir, "load_audit")
+    source_files: list[str] = []
+
+    def _audit(count: int, status: str) -> None:
+        dio.write_append(
+            audit_row(spark, feed.name, count, status, source_files), audit_path
+        )
+
+    try:
+        kwargs = {"http_get": http_get} if http_get else {}
+        records, source_files = fetch_paginated_data(
+            base_url,
+            feed.endpoint,
+            raw_zone_dir=raw_dir,
+            name=feed.name,
+            **kwargs,
+        )
+        df = records_to_dataframe(spark, records, feed.schema)
+        df = add_load_metadata(normalize_records(df), load_date=load_date)
+        # Reference pre-dedup (D1): keyed when the key columns exist,
+        # full-row otherwise (pipeline/data_pipeline.py:84-85).
+        pre_keys = [k for k in feed.keys if k in df.columns]
+        df = dedup_keyed(df, pre_keys or None)
+
+        policies = {feed.name: {"required": feed.required, "keys": feed.keys}}
+        policies.update(DEFAULT_POLICIES)
+        passed, issues = run_data_quality_checks(df, feed.name, policies)
+        if not passed:
+            fatal = [i for i in issues if not is_recoverable(i)]
+            if fatal:
+                _audit(0, f"FAILED: {', '.join(issues)}")
+                return PipelineResult(feed.name, "FAILED", 0, issues)
+            # Recoverable duplicates: dedup by key and continue
+            # (reference pipeline/data_pipeline.py:253-258).
+            df = dedup_keyed(df, feed.keys)
+
+        dio.write_staging(df, staging_path)
+        staged = spark.read.parquet(staging_path)
+        count = staged.count()
+
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = upsert_keep_latest(
+                target, staged, feed.keys, "load_timestamp"
+            )
+            dio.atomic_overwrite(merged, target_path)
+        else:
+            dio.write_staging(staged, target_path)
+
+        _audit(count, "SUCCESS")
+        return PipelineResult(feed.name, "SUCCESS", count, issues)
+    except Exception as exc:  # audit-on-failure, reference :266-271
+        _audit(0, f"FAILED: {exc}")
+        return PipelineResult(feed.name, "FAILED", 0, [str(exc)])

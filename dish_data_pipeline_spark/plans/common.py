@@ -1,0 +1,66 @@
+"""Shared helpers for the oracle query catalog.
+
+Determinism contract (the driver hash-compares Spark vs DuckDB
+values): floating-point aggregates are computed as EXACT decimal
+sums then cast back to double — ``SUM(CAST(x AS DECIMAL(38,6)))`` is
+order-independent, so Spark's partial/final aggregation and DuckDB's
+single-node sum produce bit-identical doubles. Ratios divide that
+double by a BIGINT count (one IEEE division, same both sides).
+Ordering/top-k always carries a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dish_data_pipeline_spark.io import read_table
+
+DEC = "decimal(38,6)"
+
+
+@dataclass
+class QueryDef:
+    """One catalog entry: Spark program + DuckDB oracle twin."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → rows-only check (non-SQL-expressible)
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs the catalog's semantics depend on, even
+    when the caller (e.g. the driver harness) built a vanilla
+    session: non-ANSI casts (invalid → null, reference X4 semantics;
+    Spark 4 defaults ANSI on, where ``to_date('junk')`` THROWS) and
+    UTC timestamps (DuckDB-oracle comparability)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    return read_table(spark, sf_dir, name)
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent double sum via exact decimal accumulation."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def davg(col: Column) -> Column:
+    """Deterministic mean: exact decimal sum ÷ count, one division."""
+    return dsum(col) / F.count(col)
+
+
+# DuckDB-side spellings of the same contracts.
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"

@@ -1,0 +1,292 @@
+"""Extension query suite (SURVEY.md §2.13/§7.7): training-data
+operators over ``documents`` and ``embeddings``.
+
+SQL oracles exist wherever DuckDB can express the same computation
+exactly; LSH-family ops (minhash/simhash/ANN buckets) are rows-only
+by design (__spark_entry__ contract permits this for non-SQL ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dish_data_pipeline_spark.ops.dedup_fuzzy import (
+    exact_dedup_groups,
+    exact_jaccard_pairs,
+    minhash_candidate_pairs,
+    simhash_near_pairs,
+    with_minhash,
+    with_shingles,
+    with_simhash,
+)
+from dish_data_pipeline_spark.ops.multimodal import (
+    extract_features,
+    text_to_binary_content,
+)
+from dish_data_pipeline_spark.ops.similarity import cosine_topk, lsh_bucket_topk
+from dish_data_pipeline_spark.ops.text import (
+    LANG_MARKERS,
+    lang_pick_case_sql,
+    quality_score,
+    with_fingerprint,
+    with_language_id,
+    with_text_stats,
+)
+from dish_data_pipeline_spark.plans.common import QueryDef, read
+
+
+# --- Text statistics ----------------------------------------------
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents")
+    return with_text_stats(d).select(
+        "doc_id", "lang", "n_chars_calc", "n_tokens", "n_distinct_tokens", "n_punct"
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id, lang,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+       CAST(LENGTH(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+       CAST(LENGTH(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+'))) AS BIGINT) AS n_distinct_tokens,
+       CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
+# --- Language identification --------------------------------------
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang"] + [f"score_{lang}" for lang in sorted(LANG_MARKERS)] + [
+        "lang_pred"
+    ]
+    return with_language_id(d).select(*cols)
+
+
+def _sql_language_id() -> str:
+    score_exprs = []
+    for lang in sorted(LANG_MARKERS):
+        pat = "\\b(" + "|".join(LANG_MARKERS[lang]) + ")\\b"
+        score_exprs.append(
+            f"CAST(LENGTH(REGEXP_EXTRACT_ALL(text, '{pat}')) AS BIGINT) AS score_{lang}"
+        )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {', '.join(score_exprs)} FROM documents)
+SELECT doc_id, lang, {', '.join('score_' + lang for lang in sorted(LANG_MARKERS))},
+       {lang_pick_case_sql()} AS lang_pred
+FROM scored
+"""
+
+
+# --- Quality scoring ----------------------------------------------
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score().alias("quality"))
+
+
+SQL_QUALITY_SCORE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         CAST(LENGTH(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+')) AS DOUBLE) AS n_tokens,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+  FROM documents)
+SELECT doc_id,
+       (CASE WHEN n_chars / GREATEST(n_tokens, 1.0) >= 2
+              AND n_chars / GREATEST(n_tokens, 1.0) <= 12 THEN 1.0 ELSE 0.5 END)
+       * (CASE WHEN n_punct / GREATEST(n_chars, 1.0) <= 0.2 THEN 1.0 ELSE 0.5 END)
+       AS quality
+FROM t
+"""
+
+
+# --- Document fingerprint (md5) -----------------------------------
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents")
+    return with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 5th doc (id-shifted) — gives
+    the dedup queries real duplicate groups to find."""
+    d = read(spark, sf_dir, "documents")
+    copies = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return d.unionByName(copies)
+
+
+SQL_DOCS_WITH_DUPES = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+# --- Exact dedup (hash-groupBy) -----------------------------------
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_docs_with_dupes(spark, sf_dir))
+
+
+SQL_EXACT_DEDUP = f"""
+WITH corpus AS ({SQL_DOCS_WITH_DUPES})
+SELECT md5(text) AS content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+FROM corpus GROUP BY md5(text)
+"""
+
+
+# --- MinHash-LSH near-dup (rows-only: LSH not SQL-expressible) ----
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dupes(spark, sf_dir)
+    shingled = with_shingles(corpus)
+    pairs = minhash_candidate_pairs(with_minhash(shingled))
+    return exact_jaccard_pairs(shingled, pairs).filter(F.col("jaccard") >= 0.8)
+
+
+# --- SimHash near-dup (rows-only) ---------------------------------
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return simhash_near_pairs(with_simhash(corpus)).filter(F.col("hamming") <= 3)
+
+
+# --- n-gram Jaccard rescoring of banded candidates (rows-only) ----
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dupes(spark, sf_dir)
+    shingled = with_shingles(corpus)
+    pairs = minhash_candidate_pairs(with_minhash(shingled))
+    return exact_jaccard_pairs(shingled, pairs).select(
+        "id_a", "id_b", "est_jaccard", "jaccard"
+    )
+
+
+# --- Brute-force cosine top-k (exact oracle via decimal dot) ------
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, KNN_QUERY_IDS, k=10)
+
+
+SQL_KNN_BRUTEFORCE = """
+WITH dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(q.embedding, (x, i) ->
+           CAST(x AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+           (acc, v) -> acc + v) AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id IN (0, 1, 2, 3, 4) AND q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM dots) t
+WHERE rank <= 10
+"""
+
+
+# --- LSH-bucketed ANN (rows-only; approximate by design) ----------
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb, KNN_QUERY_IDS, k=10)
+
+
+# --- Embedding norms (array math, exact oracle) -------------------
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings")
+    norm_sq = F.expr(
+        "aggregate(transform(embedding, x -> "
+        "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(F.col("embedding")).alias("dim"),
+        norm_sq.alias("norm_sq"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id, label, CAST(LEN(embedding) AS INTEGER) AS dim,
+       list_reduce(list_transform(embedding, x ->
+         CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         (acc, v) -> acc + v) AS norm_sq
+FROM embeddings
+"""
+
+
+# --- Multimodal metadata plumbing (oracle on byte stats) ----------
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents")
+    binary = text_to_binary_content(d)
+    return binary.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+# --- Multimodal feature extraction via mapInPandas (rows-only) ----
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents")
+    return extract_features(text_to_binary_content(d))
+
+
+EXTENSION_QUERIES: dict[str, QueryDef] = {
+    "text_stats": QueryDef(
+        q_text_stats, SQL_TEXT_STATS,
+        "length/token/punctuation statistics", ("text",)),
+    "language_id": QueryDef(
+        q_language_id, _sql_language_id(),
+        "stopword-marker language ID", ("text",)),
+    "quality_score": QueryDef(
+        q_quality_score, SQL_QUALITY_SCORE,
+        "heuristic document quality score", ("text",)),
+    "doc_fingerprint": QueryDef(
+        q_doc_fingerprint, SQL_DOC_FINGERPRINT,
+        "md5 document fingerprint", ("text", "dedup")),
+    "exact_dedup": QueryDef(
+        q_exact_dedup, SQL_EXACT_DEDUP,
+        "exact hash-groupBy dedup", ("dedup",)),
+    "minhash_neardup": QueryDef(
+        q_minhash_neardup, None,
+        "MinHash-LSH near-dup pairs (banded, jaccard ≥ 0.8)", ("dedup", "lsh")),
+    "simhash_neardup": QueryDef(
+        q_simhash_neardup, None,
+        "SimHash near-dup pairs (hamming ≤ 3)", ("dedup", "lsh")),
+    "ngram_jaccard": QueryDef(
+        q_ngram_jaccard, None,
+        "n-gram Jaccard rescore of LSH candidates", ("dedup", "lsh")),
+    "knn_bruteforce": QueryDef(
+        q_knn_bruteforce, SQL_KNN_BRUTEFORCE,
+        "exact cosine top-k over embeddings", ("similarity",)),
+    "knn_lsh": QueryDef(
+        q_knn_lsh, None,
+        "sign-random-projection LSH ANN top-k", ("similarity", "lsh")),
+    "embedding_norms": QueryDef(
+        q_embedding_norms, SQL_EMBEDDING_NORMS,
+        "array math: exact L2 norms", ("similarity",)),
+    "multimodal_meta": QueryDef(
+        q_multimodal_meta, SQL_MULTIMODAL_META,
+        "binary content + typed metadata columns", ("multimodal",)),
+    "multimodal_features": QueryDef(
+        q_multimodal_features, None,
+        "Arrow-batched mapInPandas feature extraction", ("multimodal",)),
+}

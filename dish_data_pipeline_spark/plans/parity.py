@@ -1,0 +1,538 @@
+"""Reference-parity query suite: one named query per operator family
+in SURVEY.md §2, expressed over the driver testdata tables.
+
+Mapping (FIXTURES.md §B): ``events`` stands in for ``ga_sessions``
+(keep-latest window dedup), ``orders``/``lineitem`` exercise the
+upsert/join/cast surface, multi-way joins + aggregations cover the
+oracle-checked OLAP surface the engine must sustain at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dish_data_pipeline_spark.operators.dedup import dedup_first_wins, keep_latest
+from dish_data_pipeline_spark.operators.flatten import flatten_struct_columns
+from dish_data_pipeline_spark.operators.upsert import upsert, upsert_keep_latest
+from dish_data_pipeline_spark.plans.common import (
+    DEC,
+    QueryDef,
+    davg,
+    dsum,
+    read,
+    sql_davg,
+    sql_dsum,
+)
+
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+# --- W1/D3: keep-latest window dedup (flagship; reference
+# pipeline/data_pipeline.py:181-187) -------------------------------
+def q_keep_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    latest = keep_latest(e, ["user_id", "event_type"], "ts", tiebreakers=["event_id"])
+    return latest.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_latest"),
+        davg(F.col("value")).alias("avg_value"),
+    )
+
+
+SQL_KEEP_LATEST_EVENTS = f"""
+WITH latest AS (
+  SELECT * FROM (
+    SELECT e.*, ROW_NUMBER() OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e) t
+  WHERE rn = 1)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_latest,
+       {sql_davg('value')} AS avg_value
+FROM latest GROUP BY event_type
+"""
+
+
+# --- D1: deterministic first-wins dedup ---------------------------
+def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    first = dedup_first_wins(e, ["user_id", "event_type"], ["ts", "event_id"])
+    return first.select("user_id", "event_type", "event_id", "value")
+
+
+SQL_DEDUP_FIRST_WINS = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT e.*, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events e) t
+WHERE rn = 1
+"""
+
+
+# --- A2/Q4: duplicate-key counting --------------------------------
+def q_dup_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("user_id"))).alias("dup_rows"),
+    )
+
+
+SQL_DUP_KEY_COUNTS = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) - COUNT(DISTINCT user_id) AS BIGINT) AS dup_rows
+FROM events GROUP BY event_type
+"""
+
+
+# --- Q1-Q5: DQ metrics as a one-row summary (SURVEY.md §2.12) -----
+def q_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user_id"),
+        F.sum(F.col("event_type").isNull().cast("long")).alias("null_event_type"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.struct(F.col("user_id"), F.col("event_type")))
+        ).alias("dup_rows"),
+        (F.count(F.lit(1)) < F.lit(5)).alias("low_volume"),
+    )
+
+
+SQL_DQ_SUMMARY = """
+SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+       CAST(COUNT(*) - COUNT(DISTINCT (user_id, event_type)) AS BIGINT) AS dup_rows,
+       COUNT(*) < 5 AS low_volume
+FROM events
+"""
+
+
+# --- F1: recursive struct flatten (3 levels) ----------------------
+def q_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    nested = e.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("id"),
+            F.struct(
+                F.col("event_type").alias("type"), F.col("value").alias("v")
+            ).alias("info"),
+        ).alias("user"),
+    )
+    return flatten_struct_columns(nested)
+
+
+SQL_FLATTEN_STRUCT = """
+SELECT event_id,
+       user_id   AS user_id,
+       event_type AS user_info_type,
+       value      AS user_info_v
+FROM events
+"""
+
+
+# --- P3/X1: complex→JSON sanitize ---------------------------------
+def q_sanitize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    complexed = e.select(
+        "event_id",
+        F.array(F.col("user_id"), F.col("event_id")).alias("ids"),
+        F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u")).alias(
+            "meta"
+        ),
+    )
+    from dish_data_pipeline_spark.operators.flatten import sanitize_complex_columns
+
+    return sanitize_complex_columns(complexed)
+
+
+SQL_SANITIZE_JSON = """
+SELECT event_id,
+       '[' || user_id || ',' || event_id || ']' AS ids,
+       '{"t":"' || event_type || '","u":' || user_id || '}' AS meta
+FROM events
+"""
+
+
+# --- X3-X8: scalar cast/format functions --------------------------
+def q_scalar_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("date_str"),  # X3
+        F.to_date(F.col("o_orderdate")).alias("odate"),  # X4/X7
+        F.col("o_orderkey").cast("string").alias("key_str"),  # X5/X8
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("price_floor"),
+        # X4 invalid→null coercion: odd keys carry an unparseable
+        # string, so the output mixes real dates and nulls.
+        F.to_date(
+            F.when(
+                F.col("o_orderkey") % 2 == 0,
+                F.date_format(F.col("o_orderdate"), "yyyy-MM-dd"),
+            ).otherwise(F.lit("not-a-date"))
+        ).alias("bad_date"),
+    )
+
+
+SQL_SCALAR_CASTS = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+       CAST(o_orderdate AS DATE) AS odate,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+       TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                     THEN strftime(o_orderdate, '%Y-%m-%d')
+                     ELSE 'not-a-date' END AS DATE) AS bad_date
+FROM orders
+"""
+
+
+# --- J1: MERGE upsert (update + insert branches) ------------------
+def q_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = o.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    staging = updates.unionByName(inserts)
+    return upsert(o, staging, ["o_orderkey"])
+
+
+SQL_UPSERT_ORDERS = """
+WITH stg AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 17 = 0)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       o.o_orderdate, o.o_orderpriority
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM stg s WHERE s.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority FROM stg
+"""
+
+
+# --- J2: keep-latest dedup + upsert (reference ga_sessions MERGE) -
+def q_upsert_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    target = keep_latest(
+        e.filter(F.col("event_id") % 2 == 0),
+        ["user_id", "event_type"],
+        "ts",
+        tiebreakers=["event_id"],
+    )
+    staging = e.filter(F.col("event_id") % 3 == 0)
+    return upsert_keep_latest(
+        target, staging, ["user_id", "event_type"], "ts", tiebreakers=["event_id"]
+    )
+
+
+SQL_UPSERT_KEEP_LATEST = """
+WITH tgt AS (
+  SELECT event_id, ts, user_id, event_type, value, props FROM (
+    SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE event_id % 2 = 0) t WHERE rn = 1),
+stg AS (
+  SELECT event_id, ts, user_id, event_type, value, props FROM (
+    SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE event_id % 3 = 0) t WHERE rn = 1)
+SELECT t.event_id, t.ts, t.user_id, t.event_type, t.value, t.props
+FROM tgt t
+WHERE NOT EXISTS (SELECT 1 FROM stg s
+                  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)
+UNION ALL
+SELECT event_id, ts, user_id, event_type, value, props FROM stg
+"""
+
+
+# --- J3: semi/anti joins ------------------------------------------
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read(spark, sf_dir, "customer")
+    o = read(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 450000)
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    # anti: customers with no big-ticket order; semi: of those, the
+    # ones that do have an urgent order.
+    no_big = c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+    return no_big.join(
+        urgent, no_big.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_SEMI_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+# --- A: grouped aggregation (TPC-H Q1 shape) ----------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Multi-way join + top-k (TPC-H Q3 shape) ----------------------
+def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_REVENUE = f"""
+SELECT l_orderkey, o_orderdate,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- 6-way join (TPC-H Q5 shape; broadcast small dims) ------------
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = read(spark, sf_dir, "region")
+    n = read(spark, sf_dir, "nation")
+    c = read(spark, sf_dir, "customer")
+    o = read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = read(spark, sf_dir, "lineitem")
+    s = read(spark, sf_dir, "supplier")
+    # region/nation are tiny at any SF → broadcast; supplier/customer
+    # shuffle on their keys; AQE handles the rest.
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+SQL_REGION_REVENUE = f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- Window analytics: lag + running/moving aggregates ------------
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wmov = w.rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.sum(F.col("value").cast(DEC)).over(wrows).cast("double").alias("run_sum"),
+        (
+            F.sum(F.col("value").cast(DEC)).over(wmov).cast("double")
+            / F.count(F.lit(1)).over(wmov)
+        ).alias("mov_avg3"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT event_id, user_id,
+       LAG(value) OVER w AS prev_value,
+       CAST(SUM(CAST(value AS DECIMAL(38,6)))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS run_sum,
+       CAST(SUM(CAST(value AS DECIMAL(38,6)))
+            OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS mov_avg3,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --- Rollup / grouping sets ---------------------------------------
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    return e.rollup("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+SQL_ROLLUP_EVENTS = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
+
+# --- Set operations -----------------------------------------------
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+
+    def users(pred) -> DataFrame:
+        return e.filter(pred).select("user_id").distinct()
+
+    purchasers = users(F.col("event_type") == "purchase")
+    clickers = users(F.col("event_type") == "click")
+    high_signup = users((F.col("event_type") == "signup") & (F.col("value") > 450))
+    errored = users(F.col("event_type") == "error")
+    return (
+        purchasers.intersect(clickers)
+        .union(high_signup)
+        .distinct()
+        .subtract(errored)
+    )
+
+
+SQL_SET_OPS = """
+SELECT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'click'
+  UNION
+  SELECT user_id FROM events WHERE event_type = 'signup' AND value > 450)
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+PARITY_QUERIES: dict[str, QueryDef] = {
+    "keep_latest_events": QueryDef(
+        q_keep_latest_events, SQL_KEEP_LATEST_EVENTS,
+        "W1/D3 keep-latest window dedup + aggregate (flagship)", ("window", "dedup")),
+    "dedup_first_wins": QueryDef(
+        q_dedup_first_wins, SQL_DEDUP_FIRST_WINS,
+        "D1 deterministic first-wins dedup", ("dedup",)),
+    "dup_key_counts": QueryDef(
+        q_dup_key_counts, SQL_DUP_KEY_COUNTS,
+        "A2 duplicate-key counting per group", ("agg",)),
+    "dq_summary": QueryDef(
+        q_dq_summary, SQL_DQ_SUMMARY,
+        "Q1-Q5 data-quality metrics in one pass", ("quality",)),
+    "flatten_struct": QueryDef(
+        q_flatten_struct, SQL_FLATTEN_STRUCT,
+        "F1 recursive struct flatten (3 levels)", ("flatten",)),
+    "sanitize_json": QueryDef(
+        q_sanitize_json, SQL_SANITIZE_JSON,
+        "P3/X1 complex→JSON-string projection", ("flatten",)),
+    "scalar_casts": QueryDef(
+        q_scalar_casts, SQL_SCALAR_CASTS,
+        "X3-X8 cast/format scalar functions", ("functions",)),
+    "upsert_orders": QueryDef(
+        q_upsert_orders, SQL_UPSERT_ORDERS,
+        "J1 MERGE upsert, update+insert branches", ("upsert", "join")),
+    "upsert_keep_latest": QueryDef(
+        q_upsert_keep_latest, SQL_UPSERT_KEEP_LATEST,
+        "J2 dedup-then-upsert (ga_sessions MERGE)", ("upsert", "join", "window")),
+    "semi_anti_join": QueryDef(
+        q_semi_anti_join, SQL_SEMI_ANTI_JOIN,
+        "J3 anti-join (customers without orders)", ("join",)),
+    "pricing_summary": QueryDef(
+        q_pricing_summary, SQL_PRICING_SUMMARY,
+        "TPC-H Q1-shape grouped aggregation", ("agg",)),
+    "topk_revenue": QueryDef(
+        q_topk_revenue, SQL_TOPK_REVENUE,
+        "TPC-H Q3-shape 3-way join + top-k", ("join", "topk")),
+    "region_revenue": QueryDef(
+        q_region_revenue, SQL_REGION_REVENUE,
+        "TPC-H Q5-shape 6-way join", ("join",)),
+    "window_running": QueryDef(
+        q_window_running, SQL_WINDOW_RUNNING,
+        "lag + running sum + moving average windows", ("window",)),
+    "rollup_events": QueryDef(
+        q_rollup_events, SQL_ROLLUP_EVENTS,
+        "ROLLUP grouping sets", ("agg",)),
+    "set_ops": QueryDef(
+        q_set_ops, SQL_SET_OPS,
+        "INTERSECT/UNION/EXCEPT set operations", ("setops",)),
+}

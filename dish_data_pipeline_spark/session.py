@@ -1,0 +1,70 @@
+"""SparkSession factory with the engine's standard configuration.
+
+The reference is tz-aware-UTC end to end (reference
+pipeline/data_pipeline.py:79,136), so the session timezone is pinned
+to UTC — this is also required for DuckDB-oracle comparisons (DuckDB
+timestamps are UTC-naive).
+
+Scale posture: AQE on (runtime coalescing, skew-join splitting,
+dynamic join strategy), Arrow on (fast pandas/UDF interchange),
+shuffle partitions sized by caller (defaults to cores locally; on a
+real cluster leave high and let AQE coalesce).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # Reference semantics: invalid casts coerce to null (X4,
+    # reference pipeline/data_pipeline.py:132). Spark 4 defaults
+    # ANSI on, which would raise instead.
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Nested-struct column pruning so flattening projections push into scans.
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # Parquet scan partitions sized for executor memory at scale.
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Quieter, deterministic local runs.
+    "spark.ui.enabled": "false",
+    "spark.sql.parquet.int96RebaseModeInWrite": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInWrite": "CORRECTED",
+}
+
+
+def get_spark(
+    app_name: str = "dish-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[N]`` with N from
+    ``$SPARK_GRAFT_CPUS`` (or all cores). ``shuffle_partitions``
+    defaults to the local core count — on a real cluster pass a
+    larger value (or rely on AQE coalescing from a high initial
+    count).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+
+    conf = dict(_DEFAULT_CONF)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,34 @@
+"""Catalog smoke: every registered query runs at sf0.001 and yields a
+stable schema. Value correctness vs DuckDB is covered by
+tools/check_oracle.py (run at sf0.01 pre-commit) and the driver's
+CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from dish_data_pipeline_spark.plans import QUERIES
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    qd = QUERIES[name]
+    df = qd.fn(spark, sf_dir)
+    assert df.columns  # non-empty schema
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_oracle_sql_subset_of_queries():
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) == len(QUERIES)

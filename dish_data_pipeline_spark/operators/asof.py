@@ -1,0 +1,78 @@
+"""As-of (time-travel) join — an operator Spark lacks natively.
+
+``asof_join(left, right, on, by)``: for every left row, attach the
+payload of the latest right row with ``right.on <= left.on`` within
+the same ``by`` key group (direction="backward", the merge_asof
+default).
+
+Spark-first implementation (no pandas, no per-group loops): union
+both sides tagged, one window sort per key with
+``last(payload, ignorenulls=True)`` carrying the most recent right
+payload forward, then keep left rows. Cost = ONE shuffle on ``by``
+plus an in-partition sort — the same class as a sort-merge join, and
+it scales to arbitrarily large both sides (no broadcast needed, no
+all-pairs). The alternative (``applyInPandas`` + ``pd.merge_asof``
+per key) moves data through Python; use it only when per-group
+pandas logic is genuinely required.
+
+Determinism: if multiple right rows share (by, on) the LAST one in
+the (on, tag) sort order wins; pass unique (by, on) right sides for
+fully deterministic output (callers can keep_latest first).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "_asof_is_left"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of left join. Right payload columns (everything
+    except ``by``) arrive suffixed; the right's own ``on`` value
+    arrives as ``<on><suffix>``."""
+    by = list(by)
+    payload_src = [c for c in right.columns if c not in by]
+    payload = [f"{c}{suffix}" for c in payload_src]
+
+    l_tagged = left.withColumn(_TAG, F.lit(1))
+    for c in payload:
+        l_tagged = l_tagged.withColumn(c, F.lit(None))
+    r_tagged = right.select(
+        *by,
+        F.col(on).alias("_asof_on"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload_src],
+        F.lit(0).alias(_TAG),
+    )
+    left_only = [c for c in left.columns if c not in by]
+    for c in left_only:
+        r_tagged = r_tagged.withColumn(c, F.lit(None))
+    l_tagged = l_tagged.withColumn("_asof_on", F.col(on))
+
+    unioned = l_tagged.select(
+        *by, "_asof_on", _TAG, *left_only, *payload
+    ).unionByName(r_tagged.select(*by, "_asof_on", _TAG, *left_only, *payload))
+
+    # right rows (tag 0) sort before left rows at equal timestamps →
+    # a right row at exactly left.on is visible (<= semantics).
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_asof_on").asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *by,
+        _TAG,
+        *left_only,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return carried.filter(F.col(_TAG) == 1).drop(_TAG)

@@ -1,0 +1,391 @@
+"""Breadth query suite: operators beyond the reference's literal
+surface that a complete engine must offer (SURVEY.md §2 'not
+present' notes + pyspark guide OLAP patterns): as-of joins, range
+bucketing, pivot/unpivot, JSON field extraction, string/date scalar
+functions, classic OLAP aggregates, cube, raw-zone partition
+pruning, metadata enrichment.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dish_data_pipeline_spark.operators.asof import asof_join
+from dish_data_pipeline_spark.operators.enrich import add_load_metadata
+from dish_data_pipeline_spark.plans.common import (
+    QueryDef,
+    davg,
+    dsum,
+    read,
+    sql_davg,
+    sql_dsum,
+)
+
+
+# --- As-of join: latest signup before each event ------------------
+def q_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    joined = asof_join(e, signups, on="ts", by=["user_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("signup_id_right").alias("signup_id"),
+        F.col("ts_right").alias("signup_ts"),
+    )
+
+
+SQL_ASOF_SIGNUP = """
+SELECT e.event_id, e.user_id,
+       s.event_id AS signup_id, s.ts AS signup_ts
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+# --- Range join via bucketization ---------------------------------
+def q_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        [(i, i * 50.0, (i + 1) * 50.0) for i in range(10)],
+        "bucket long, lo double, hi double",
+    )
+    # range predicate (value >= lo AND value < hi) turned into an
+    # equi-join on the bucket id — the scale-safe shape for range
+    # joins with fixed-width bands (no BroadcastNestedLoop).
+    bucketed = e.withColumn("bucket", F.floor(F.col("value") / 50.0))
+    joined = bucketed.join(F.broadcast(ranges), "bucket").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+SQL_RANGE_BUCKET_JOIN = f"""
+SELECT FLOOR(value / 50.0) * 50.0 AS lo,
+       (FLOOR(value / 50.0) + 1) * 50.0 AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- Pivot --------------------------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+# --- Unpivot ------------------------------------------------------
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "amount",
+    )
+
+
+SQL_UNPIVOT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
+       l_extendedprice AS amount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
+# --- JSON field extraction ----------------------------------------
+def q_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k_val"),
+        (F.get_json_object(F.col("props"), "$.k").isNotNull()).alias("has_k"),
+        F.get_json_object(F.col("props"), "$.missing").alias("missing_val"),
+    )
+
+
+SQL_JSON_FIELDS = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+       json_extract_string(props, '$.missing') AS missing_val
+FROM events
+"""
+
+
+# --- String scalar functions --------------------------------------
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("upper_name"),
+        F.lower(name).alias("lower_name"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.length(name).cast("bigint").alias("name_len"),
+        F.concat(name, F.lit("|"), F.col("c_mktsegment")).alias("tagged"),
+        F.regexp_extract(name, "([0-9]+)", 1).alias("digits"),
+        F.reverse(name).alias("rev_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(name, F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT c_custkey,
+       UPPER(c_name) AS upper_name,
+       LOWER(c_name) AS lower_name,
+       SUBSTRING(c_name, 1, 8) AS prefix8,
+       CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+       c_name || '|' || c_mktsegment AS tagged,
+       REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
+       REVERSE(c_name) AS rev_name,
+       LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+       REPLACE(c_name, 'Customer', 'Cust') AS short_name
+FROM customer
+"""
+
+
+# --- Date/time scalar functions -----------------------------------
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.datediff(F.to_date(d), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch0"),
+        F.date_add(F.to_date(d), 30).alias("plus30"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.last_day(F.to_date(d)).alias("month_end"),
+    )
+
+
+SQL_DATE_FUNCS = """
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+       CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+       CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS days_since_epoch0,
+       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+"""
+
+
+# --- TPC-H Q6 shape: filtered single aggregate --------------------
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- TPC-H Q17 shape: per-group average as join filter ------------
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    p = read(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    avg_qty = li.groupBy("l_partkey").agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = f"""
+WITH avg_qty AS (
+  SELECT l_partkey, {sql_davg('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT {sql_dsum('l_extendedprice')} / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty USING (l_partkey)
+WHERE p_size < 10 AND l_quantity < 0.2 * avg_qty
+"""
+
+
+# --- CUBE grouping ------------------------------------------------
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return e.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+SQL_CUBE_EVENTS = f"""
+SELECT event_type, user_id % 10 AS user_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM events GROUP BY CUBE (event_type, user_bucket)
+"""
+
+
+# --- Raw-zone roundtrip: partitioned write + pruned read (S2) -----
+def q_raw_zone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(), f"raw_zone_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    (
+        e.select(
+            "event_id",
+            "event_type",
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.dayofmonth("ts").alias("day"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day")
+        .json(out)
+    )
+    back = spark.read.schema(
+        "event_id long, event_type string, year int, month int, day int"
+    ).json(out)
+    # partition filter → directory pruning, only day=15 files read
+    return (
+        back.filter(F.col("day") == 15)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_RAW_ZONE_ROUNDTRIP = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE EXTRACT(day FROM ts) = 15
+GROUP BY event_type
+"""
+
+
+# --- Load-metadata enrichment (P1/P2, deterministic replay form) --
+def q_enrich_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    return add_load_metadata(e, load_date=dt.date(2024, 2, 1)).select(
+        "event_id", "load_timestamp", "source_file"
+    )
+
+
+SQL_ENRICH_METADATA = """
+SELECT event_id,
+       TIMESTAMP '2024-02-01 00:00:00' AS load_timestamp,
+       '2024-02-01' AS source_file
+FROM events
+"""
+
+
+BREADTH_QUERIES: dict[str, QueryDef] = {
+    "asof_signup": QueryDef(
+        q_asof_signup, SQL_ASOF_SIGNUP,
+        "as-of join: latest signup before each event", ("join", "asof")),
+    "range_bucket_join": QueryDef(
+        q_range_bucket_join, SQL_RANGE_BUCKET_JOIN,
+        "range join via fixed-width bucketization", ("join",)),
+    "pivot_events": QueryDef(
+        q_pivot_events, SQL_PIVOT_EVENTS,
+        "pivot event counts per user", ("agg", "pivot")),
+    "unpivot_lineitem": QueryDef(
+        q_unpivot_lineitem, SQL_UNPIVOT_LINEITEM,
+        "unpivot measures to long form", ("agg", "pivot")),
+    "json_fields": QueryDef(
+        q_json_fields, SQL_JSON_FIELDS,
+        "JSON field extraction from string column", ("functions", "json")),
+    "string_funcs": QueryDef(
+        q_string_funcs, SQL_STRING_FUNCS,
+        "string scalar function suite", ("functions",)),
+    "date_funcs": QueryDef(
+        q_date_funcs, SQL_DATE_FUNCS,
+        "date/time scalar function suite", ("functions",)),
+    "forecast_revenue": QueryDef(
+        q_forecast_revenue, SQL_FORECAST_REVENUE,
+        "TPC-H Q6-shape filtered aggregate", ("agg",)),
+    "small_qty_revenue": QueryDef(
+        q_small_qty_revenue, SQL_SMALL_QTY_REVENUE,
+        "TPC-H Q17-shape per-group average join filter", ("agg", "join")),
+    "cube_events": QueryDef(
+        q_cube_events, SQL_CUBE_EVENTS,
+        "CUBE grouping sets", ("agg",)),
+    "raw_zone_roundtrip": QueryDef(
+        q_raw_zone_roundtrip, SQL_RAW_ZONE_ROUNDTRIP,
+        "S2 raw-zone partitioned write + pruned read", ("io",)),
+    "enrich_metadata": QueryDef(
+        q_enrich_metadata, SQL_ENRICH_METADATA,
+        "P1/P2 load metadata enrichment (replay form)", ("enrich",)),
+}

@@ -1,0 +1,11 @@
+from dish_data_pipeline_spark.streaming.pipeline import (
+    stream_raw_zone,
+    stream_upsert_to_target,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "stream_raw_zone",
+    "stream_upsert_to_target",
+    "windowed_event_counts",
+]

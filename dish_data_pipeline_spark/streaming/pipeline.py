@@ -1,0 +1,122 @@
+"""Structured Streaming variant of the batch pipeline (SURVEY.md
+§7.6 — optional modernization beyond reference parity).
+
+The reference absorbs late/replayed data idempotently via
+MERGE-on-key re-runs (SURVEY.md §2.10); the streaming variant
+preserves exactly those semantics with ``foreachBatch`` → the same
+join-based upsert, and adds what the cron loop cannot express:
+event-time windows with watermarked late-data handling and session
+windows.
+
+All sinks here are micro-batch idempotent: the foreachBatch upsert
+keys on the merge keys, so replayed batches (at-least-once delivery)
+converge to the same target state — the streaming equivalent of the
+reference's re-runnable MERGE.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from dish_data_pipeline_spark import io as dio
+from dish_data_pipeline_spark.operators.dedup import keep_latest
+from dish_data_pipeline_spark.operators.upsert import upsert_keep_latest
+
+
+def stream_raw_zone(
+    spark: SparkSession, raw_dir: str, schema: StructType
+) -> DataFrame:
+    """File-arrival stream over the raw JSON zone (the streaming
+    twin of ``spark.read.json(raw_zone)``). Schema is explicit —
+    streaming reads don't infer."""
+    return spark.readStream.schema(schema).json(raw_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window counts: late rows beyond the
+    watermark are dropped, state is bounded — the 100 TB-safe shape
+    for unbounded streams."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            group_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-based) per key — the streaming-native
+    sessionizer (``session_window``)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def stream_upsert_to_target(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    ts_col: str,
+    checkpoint_dir: str,
+    tiebreakers: Sequence[str] = (),
+):
+    """foreachBatch MERGE: each micro-batch keep-latest-dedups and
+    upserts into the Parquet target — identical semantics to the
+    batch J2 path (reference pipeline/data_pipeline.py:177-206), so
+    replays converge (idempotent by key).
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+
+    def do_upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = upsert_keep_latest(target, batch, keys, ts_col, tiebreakers)
+            dio.atomic_overwrite(merged, target_path)
+        else:
+            deduped = keep_latest(batch, keys, ts_col, tiebreakers)
+            deduped.write.parquet(target_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(do_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -90,6 +90,77 @@ def _plane_component(seed: int, p: int, d: int) -> float:
     return (x / 2**63) - 1.0
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus against a fixed
+    centroid set, then score queries only against the ``n_probe``
+    nearest inverted lists.
+
+    Centroids are chosen deterministically (every ``|corpus| /
+    n_centroids``-th vector by id order — at scale, swap in k-means
+    centroids trained offline; the query plan is identical). The
+    corpus→centroid assignment is a broadcast cross-score (corpus ×
+    n_centroids, map-side only), so the only shuffle is the final
+    top-k window — the IVF recall/cost dial is ``n_probe``.
+    """
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    # Deterministic centroid pick: lowest n_centroids vec ids.
+    centroids = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", dot("c_vec", "cent_vec"))
+        .withColumn("_arank", F.row_number().over(w_assign))
+        .filter(F.col("_arank") == 1)
+        .select("neighbor_id", "c_vec", F.col("centroid_id").alias("list_id"))
+    )
+
+    queries = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).filter(F.col("query_id").isin(query_ids))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", dot("q_vec", "cent_vec"))
+        .withColumn("_prank", F.row_number().over(w_probe))
+        .filter(F.col("_prank") <= n_probe)
+        .select("query_id", "q_vec", F.col("centroid_id").alias("list_id"))
+    )
+
+    pairs = (
+        F.broadcast(probes)
+        .join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", dot("q_vec", "c_vec"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_ids: list[int],

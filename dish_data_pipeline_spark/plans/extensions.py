@@ -24,7 +24,11 @@ from dish_data_pipeline_spark.ops.multimodal import (
     extract_features,
     text_to_binary_content,
 )
-from dish_data_pipeline_spark.ops.similarity import cosine_topk, lsh_bucket_topk
+from dish_data_pipeline_spark.ops.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from dish_data_pipeline_spark.ops.text import (
     LANG_MARKERS,
     lang_pick_case_sql,
@@ -197,6 +201,12 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, KNN_QUERY_IDS, k=10)
 
 
+# --- IVF ANN (rows-only; approximate by design) -------------------
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, KNN_QUERY_IDS, k=10)
+
+
 # --- Embedding norms (array math, exact oracle) -------------------
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read(spark, sf_dir, "embeddings")
@@ -280,6 +290,9 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
     "knn_lsh": QueryDef(
         q_knn_lsh, None,
         "sign-random-projection LSH ANN top-k", ("similarity", "lsh")),
+    "knn_ivf": QueryDef(
+        q_knn_ivf, None,
+        "IVF inverted-list ANN top-k (n_probe dial)", ("similarity",)),
     "embedding_norms": QueryDef(
         q_embedding_norms, SQL_EMBEDDING_NORMS,
         "array math: exact L2 norms", ("similarity",)),

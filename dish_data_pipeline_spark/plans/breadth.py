@@ -351,6 +351,84 @@ FROM events
 """
 
 
+# --- SCD2 history maintenance (CDC pattern) -----------------------
+def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dish_data_pipeline_spark.operators.scd2 import scd2_apply
+
+    o = read(spark, sf_dir, "orders")
+    history = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    snapshot = o.select(
+        F.when(F.col("o_orderkey") % 31 == 0, F.col("o_orderkey") + 20_000_000)
+        .otherwise(F.col("o_orderkey"))
+        .alias("o_orderkey"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    return scd2_apply(
+        history, snapshot, ["o_orderkey"], ["price"], "2024-01-01"
+    )
+
+
+SQL_SCD2_ORDERS = """
+WITH snap AS (
+  SELECT CASE WHEN o_orderkey % 31 = 0 THEN o_orderkey + 20000000
+              ELSE o_orderkey END AS o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS price
+  FROM orders)
+-- unchanged current rows (key present with identical price, or key
+-- absent from the snapshot)
+SELECT o.o_orderkey, o.o_totalprice AS price,
+       DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM snap s
+                  WHERE s.o_orderkey = o.o_orderkey
+                    AND s.price <> o.o_totalprice)
+UNION ALL
+-- closed versions of changed keys
+SELECT o.o_orderkey, o.o_totalprice AS price,
+       DATE '2020-01-01', DATE '2024-01-01'
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM snap s
+              WHERE s.o_orderkey = o.o_orderkey
+                AND s.price <> o.o_totalprice)
+UNION ALL
+-- new open versions: changed keys + brand-new keys
+SELECT s.o_orderkey, s.price, DATE '2024-01-01', CAST(NULL AS DATE)
+FROM snap s
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = s.o_orderkey
+                    AND o.o_totalprice = s.price)
+"""
+
+
+# --- Exact quantiles (linear interpolation, both engines) ---------
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile(F.col("value"), 0.5).alias("p50"),
+        F.percentile(F.col("value"), 0.9).alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+SQL_VALUE_QUANTILES = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       MIN(value) AS vmin,
+       MAX(value) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 BREADTH_QUERIES: dict[str, QueryDef] = {
     "asof_signup": QueryDef(
         q_asof_signup, SQL_ASOF_SIGNUP,
@@ -388,4 +466,10 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
     "enrich_metadata": QueryDef(
         q_enrich_metadata, SQL_ENRICH_METADATA,
         "P1/P2 load metadata enrichment (replay form)", ("enrich",)),
+    "scd2_orders": QueryDef(
+        q_scd2_orders, SQL_SCD2_ORDERS,
+        "SCD2 history maintenance (close + open versions)", ("upsert", "cdc")),
+    "value_quantiles": QueryDef(
+        q_value_quantiles, SQL_VALUE_QUANTILES,
+        "exact interpolated quantiles per group", ("agg",)),
 }

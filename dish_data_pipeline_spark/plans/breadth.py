@@ -56,7 +56,7 @@ ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
 def q_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read(spark, sf_dir, "events")
     ranges = spark.createDataFrame(
-        [(i, i * 50.0, (i + 1) * 50.0) for i in range(10)],
+        [(i, i * 50.0, (i + 1) * 50.0) for i in range(20)],
         "bucket long, lo double, hi double",
     )
     # range predicate (value >= lo AND value < hi) turned into an
@@ -78,6 +78,7 @@ SELECT FLOOR(value / 50.0) * 50.0 AS lo,
        CAST(COUNT(*) AS BIGINT) AS n,
        {sql_dsum('value')} AS sum_value
 FROM events
+WHERE value >= 0 AND value < 1000  -- the ranges dimension's domain
 GROUP BY 1, 2
 """
 
@@ -351,6 +352,61 @@ FROM events
 """
 
 
+# --- Partition-pruned MERGE (the 100 TB upsert shape) -------------
+def q_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dish_data_pipeline_spark.operators.upsert_partitioned import (
+        upsert_partitioned,
+        write_partitioned_target,
+    )
+
+    e = read(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "user_id", "event_type", "value", F.to_date("ts").alias("day")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"part_tgt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_partitioned_target(base, path, "day")
+
+    day15 = base.filter(F.dayofmonth(F.col("day")) == 15)
+    staging = day15.withColumn("value", F.col("value") * 2).unionByName(
+        day15.withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+    upsert_partitioned(
+        spark, path, staging, keys=["day", "event_id"], partition_col="day"
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+SQL_PARTITIONED_MERGE = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, value, CAST(ts AS DATE) AS day
+  FROM events),
+stg AS (
+  SELECT event_id, day, value * 2 AS value FROM base
+  WHERE EXTRACT(day FROM day) = 15
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id, day, value FROM base
+  WHERE EXTRACT(day FROM day) = 15),
+merged AS (
+  SELECT b.day, b.value FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM stg s
+                    WHERE s.day = b.day AND s.event_id = b.event_id)
+  UNION ALL
+  SELECT day, value FROM stg)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n, {sql_dsum('value')} AS sum_value
+FROM merged GROUP BY day
+"""
+
+
 # --- SCD2 history maintenance (CDC pattern) -----------------------
 def q_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dish_data_pipeline_spark.operators.scd2 import scd2_apply
@@ -466,6 +522,10 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
     "enrich_metadata": QueryDef(
         q_enrich_metadata, SQL_ENRICH_METADATA,
         "P1/P2 load metadata enrichment (replay form)", ("enrich",)),
+    "partitioned_merge": QueryDef(
+        q_partitioned_merge, SQL_PARTITIONED_MERGE,
+        "partition-pruned MERGE: only touched partitions rewritten",
+        ("upsert", "io")),
     "scd2_orders": QueryDef(
         q_scd2_orders, SQL_SCD2_ORDERS,
         "SCD2 history maintenance (close + open versions)", ("upsert", "cdc")),

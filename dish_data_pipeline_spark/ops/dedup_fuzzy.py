@@ -57,18 +57,23 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 
 
 def with_minhash(df: DataFrame, n_hashes: int = 16, seed: int = 42) -> DataFrame:
-    """MinHash signature: for permutation i, min over shingles of
-    xxhash64(shingle, salt_i). Deterministic for a fixed seed."""
+    """MinHash signature: permutation i = min over shingles of a
+    seeded hash. Deterministic for a fixed seed.
+
+    Cost shape: each shingle STRING is hashed once (the expensive
+    part, O(len)); the n_hashes permutations then re-hash that
+    64-bit value (O(1) each) — n× cheaper than hashing the string
+    n times, same min-wise-independence quality."""
+    base = df.withColumn(
+        "_h", F.expr("transform(shingles, s -> xxhash64(s))")
+    )
     sig = F.array(
         *[
-            F.expr(
-                "array_min(transform(shingles, "
-                f"s -> xxhash64(s, {seed + i})))"
-            )
+            F.expr(f"array_min(transform(_h, x -> xxhash64(x, {seed + i})))")
             for i in range(n_hashes)
         ]
     )
-    return df.withColumn("minhash", sig)
+    return base.withColumn("minhash", sig).drop("_h")
 
 
 def minhash_candidate_pairs(

@@ -1,0 +1,188 @@
+"""Analytics query suite: ranking-function family, the pure
+``spark.sql`` interface path, data profiling, and sessionization —
+rounding out the window/SQL surface (SURVEY.md §2.6/§7.0: every
+operator also expressible via spark.sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dish_data_pipeline_spark.plans.common import (
+    QueryDef,
+    dsum,
+    read,
+    sql_dsum,
+)
+
+
+# --- Ranking-function suite ---------------------------------------
+def q_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return e.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("event_id", 1).over(w).alias("next_id"),
+        F.first("event_id").over(w).alias("top_id"),
+    ).filter(F.col("rn") <= 100)
+
+
+SQL_RANK_SUITE = """
+SELECT event_id, event_type, rn,
+       CAST(rnk AS INTEGER) AS rnk,
+       CAST(drnk AS INTEGER) AS drnk,
+       CAST(quartile AS INTEGER) AS quartile,
+       next_id,
+       top_id
+FROM (
+  SELECT event_id, event_type,
+         CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk,
+         NTILE(4) OVER w AS quartile,
+         LEAD(event_id, 1) OVER w AS next_id,
+         FIRST_VALUE(event_id) OVER w AS top_id
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)) t
+WHERE rn <= 100
+"""
+
+
+# --- Pure spark.sql interface -------------------------------------
+SQL_INTERFACE_TEXT = """
+WITH user_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+  FROM events GROUP BY user_id, CAST(ts AS DATE))
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS active_days,
+       CAST(MAX(n) AS BIGINT) AS max_daily_events,
+       CAST(SUM(CAST(day_value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM user_day
+GROUP BY user_id
+"""
+
+
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's second API surface: the IDENTICAL SQL text runs
+    on Spark (via temp views) and on DuckDB (as its own oracle) —
+    dialect-portable ANSI SQL."""
+    read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(SQL_INTERFACE_TEXT)
+
+
+# --- Data profiling operator --------------------------------------
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per column: nulls, distincts, min/max (as strings) —
+    single aggregation pass per table (unpivoted driver-side from
+    one agg row, no per-column jobs)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    return profile_columns(e, ["user_id", "event_type", "value"])
+
+
+SQL_PROFILE_EVENTS = """
+SELECT 'user_id' AS col_name,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(user_id) AS VARCHAR) AS min_str,
+       CAST(MAX(user_id) AS VARCHAR) AS max_str
+FROM events
+UNION ALL
+SELECT 'event_type',
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT event_type) AS BIGINT),
+       MIN(event_type), MAX(event_type)
+FROM events
+UNION ALL
+SELECT 'value',
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT),
+       CAST(MIN(value) AS VARCHAR), CAST(MAX(value) AS VARCHAR)
+FROM events
+"""
+
+
+# --- Batch sessionization (gap-based, via window + cumsum) --------
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_flag = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(wcum)
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum(F.col("value")).alias("session_value"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessioned AS (
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+  FROM flagged)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       {sql_dsum('value')} AS session_value
+FROM sessioned GROUP BY user_id, session_id
+"""
+
+
+ANALYTICS_QUERIES: dict[str, QueryDef] = {
+    "rank_suite": QueryDef(
+        q_rank_suite, SQL_RANK_SUITE,
+        "row_number/rank/dense_rank/ntile/lead/first_value", ("window",)),
+    "sql_interface": QueryDef(
+        q_sql_interface, SQL_INTERFACE_TEXT,
+        "identical SQL text on Spark and DuckDB (dialect-portable)",
+        ("sql",)),
+    "profile_events": QueryDef(
+        q_profile_events, SQL_PROFILE_EVENTS,
+        "per-column profiling in one aggregation pass", ("quality", "agg")),
+    "sessionize": QueryDef(
+        q_sessionize, SQL_SESSIONIZE,
+        "gap-based batch sessionization (lag + cumsum)", ("window", "session")),
+}

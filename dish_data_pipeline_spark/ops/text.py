@@ -83,6 +83,45 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(F.col(text_col)))
 
 
+# BPE-ish pretokenizer: contraction pieces, space-prefixed word /
+# number / punctuation runs, whitespace runs. Same subset parses in
+# Java regex and RE2 (no lookahead).
+BPE_RE = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+| +"
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hashes,
+    window-minimum selection — the MOSS scheme): for every position,
+    hash the k-char gram; keep the minimum hash of each sliding
+    window of ``window`` grams; the distinct kept hashes are the
+    fingerprint set.
+
+    Pure higher-order expressions (substring + xxhash64 over an
+    index sequence) — no UDF; cost is O(len) per doc, map-side only.
+    """
+    text = F.col(text_col)
+    grams = (
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> xxhash64(substring({text_col}, i, {k})))"
+    )
+    fingerprint = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(_grams) - {window - 1}, 1)), "
+        f"i -> array_min(slice(_grams, i, {window}))))"
+    )
+    return (
+        df.withColumn("_grams", F.expr(grams))
+        .withColumn("fingerprints", F.expr(fingerprint))
+        .drop("_grams")
+        .withColumn("n_fingerprints", F.size("fingerprints"))
+    )
+
+
 def quality_score(text_col: str = "text") -> Column:
     """Heuristic quality score in [0,1]: token-length sanity ×
     punctuation sanity. Pure arithmetic → oracle-exact."""

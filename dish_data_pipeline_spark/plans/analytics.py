@@ -171,7 +171,60 @@ FROM sessioned GROUP BY user_id, session_id
 """
 
 
+# --- TPC-H Q18 shape: IN subquery with HAVING ---------------------
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+SQL_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- Correlated scalar subquery == window max ---------------------
+def q_max_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_max", F.max("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") == F.col("cust_max"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_MAX_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
 ANALYTICS_QUERIES: dict[str, QueryDef] = {
+    "large_orders": QueryDef(
+        q_large_orders, SQL_LARGE_ORDERS,
+        "TPC-H Q18-shape IN-subquery with HAVING", ("join", "agg")),
+    "max_order_per_customer": QueryDef(
+        q_max_order_per_customer, SQL_MAX_ORDER_PER_CUSTOMER,
+        "correlated scalar subquery via window max", ("window", "join")),
     "rank_suite": QueryDef(
         q_rank_suite, SQL_RANK_SUITE,
         "row_number/rank/dense_rank/ntile/lead/first_value", ("window",)),

@@ -30,9 +30,11 @@ from dish_data_pipeline_spark.ops.similarity import (
     lsh_bucket_topk,
 )
 from dish_data_pipeline_spark.ops.text import (
+    BPE_RE,
     LANG_MARKERS,
     lang_pick_case_sql,
     quality_score,
+    winnow_fingerprints,
     with_fingerprint,
     with_language_id,
     with_text_stats,
@@ -55,6 +57,84 @@ SELECT doc_id, lang,
        CAST(LENGTH(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+'))) AS BIGINT) AS n_distinct_tokens,
        CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
 FROM documents
+"""
+
+
+# --- Token counting: whitespace + BPE-ish pretokenizer ------------
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents")
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(text), r"\s+")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+        .cast("bigint")
+        .alias("n_bpe_pieces"),
+        F.size(
+            F.array_distinct(F.regexp_extract_all(text, F.lit(BPE_RE), 0))
+        )
+        .cast("bigint")
+        .alias("n_distinct_pieces"),
+    )
+
+
+_BPE_SQL = BPE_RE.replace("'", "''")  # escape quotes for SQL literal
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(LENGTH(regexp_split_to_array(TRIM(text), '\\s+')) AS BIGINT)
+         AS n_ws_tokens,
+       CAST(LENGTH(REGEXP_EXTRACT_ALL(text, '{_BPE_SQL}')) AS BIGINT)
+         AS n_bpe_pieces,
+       CAST(LENGTH(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '{_BPE_SQL}')))
+         AS BIGINT) AS n_distinct_pieces
+FROM documents
+"""
+
+
+# --- Winnowing fingerprints (rolling hash; rows-only) -------------
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents")
+    return winnow_fingerprints(d).select("doc_id", "n_fingerprints", "fingerprints")
+
+
+# --- Embedding-cosine near-dup (exact; the dedup charter item) ----
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dish_data_pipeline_spark.ops.similarity import dot
+
+    emb = read(spark, sf_dir, "embeddings")
+    # corpus has no true near-dups (max off-diagonal cosine ≈ 0.51),
+    # so plant copies of every 20th vector — the operator must find
+    # exactly those pairs.
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+    )
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", dot("va", "vb"))
+        .filter(F.col("cosine") >= 0.95)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_reduce(list_transform(a.embedding, (x, i) ->
+         CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+         (acc, v) -> acc + v) AS cosine
+FROM corpus a, corpus b
+WHERE a.vec_id < b.vec_id
+  AND list_reduce(list_transform(a.embedding, (x, i) ->
+        CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+        (acc, v) -> acc + v) >= 0.95
 """
 
 
@@ -263,6 +343,15 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
     "text_stats": QueryDef(
         q_text_stats, SQL_TEXT_STATS,
         "length/token/punctuation statistics", ("text",)),
+    "token_stats": QueryDef(
+        q_token_stats, SQL_TOKEN_STATS,
+        "whitespace + BPE-ish pretokenizer counts", ("text",)),
+    "winnow_fingerprint": QueryDef(
+        q_winnow_fingerprint, None,
+        "winnowing rolling-hash fingerprints (MOSS scheme)", ("text", "dedup")),
+    "embedding_neardup": QueryDef(
+        q_embedding_neardup, SQL_EMBEDDING_NEARDUP,
+        "embedding-cosine near-dup pairs (exact)", ("dedup", "similarity")),
     "language_id": QueryDef(
         q_language_id, _sql_language_id(),
         "stopword-marker language ID", ("text",)),

@@ -12,12 +12,14 @@ from dish_data_pipeline_spark.plans.common import QueryDef
 from dish_data_pipeline_spark.plans.parity import PARITY_QUERIES
 from dish_data_pipeline_spark.plans.breadth import BREADTH_QUERIES
 from dish_data_pipeline_spark.plans.analytics import ANALYTICS_QUERIES
+from dish_data_pipeline_spark.plans.tpch_extra import TPCH_EXTRA_QUERIES
 from dish_data_pipeline_spark.plans.extensions import EXTENSION_QUERIES
 
 QUERIES: dict[str, QueryDef] = {
     **PARITY_QUERIES,
     **BREADTH_QUERIES,
     **ANALYTICS_QUERIES,
+    **TPCH_EXTRA_QUERIES,
     **EXTENSION_QUERIES,
 }
 

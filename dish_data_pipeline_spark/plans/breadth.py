@@ -304,7 +304,8 @@ FROM events GROUP BY CUBE (event_type, user_bucket)
 def q_raw_zone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read(spark, sf_dir, "events")
     out = os.path.join(
-        tempfile.gettempdir(), f"raw_zone_{os.path.basename(sf_dir.rstrip('/'))}"
+        tempfile.gettempdir(),
+        f"raw_zone_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     (
         e.select(
@@ -365,7 +366,7 @@ def q_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(
         tempfile.gettempdir(),
-        f"part_tgt_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"part_tgt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     write_partitioned_target(base, path, "day")
 

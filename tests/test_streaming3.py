@@ -1,0 +1,140 @@
+"""Stream-stream interval join, frame sampling, approx-aggregate
+tolerances."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks joined to purchases by the same user within 1 hour
+    after the click — both sides streaming, watermarked."""
+    clicks = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00Z", "user_id": 1,
+         "event_type": "click", "value": 0.0},
+        {"event_id": 2, "ts": "2024-01-01T12:00:00Z", "user_id": 2,
+         "event_type": "click", "value": 0.0},
+    ]
+    purchases = [
+        {"event_id": 10, "ts": "2024-01-01T10:30:00Z", "user_id": 1,
+         "event_type": "purchase", "value": 9.99},   # within window
+        {"event_id": 11, "ts": "2024-01-01T15:00:00Z", "user_id": 2,
+         "event_type": "purchase", "value": 5.0},    # too late
+    ]
+    _write(tmp_path / "clicks" / "a.json", clicks)
+    _write(tmp_path / "purch" / "a.json", purchases)
+
+    cs = (
+        spark.readStream.schema(SCHEMA).json(str(tmp_path / "clicks"))
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    ps = (
+        spark.readStream.schema(SCHEMA).json(str(tmp_path / "purch"))
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+    )
+    joined = cs.join(
+        ps,
+        (cs.user_id == ps.user_id)
+        & (ps.purchase_ts >= cs.click_ts)
+        & (ps.purchase_ts <= cs.click_ts + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT click_id, purchase_id FROM ssj").collect()
+    assert [(r.click_id, r.purchase_id) for r in rows] == [(1, 10)]
+
+
+def test_sample_frames_plumbing(spark):
+    from dish_data_pipeline_spark.ops.multimodal import (
+        sample_frames,
+        text_to_binary_content,
+    )
+
+    blob = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789" * 4  # 144 bytes
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text=blob, lang="en", source="s", n_chars=len(blob))]
+    )
+    frames = sample_frames(
+        text_to_binary_content(d), n_frames=4, frame_size=16
+    ).collect()
+    assert len(frames) == 4
+    assert [f.frame_index for f in frames] == [0, 1, 2, 3]
+    assert all(len(f.frame_bytes) == 16 for f in frames)
+    assert frames[0].frame_offset == 0
+    assert frames[-1].frame_offset + 16 <= len(blob)
+    # deterministic: same input → same frames
+    again = sample_frames(
+        text_to_binary_content(d), n_frames=4, frame_size=16
+    ).collect()
+    assert [bytes(f.frame_bytes) for f in frames] == [
+        bytes(f.frame_bytes) for f in again
+    ]
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    from dish_data_pipeline_spark.plans.common import read
+
+    e = read(spark, sf_dir, "events")
+    row = e.agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+        F.percentile(F.col("value"), 0.5).alias("p50"),
+        F.percentile_approx(F.col("value"), 0.5, 10000).alias("p50_approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+    assert abs(row.p50_approx - row.p50) <= 1.0
+
+
+def test_stream_stream_join_requires_watermarks(spark, tmp_path):
+    """Sanity: the interval join really is running in append mode with
+    both sides watermarked (no state-retention error)."""
+    # covered implicitly by test_stream_stream_interval_join finishing;
+    # here we just assert the memory table exists and is queryable
+    assert spark.sql("SELECT COUNT(*) AS n FROM ssj").collect()[0].n >= 0

@@ -3,16 +3,24 @@
 Pipeline-shapes (all shuffle-bounded, SURVEY.md §7.4.6):
 
 - exact: md5/sha2 content hash → groupBy hash (map-side combine).
-- MinHash + LSH: token shingles → n minhash values (deterministic
-  xxhash64 permutations) → band buckets → candidate pairs only
-  within buckets (never all-pairs) → optional exact Jaccard rescore.
-- SimHash: per-token 64-bit hashes folded into a sign-vector
-  fingerprint; near-dups share banded fingerprint halves.
+- MinHash + LSH: token shingles → n minhash values (universal-hash
+  permutations of a portable 60-bit hash) → band buckets → candidate
+  pairs only within buckets (never all-pairs) → optional exact
+  Jaccard rescore.
+- SimHash: per-token 60-bit hashes folded into a sign-vector
+  fingerprint; candidates share one of 4 × 15-bit fingerprint bands,
+  which by pigeonhole GUARANTEES recall for hamming ≤ 3 (one flipped
+  bit can dirty at most one band; 3 flips leave ≥ 1 of 4 bands
+  clean). At larger corpora, grow the fingerprint (two 60-bit
+  hashes → 120 bits, 4 × 30-bit bands) rather than shrinking bands:
+  band width controls bucket count (2^15 = 32768 per band here),
+  band COUNT minus one is the guaranteed hamming radius.
 
 Everything is built from JVM-side higher-order functions
-(``transform``/``aggregate``/``xxhash64``) — no Python in the hot
-path, fully deterministic (fixed seeds), so results are reproducible
-across runs and cluster sizes.
+(``transform``/``aggregate`` over ``ops.portable`` hashes) — no
+Python in the hot path, fully deterministic, so results are
+reproducible across runs, engines (the DuckDB oracles replicate
+these pipelines exactly), and cluster sizes.
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dish_data_pipeline_spark.ops.portable import perm_coeffs, perm_expr, spark_phash
 from dish_data_pipeline_spark.ops.text import TOKEN_RE
 
 
@@ -58,22 +67,24 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 
 def with_minhash(df: DataFrame, n_hashes: int = 16, seed: int = 42) -> DataFrame:
     """MinHash signature: permutation i = min over shingles of a
-    seeded hash. Deterministic for a fixed seed.
+    universal hash ``((phash(s) % P) * a_i + b_i) % P``.
 
     Cost shape: each shingle STRING is hashed once (the expensive
-    part, O(len)); the n_hashes permutations then re-hash that
-    64-bit value (O(1) each) — n× cheaper than hashing the string
-    n times, same min-wise-independence quality."""
+    part, O(len)); the n_hashes permutations then remix that 60-bit
+    value (O(1) integer ops each) — n× cheaper than hashing the
+    string n times, same min-wise-independence quality. The hash is
+    ``ops.portable`` so the DuckDB oracle computes the identical
+    signature."""
     base = df.withColumn(
-        "_h", F.expr("transform(shingles, s -> xxhash64(s))")
+        "_ph", F.expr(f"transform(shingles, s -> {spark_phash('s')})")
     )
     sig = F.array(
         *[
-            F.expr(f"array_min(transform(_h, x -> xxhash64(x, {seed + i})))")
-            for i in range(n_hashes)
+            F.expr(f"array_min(transform(_ph, x -> {perm_expr('x', a, b)}))")
+            for a, b in perm_coeffs(n_hashes, seed)
         ]
     )
-    return base.withColumn("minhash", sig).drop("_h")
+    return base.withColumn("minhash", sig).drop("_ph")
 
 
 def minhash_candidate_pairs(
@@ -86,9 +97,15 @@ def minhash_candidate_pairs(
     pairs; estimated Jaccard = fraction of matching minhashes.
 
     The band join is a plain equi-join on (band_id, band_hash) —
-    shuffle partitions by bucket, no all-pairs blowup. Output:
+    shuffle partitions by bucket, no all-pairs blowup. The band hash
+    is the portable 60-bit hash of the dash-joined band values, so
+    the DuckDB oracle reproduces the exact candidate set. Output:
     (id_a < id_b, est_jaccard).
     """
+    band_str = (
+        f"array_join(transform(slice(minhash, {{start}}, {rows_per_band}), "
+        "x -> cast(x as string)), '-')"
+    )
     banded = df.select(
         F.col(id_col).alias("_id"),
         F.col("minhash"),
@@ -97,10 +114,8 @@ def minhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.expr(
-                                f"slice(minhash, {b * rows_per_band + 1}, {rows_per_band})"
-                            )
+                        F.expr(
+                            spark_phash(band_str.format(start=b * rows_per_band + 1))
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -153,9 +168,9 @@ def exact_jaccard_pairs(
     return out
 
 
-def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 48) -> DataFrame:
-    """SimHash fingerprint: per-token xxhash64, fold sign counts per
-    bit, sign → bit.
+def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:
+    """SimHash fingerprint: per-token portable 60-bit hash, fold sign
+    counts per bit, sign → bit.
 
     Implemented as pure per-row higher-order expressions (token
     hashes computed once, then one ``aggregate`` fold per bit) —
@@ -168,7 +183,7 @@ def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     """
     hashes = (
         f"transform(array_distinct(regexp_extract_all(`{text_col}`, "
-        f"'{TOKEN_RE}', 0)), t -> xxhash64(t))"
+        f"'{TOKEN_RE}', 0)), t -> {spark_phash('t')})"
     )
     bit_sums = ", ".join(
         f"aggregate(_h, 0, (acc, h) -> acc + "
@@ -195,11 +210,14 @@ def with_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
 def simhash_near_pairs(
     df_with_simhash: DataFrame,
     id_col: str = "doc_id",
-    bits: int = 48,
-    band_bits: int = 16,
+    bits: int = 60,
+    band_bits: int = 15,
 ) -> DataFrame:
-    """Near-dup candidates: docs sharing any 16-bit simhash band
-    (pigeonhole: hamming ≤ bands-1 guarantees a shared band).
+    """Near-dup candidates: docs sharing any of the 4 × 15-bit
+    simhash bands. Pigeonhole: hamming ≤ bands-1 = 3 GUARANTEES a
+    shared band, so a downstream ``hamming <= 3`` filter sees every
+    qualifying pair (the round-1 geometry, 3 × 16-bit bands, only
+    guaranteed hamming ≤ 2 and silently missed hamming-3 pairs).
     Output pairs with exact hamming distance."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1

@@ -161,6 +161,90 @@ def ivf_topk(
     )
 
 
+def srp_planes(
+    n_planes: int, n_tables: int, seed: int, dim: int
+) -> list[list[list[float]]]:
+    """The deterministic hyperplane tensor shared by the Spark ops
+    and the DuckDB oracles (``plans/oracle_ann.py``)."""
+    return [
+        [
+            [_plane_component(seed + t, p, d) for d in range(dim)]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def with_srp_buckets(
+    df: DataFrame,
+    vec: str,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """One (table_id, bucket) row per table per input row: signature
+    = sign bits of the plane dot products, packed into a long.
+    Map-side only (plane literals, no shuffle); the downstream
+    bucket equi-join is what bounds candidate generation."""
+    tables_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in plane]) for plane in tbl])
+            for tbl in srp_planes(n_planes, n_tables, seed, dim)
+        ]
+    )
+    sig_array = F.expr(
+        "transform(_tables, tbl -> aggregate(transform(tbl, p -> "
+        f"CASE WHEN aggregate(zip_with(p, {vec}, (x, y) -> x * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END), "
+        "0L, (acc, b) -> acc * 2 + b))"
+    )
+    return (
+        df.withColumn("_tables", tables_lit)
+        .withColumn("_sigs", sig_array)
+        .drop("_tables")
+        .select("*", F.posexplode("_sigs").alias("table_id", "bucket"))
+        .drop("_sigs")
+    )
+
+
+def srp_block_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_tables: int = 2,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup candidate pairs: vectors sharing any (table, bucket).
+    The 100 TB blocking shape: bucket count (2^n_planes per table)
+    scales with the corpus — near-identical vectors collide with
+    certainty, unrelated ones spread uniformly — unlike blocking on
+    a data column (label/category), whose cardinality is fixed and
+    whose blocks grow linearly with the corpus (quadratic pairs).
+    Output: (id_a < id_b, va, vb) distinct pairs, vectors attached
+    for downstream exact scoring."""
+    def sigs(id_out: str, vec_out: str, tbl: str, bkt: str) -> DataFrame:
+        return with_srp_buckets(
+            df.select(F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out)),
+            vec_out, n_planes, n_tables, seed, dim,
+        ).withColumnsRenamed({"table_id": tbl, "bucket": bkt})
+
+    a = sigs("id_a", "va", "t_a", "b_a")
+    b = sigs("id_b", "vb", "t_b", "b_b")
+    return (
+        a.join(
+            b,
+            (F.col("t_a") == F.col("t_b"))
+            & (F.col("b_a") == F.col("b_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -181,39 +265,9 @@ def lsh_bucket_topk(
     shape. Multiple tables trade extra (cheap, map-side) signature
     computation for recall. See ``cosine_topk`` for the exact scorer.
     """
-    tables = [
-        [
-            [_plane_component(seed + t, p, d) for d in range(dim)]
-            for p in range(n_planes)
-        ]
-        for t in range(n_tables)
-    ]
-    tables_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in plane]) for plane in tbl])
-            for tbl in tables
-        ]
-    )
 
     def with_buckets(df: DataFrame, vec: str) -> DataFrame:
-        # One (table_id, bucket) row per table: signature = sign bits
-        # of the plane dot products, packed into a long.
-        sig_array = F.expr(
-            "transform(_tables, tbl -> aggregate(transform(tbl, p -> "
-            f"CASE WHEN aggregate(zip_with(p, {vec}, (x, y) -> x * CAST(y AS DOUBLE)), "
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END), "
-            "0L, (acc, b) -> acc * 2 + b))"
-        )
-        return (
-            df.withColumn("_tables", tables_lit)
-            .withColumn("_sigs", sig_array)
-            .drop("_tables")
-            .select(
-                "*",
-                F.posexplode("_sigs").alias("table_id", "bucket"),
-            )
-            .drop("_sigs")
-        )
+        return with_srp_buckets(df, vec, n_planes, n_tables, seed, dim)
 
     cands = with_buckets(
         embeddings.select(

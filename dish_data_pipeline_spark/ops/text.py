@@ -101,13 +101,17 @@ def winnow_fingerprints(
     window of ``window`` grams; the distinct kept hashes are the
     fingerprint set.
 
-    Pure higher-order expressions (substring + xxhash64 over an
-    index sequence) — no UDF; cost is O(len) per doc, map-side only.
+    Pure higher-order expressions (substring + portable 60-bit hash
+    over an index sequence) — no UDF; cost is O(len) per doc,
+    map-side only. The hash is ``ops.portable`` so the DuckDB oracle
+    computes the identical fingerprint set.
     """
+    from dish_data_pipeline_spark.ops.portable import spark_phash
+
     text = F.col(text_col)
     grams = (
         f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
-        f"i -> xxhash64(substring({text_col}, i, {k})))"
+        f"i -> {spark_phash(f'substring({text_col}, i, {k})')})"
     )
     fingerprint = (
         f"array_distinct(transform("

@@ -1,9 +1,13 @@
 """Extension query suite (SURVEY.md §2.13/§7.7): training-data
 operators over ``documents`` and ``embeddings``.
 
-SQL oracles exist wherever DuckDB can express the same computation
-exactly; LSH-family ops (minhash/simhash/ANN buckets) are rows-only
-by design (__spark_entry__ contract permits this for non-SQL ops).
+Every query here has a DuckDB oracle. The LSH-family ops
+(minhash/simhash/SRP buckets/winnowing) are built on the portable
+60-bit hash (``ops.portable``), so their oracles
+(``plans.oracle_dedup`` / ``plans.oracle_ann``) replicate the
+algorithms exactly — candidate sets and all — rather than
+approximating them: two independent implementations that must agree
+bitwise.
 """
 
 from __future__ import annotations
@@ -40,6 +44,16 @@ from dish_data_pipeline_spark.ops.text import (
     with_text_stats,
 )
 from dish_data_pipeline_spark.plans.common import QueryDef, read
+from dish_data_pipeline_spark.plans.oracle_ann import (
+    sql_embedding_neardup,
+    sql_knn_lsh,
+)
+from dish_data_pipeline_spark.plans.oracle_dedup import (
+    sql_minhash_neardup,
+    sql_ngram_jaccard,
+    sql_simhash_neardup,
+    sql_winnow_fingerprint,
+)
 
 
 # --- Text statistics ----------------------------------------------
@@ -92,15 +106,32 @@ FROM documents
 """
 
 
-# --- Winnowing fingerprints (rolling hash; rows-only) -------------
+# --- Winnowing fingerprints (rolling hash) ------------------------
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fingerprint count + order-independent scalar digest of
+    the fingerprint set (md5 of the sorted values) — same information
+    as the raw ARRAY column but hashable by the driver's comparator
+    and expressible as a DuckDB oracle."""
     d = read(spark, sf_dir, "documents")
-    return winnow_fingerprints(d).select("doc_id", "n_fingerprints", "fingerprints")
+    digest = F.md5(
+        F.expr(
+            "array_join(transform(sort_array(fingerprints), "
+            "x -> cast(x as string)), ',')"
+        )
+    )
+    return winnow_fingerprints(d).select(
+        "doc_id", "n_fingerprints", digest.alias("fp_digest")
+    )
 
 
-# --- Embedding-cosine near-dup (exact; the dedup charter item) ----
+# --- Embedding-cosine near-dup (the dedup charter item) -----------
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dish_data_pipeline_spark.ops.similarity import dot
+    """SRP-LSH-blocked near-dup: candidates only within shared
+    (table, bucket) — bucket count (2 tables × 2^16) scales with the
+    corpus, unlike round-1's label blocking whose fixed cardinality
+    made blocks grow linearly (quadratic pairs). Exact cosine rescore
+    within blocks; identical vectors collide with certainty."""
+    from dish_data_pipeline_spark.ops.similarity import dot, srp_block_pairs
 
     emb = read(spark, sf_dir, "embeddings")
     # corpus has no true near-dups (max off-diagonal cosine ≈ 0.51),
@@ -111,17 +142,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("vec_id") + 100000
         )
     )
-    # Blocking: compare only within a coarse block (here the label
-    # column, standing in for a quantizer/LSH signature) — the
-    # standard dedup shape that keeps the pair count linear-ish
-    # instead of quadratic. Exact within blocks.
-    a = corpus.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label"
-    )
-    b = corpus.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label"
-    )
-    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    pairs = srp_block_pairs(corpus, n_planes=16, n_tables=2, seed=7)
     return (
         pairs.withColumn("cosine", dot("va", "vb"))
         .filter(F.col("cosine") >= 0.95)
@@ -129,21 +150,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_NEARDUP = """
-WITH corpus AS (
+SQL_EMBEDDING_NEARDUP_CORPUS = """
   SELECT vec_id, embedding, label FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000, embedding, label FROM embeddings
-  WHERE vec_id % 20 = 0)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       list_reduce(list_transform(a.embedding, (x, i) ->
-         CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-         (acc, v) -> acc + v) AS cosine
-FROM corpus a JOIN corpus b ON a.label = b.label
-WHERE a.vec_id < b.vec_id
-  AND list_reduce(list_transform(a.embedding, (x, i) ->
-        CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-        (acc, v) -> acc + v) >= 0.95
+  SELECT vec_id + 100000 AS vec_id, embedding, label FROM embeddings
+  WHERE vec_id % 20 = 0
 """
 
 
@@ -235,21 +246,25 @@ FROM corpus GROUP BY md5(text)
 """
 
 
-# --- MinHash-LSH near-dup (rows-only: LSH not SQL-expressible) ----
+# --- MinHash-LSH near-dup (oracle replicates the LSH exactly) -----
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dupes(spark, sf_dir)
     shingled = with_shingles(corpus)
     pairs = minhash_candidate_pairs(with_minhash(shingled))
-    return exact_jaccard_pairs(shingled, pairs).filter(F.col("jaccard") >= 0.8)
+    return (
+        exact_jaccard_pairs(shingled, pairs)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
+    )
 
 
-# --- SimHash near-dup (rows-only) ---------------------------------
+# --- SimHash near-dup (4 × 15-bit bands ⇒ hamming ≤ 3 exact) ------
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dupes(spark, sf_dir)
     return simhash_near_pairs(with_simhash(corpus)).filter(F.col("hamming") <= 3)
 
 
-# --- n-gram Jaccard rescoring of banded candidates (rows-only) ----
+# --- n-gram Jaccard rescoring of banded candidates ----------------
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_dupes(spark, sf_dir)
     shingled = with_shingles(corpus)
@@ -284,16 +299,21 @@ WHERE rank <= 10
 """
 
 
-# --- LSH-bucketed ANN (rows-only; approximate by design) ----------
+# --- LSH-bucketed ANN (oracle replicates the plane tensor) --------
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read(spark, sf_dir, "embeddings")
     return lsh_bucket_topk(emb, KNN_QUERY_IDS, k=10)
 
 
-# --- IVF ANN (rows-only; approximate by design) -------------------
+# --- IVF ANN ------------------------------------------------------
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with ``n_probe = n_centroids`` (exhaustive probing): every
+    inverted list is scanned, so the result provably equals the
+    brute-force oracle — this verifies the assign/probe/score
+    plumbing end-to-end. The recall/cost dial (n_probe < n_centroids)
+    is exercised by the recall tests in tests/test_similarity_ann.py."""
     emb = read(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, KNN_QUERY_IDS, k=10)
+    return ivf_topk(emb, KNN_QUERY_IDS, k=10, n_centroids=10, n_probe=10)
 
 
 # --- Embedding norms (array math, exact oracle) -------------------
@@ -342,10 +362,38 @@ FROM documents
 """
 
 
-# --- Multimodal feature extraction via mapInPandas (rows-only) ----
+# --- Multimodal feature extraction via mapInPandas ----------------
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched extraction with the deterministic byte-stats
+    extractor; features projected to scalar columns so the oracle
+    (pure SQL over the text bytes) can verify the whole mapInPandas
+    path value-for-value."""
     d = read(spark, sf_dir, "documents")
-    return extract_features(text_to_binary_content(d))
+    feats = extract_features(text_to_binary_content(d))
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        F.col("features")[0].alias("f0"),
+        F.col("features")[1].alias("f1"),
+        F.col("features")[2].alias("f2"),
+        F.col("features")[3].alias("f3"),
+    )
+
+
+# The fake extractor is byte statistics of the UTF-8 text (ASCII in
+# this corpus, so char codes == bytes): [n_bytes, sum(bytes) % 997,
+# first byte, last byte].
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id, 'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(LENGTH(text) AS DOUBLE) AS f0,
+       CAST(COALESCE(list_sum(list_transform(string_split(text, ''),
+            c -> ascii(c))), 0) % 997 AS DOUBLE) AS f1,
+       CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS f2,
+       CAST(ascii(substr(text, LENGTH(text), 1)) AS DOUBLE) AS f3
+FROM documents
+"""
 
 
 EXTENSION_QUERIES: dict[str, QueryDef] = {
@@ -356,11 +404,13 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_token_stats, SQL_TOKEN_STATS,
         "whitespace + BPE-ish pretokenizer counts", ("text",)),
     "winnow_fingerprint": QueryDef(
-        q_winnow_fingerprint, None,
+        q_winnow_fingerprint, sql_winnow_fingerprint(),
         "winnowing rolling-hash fingerprints (MOSS scheme)", ("text", "dedup")),
     "embedding_neardup": QueryDef(
-        q_embedding_neardup, SQL_EMBEDDING_NEARDUP,
-        "embedding-cosine near-dup pairs (exact)", ("dedup", "similarity")),
+        q_embedding_neardup,
+        sql_embedding_neardup(SQL_EMBEDDING_NEARDUP_CORPUS),
+        "embedding-cosine near-dup pairs (SRP-LSH blocked)",
+        ("dedup", "similarity")),
     "language_id": QueryDef(
         q_language_id, _sql_language_id(),
         "stopword-marker language ID", ("text",)),
@@ -374,23 +424,25 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_exact_dedup, SQL_EXACT_DEDUP,
         "exact hash-groupBy dedup", ("dedup",)),
     "minhash_neardup": QueryDef(
-        q_minhash_neardup, None,
+        q_minhash_neardup, sql_minhash_neardup(SQL_DOCS_WITH_DUPES),
         "MinHash-LSH near-dup pairs (banded, jaccard ≥ 0.8)", ("dedup", "lsh")),
     "simhash_neardup": QueryDef(
-        q_simhash_neardup, None,
-        "SimHash near-dup pairs (hamming ≤ 3)", ("dedup", "lsh")),
+        q_simhash_neardup, sql_simhash_neardup(SQL_DOCS_WITH_DUPES),
+        "SimHash near-dup pairs (hamming ≤ 3, recall-guaranteed bands)",
+        ("dedup", "lsh")),
     "ngram_jaccard": QueryDef(
-        q_ngram_jaccard, None,
+        q_ngram_jaccard, sql_ngram_jaccard(SQL_DOCS_WITH_DUPES),
         "n-gram Jaccard rescore of LSH candidates", ("dedup", "lsh")),
     "knn_bruteforce": QueryDef(
         q_knn_bruteforce, SQL_KNN_BRUTEFORCE,
         "exact cosine top-k over embeddings", ("similarity",)),
     "knn_lsh": QueryDef(
-        q_knn_lsh, None,
+        q_knn_lsh, sql_knn_lsh(KNN_QUERY_IDS),
         "sign-random-projection LSH ANN top-k", ("similarity", "lsh")),
     "knn_ivf": QueryDef(
-        q_knn_ivf, None,
-        "IVF inverted-list ANN top-k (n_probe dial)", ("similarity",)),
+        q_knn_ivf, SQL_KNN_BRUTEFORCE,
+        "IVF ANN top-k (exhaustive probe ⇒ equals brute force)",
+        ("similarity",)),
     "embedding_norms": QueryDef(
         q_embedding_norms, SQL_EMBEDDING_NORMS,
         "array math: exact L2 norms", ("similarity",)),
@@ -398,6 +450,6 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_multimodal_meta, SQL_MULTIMODAL_META,
         "binary content + typed metadata columns", ("multimodal",)),
     "multimodal_features": QueryDef(
-        q_multimodal_features, None,
+        q_multimodal_features, SQL_MULTIMODAL_FEATURES,
         "Arrow-batched mapInPandas feature extraction", ("multimodal",)),
 }

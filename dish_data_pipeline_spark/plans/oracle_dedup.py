@@ -1,0 +1,163 @@
+"""DuckDB oracle SQL for the fuzzy-dedup operators.
+
+These replicate the Spark pipelines in ``ops/dedup_fuzzy.py`` /
+``ops/text.py`` EXACTLY — same portable 60-bit hash
+(``ops.portable``), same permutations, same band keys — so the
+candidate sets match pair-for-pair, including the algorithms'
+false-negative behavior. That upgrades MinHash-LSH, SimHash, n-gram
+Jaccard, and winnowing from rows-only checks to full value-hash
+oracle verification: two independent implementations (Spark
+higher-order expressions vs DuckDB list functions) of the same
+algorithm must agree bitwise.
+"""
+
+from __future__ import annotations
+
+from dish_data_pipeline_spark.ops.portable import duck_phash, perm_coeffs, perm_expr
+
+TOKEN_RE_SQL = "[A-Za-z0-9]+"
+
+
+def minhash_pipeline_ctes(
+    corpus_sql: str,
+    n_hashes: int = 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> str:
+    """CTE chain ending in ``scored(id_a, id_b, est_jaccard,
+    jaccard)`` — the twin of with_shingles → with_minhash →
+    minhash_candidate_pairs → exact_jaccard_pairs."""
+    # shingles: n-token windows; < n tokens → one joined shingle.
+    # (x, i) lambda indices are 1-based; out-of-range slots yield
+    # NULL, which list_distinct drops (Spark never emits them).
+    parts = " || ' ' || ".join(
+        f"toks[i + {j}]" for j in range(shingle_n)
+    )
+    shingle_expr = (
+        f"CASE WHEN len(toks) < {shingle_n} THEN [array_to_string(toks, ' ')] "
+        f"ELSE list_distinct(list_transform(toks, (x, i) -> "
+        f"CASE WHEN i <= len(toks) - {shingle_n - 1} THEN {parts} END)) END"
+    )
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(ph, x -> {perm_expr('x', a, b)}))"
+        for a, b in perm_coeffs(n_hashes, seed)
+    )
+    band_ids = ", ".join(str(b) for b in range(bands))
+    lo = f"(band_id * {rows_per_band} + 1)"
+    hi = f"(band_id * {rows_per_band} + {rows_per_band})"
+    band_str = f"array_to_string(minhash[{lo}:{hi}], '-')"
+    return f"""
+corpus AS ({corpus_sql}),
+tok AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks FROM corpus),
+sh AS (
+  SELECT doc_id, {shingle_expr} AS shingles FROM tok),
+ph AS (
+  SELECT doc_id, shingles, list_transform(shingles, s -> {duck_phash('s')}) AS ph
+  FROM sh),
+sig AS (
+  SELECT doc_id, shingles, [{sig_exprs}] AS minhash FROM ph),
+banded AS (
+  SELECT doc_id, minhash, band_id, {duck_phash(band_str)} AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest([{band_ids}]) AS band_id)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_filter(range(1, {n_hashes + 1}),
+               j -> sa.minhash[j] = sb.minhash[j])) AS DOUBLE)
+           / CAST({n_hashes} AS DOUBLE) AS est_jaccard,
+         CAST(len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+              AS DOUBLE)
+           / CAST(len(sa.shingles) + len(sb.shingles)
+               - len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x)))
+              AS DOUBLE) AS jaccard
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b)
+"""
+
+
+def sql_minhash_neardup(corpus_sql: str, threshold: float = 0.8) -> str:
+    return (
+        "WITH " + minhash_pipeline_ctes(corpus_sql)
+        + f"SELECT id_a, id_b, est_jaccard, jaccard FROM scored "
+        f"WHERE jaccard >= {threshold}"
+    )
+
+
+def sql_ngram_jaccard(corpus_sql: str) -> str:
+    return (
+        "WITH " + minhash_pipeline_ctes(corpus_sql)
+        + "SELECT id_a, id_b, est_jaccard, jaccard FROM scored"
+    )
+
+
+def sql_simhash_neardup(
+    corpus_sql: str,
+    bits: int = 60,
+    band_bits: int = 15,
+    max_hamming: int = 3,
+) -> str:
+    """Twin of with_simhash → simhash_near_pairs (4 × 15-bit bands,
+    exact hamming ≤ 3 — recall guaranteed by pigeonhole on BOTH
+    sides, so the pair sets are identical)."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    vote = (
+        "COALESCE(list_sum(list_transform(hs, x -> "
+        "CASE WHEN (x >> {j}) & 1 = 1 THEN 1 ELSE -1 END)), 0)"
+    )
+    pack = " + ".join(
+        f"CASE WHEN {vote.format(j=j)} >= 0 THEN CAST({2**j} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    band_ids = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+WITH corpus AS ({corpus_sql}),
+h AS (
+  SELECT doc_id, list_transform(
+    list_distinct(regexp_extract_all(text, '{TOKEN_RE_SQL}')),
+    t -> {duck_phash('t')}) AS hs
+  FROM corpus),
+sim AS (SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM h),
+banded AS (
+  SELECT doc_id, simhash, band_id,
+         (simhash >> (band_id * {band_bits})) & {mask} AS band_val
+  FROM sim CROSS JOIN (SELECT unnest([{band_ids}]) AS band_id)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+"""
+
+
+def sql_winnow_fingerprint(k: int = 8, window: int = 4) -> str:
+    """Twin of winnow_fingerprints over ``documents``: same grams,
+    same window minima, digest of the sorted distinct set."""
+    gram_hash = duck_phash(f"substr(text, i, {k})")
+    return f"""
+WITH g AS (
+  SELECT doc_id, list_transform(
+    range(1, GREATEST(LENGTH(text) - {k - 1}, 1) + 1),
+    i -> {gram_hash}) AS grams
+  FROM documents),
+m AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, GREATEST(len(grams) - {window - 1}, 1) + 1),
+    i -> list_min(grams[i:i + {window - 1}]))) AS fps
+  FROM g)
+SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
+       md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+FROM m
+"""

@@ -51,8 +51,14 @@ def test_exact_dedup_groups(spark):
 
 
 def test_minhash_finds_planted_neardups(spark):
+    # 8 bands × 2 rows: catch probability for jaccard ≈ 0.71 is
+    # 1-(1-0.71²)⁴⁺ ≈ 0.995, and with the fixed portable permutations
+    # this specific pair verifiably shares a band (12/16 positions
+    # match). Exact dups share ALL bands under any geometry.
     shingled = with_shingles(_docs(spark))
-    pairs = minhash_candidate_pairs(with_minhash(shingled))
+    pairs = minhash_candidate_pairs(
+        with_minhash(shingled), bands=8, rows_per_band=2
+    )
     scored = exact_jaccard_pairs(shingled, pairs)
     found = {(r.id_a, r.id_b): r.jaccard for r in scored.collect()}
     assert found.get((0, 2)) == 1.0  # exact dup pair
@@ -67,6 +73,68 @@ def test_simhash_identical_docs_hamming_zero(spark):
     assert ham.get((0, 2)) == 0
     if (0, 1) in ham:
         assert ham[(0, 1)] <= 12  # near-dup: small distance
+
+
+def _py_simhash(text: str, bits: int = 60) -> int:
+    """Python twin of with_simhash (distinct tokens, portable hash,
+    per-bit sign votes) for planted-case construction."""
+    import re
+
+    from dish_data_pipeline_spark.ops.portable import py_phash
+
+    toks = list(dict.fromkeys(re.findall(r"[A-Za-z0-9]+", text)))
+    hs = [py_phash(t) for t in toks]
+    sim = 0
+    for j in range(bits):
+        vote = sum(1 if (h >> j) & 1 else -1 for h in hs)
+        if vote >= 0:
+            sim |= 1 << j
+    return sim
+
+
+def test_simhash_hamming3_pair_is_found(spark):
+    """Recall-guarantee regression (round-1 bug): the 4 × 15-bit band
+    geometry must surface a pair at hamming EXACTLY 3 — the round-1
+    3 × 16-bit geometry only guaranteed hamming ≤ 2 and could
+    silently drop such pairs."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    h0 = _py_simhash(base)
+    planted = None
+    for i in range(2000):
+        cand = base + f" kilo{i} lima{i} mike{i}"
+        d = bin(h0 ^ _py_simhash(cand)).count("1")
+        if d == 3:
+            planted = cand
+            break
+    assert planted is not None, "no hamming-3 perturbation found in search"
+    from pyspark.sql import Row as R
+
+    df = spark.createDataFrame(
+        [
+            R(doc_id=0, text=base, lang="en", source="s", n_chars=len(base)),
+            R(doc_id=1, text=planted, lang="en", source="s", n_chars=len(planted)),
+        ]
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(with_simhash(df)).collect()
+    }
+    assert pairs.get((0, 1)) == 3
+
+
+def test_portable_hash_parity(spark):
+    """The Spark SQL spelling of the portable hash must equal the
+    Python twin (the DuckDB spelling is verified by the oracle suite)."""
+    from dish_data_pipeline_spark.ops.portable import py_phash, spark_phash
+
+    words = ["hello", "", "Zürich", "a b c", "0"]
+    df = spark.createDataFrame([(w,) for w in words], ["s"])
+    got = {
+        r.s: r.h
+        for r in df.selectExpr("s", f"{spark_phash('s')} AS h").collect()
+    }
+    for w in words:
+        assert got[w] == py_phash(w), w
 
 
 def test_cosine_topk_ranks_identical_vector_first(spark):

@@ -61,8 +61,22 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # The flag is consumed at schema resolution (inside .parquet()),
+    # so it can be restored immediately after — later plain reads of
+    # TIMESTAMP(NANOS) files in the same session are unaffected.
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev: str | None = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

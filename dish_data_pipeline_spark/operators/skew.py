@@ -8,7 +8,9 @@ planner can't help:
   (xxhash64 of a unique column), the small side is exploded across
   all salt values, and the join key becomes (key, salt) — a hot key
   now spreads over ``buckets`` reducers. Result is row-identical to
-  the plain join.
+  the plain join for inner/left/semi/anti joins (other join types
+  are rejected: an unmatched exploded small-side row would be
+  emitted once per salt under right/full outer).
 - ``salted_agg``: two-phase decomposable aggregation — partial
   aggregate on (key, salt), final on key. The hot key's rows combine
   in ``buckets`` parallel partial groups first.
@@ -32,7 +34,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with large-side salting. ``salt_col`` is any
     large-side column (ideally unique) used to derive a
-    deterministic salt; the small side replicates ``buckets``×."""
+    deterministic salt; the small side replicates ``buckets``×.
+
+    ``how`` must keep the large side on the preserved side:
+    inner/left/left_semi/left_anti. Right/full outer would emit each
+    unmatched small-side row once per salt replica — rejected."""
+    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full outer joins would duplicate unmatched small-side rows "
+            "across salt replicas"
+        )
     salted_large = large.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets))
     )

@@ -94,8 +94,13 @@ def run_feed(
         pre_keys = [k for k in feed.keys if k in df.columns]
         df = dedup_keyed(df, pre_keys or None)
 
-        policies = {feed.name: {"required": feed.required, "keys": feed.keys}}
-        policies.update(DEFAULT_POLICIES)
+        # Feed-specific config wins over the built-in defaults — a
+        # feed named like a default (daily_visits/ga_sessions) must
+        # be gated on ITS OWN required/keys, matching the dedup path.
+        policies = {
+            **DEFAULT_POLICIES,
+            feed.name: {"required": feed.required, "keys": feed.keys},
+        }
         passed, issues = run_data_quality_checks(df, feed.name, policies)
         if not passed:
             fatal = [i for i in issues if not is_recoverable(i)]

@@ -128,18 +128,20 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read(spark, sf_dir, "customer")
     o = read(spark, sf_dir, "orders")
-    # scalar subquery: average positive balance (exact decimal mean)
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg(
-            (
-                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("a")
-        )
-        .collect()[0]["a"]
+    # Scalar subquery (exact decimal mean) as a broadcast cross join:
+    # the 1-row aggregate stays in the lazy plan — no eager job at
+    # query-construction time, no driver-side literal re-embedding.
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
     )
-    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .drop("_avg_bal")
+    )
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
     idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
     return idle.groupBy((F.col("c_nationkey") % 10).alias("cgroup")).agg(

@@ -48,10 +48,13 @@ def _requests_get(url: str) -> PageResult:
 
 
 def extract_records(payload: dict | None) -> list[dict]:
-    """Records envelope: ``records`` else ``data`` (ref :41)."""
+    """Records envelope: ``records`` else ``data`` (ref :41) — an
+    or-chain, so a PRESENT-but-falsy ``records`` (null/[]) still
+    falls through to ``data``, exactly like the reference's
+    ``data.get("records") or data.get("data") or []``."""
     if not payload:
         return []
-    return payload.get("records", payload.get("data", [])) or []
+    return payload.get("records") or payload.get("data") or []
 
 
 def has_more_pages(payload: dict | None) -> bool:

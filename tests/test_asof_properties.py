@@ -53,6 +53,56 @@ def test_asof_matches_python_reference(spark, left, right):
     assert got == _python_asof(left, right or [(99, -1, 0)])
 
 
+def test_asof_null_payload_not_torn(spark):
+    """The latest matching right row must arrive WHOLESALE: a NULL
+    field in it stays NULL instead of being backfilled from an older
+    right row (the round-1 per-column fill tore rows this way)."""
+    ldf = spark.createDataFrame([(0, 1, 10)], "idx int, k int, ts int")
+    rdf = spark.createDataFrame(
+        [(1, 1, 7, 9), (1, 5, None, 5)], "k int, ts int, px int, qx int"
+    )
+    row = asof_join(ldf, rdf, on="ts", by=["k"]).collect()[0]
+    assert row.qx_right == 5
+    assert row.px_right is None  # from ts=5 row, NOT 7 from ts=1
+    assert row.ts_right == 5
+
+
+RIGHT_NULLABLE = st.lists(
+    st.tuples(
+        st.integers(1, 3),
+        st.integers(0, 30),
+        st.one_of(st.none(), st.integers(0, 99)),
+        st.one_of(st.none(), st.integers(0, 99)),
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(left=LEFT, right=RIGHT_NULLABLE)
+@SLOW
+def test_asof_nullable_payload_matches_python_reference(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "idx int, k int, ts int"
+    )
+    rdf = spark.createDataFrame(
+        right or [(99, -1, 0, 0)], "k int, ts int, px int, qx int"
+    )
+    got = {
+        r.idx: (r.px_right, r.qx_right)
+        for r in asof_join(ldf, rdf, on="ts", by=["k"]).collect()
+    }
+    expect = {}
+    for i, (k, ts) in enumerate(left):
+        best = None
+        for rk, rts, px, qx in right or [(99, -1, 0, 0)]:
+            if rk == k and rts <= ts and (best is None or rts > best[0]):
+                best = (rts, px, qx)
+        expect[i] = (best[1], best[2]) if best else (None, None)
+    assert got == expect
+
+
 def test_with_lineage_records_input_file(spark, tmp_path):
     p = str(tmp_path / "t")
     spark.range(3).write.parquet(p)

@@ -37,6 +37,16 @@ def test_salted_join_matches_plain_join(spark):
     )
 
 
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest
+
+    large = _skewed(spark)
+    small = spark.createDataFrame([Row(k="hot", tag="H")])
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(large, small, ["k"], salt_col="id", how=how)
+
+
 def test_salted_agg_matches_plain_agg(spark):
     df = _skewed(spark)
     plain = {

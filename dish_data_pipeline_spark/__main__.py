@@ -1,14 +1,17 @@
-"""CLI entry: run feeds end to end or catalog queries.
+"""CLI: the reference's ``python data_pipeline.py`` entry point
+(pipeline/data_pipeline.py:245-272), Spark-style.
 
-Reference parity: ``python pipeline/data_pipeline.py --run_type full``
-(pipeline/data_pipeline.py:274-278) — except the reference parses
-``--run_type`` and never uses it (defect ledger item 1); here the
-flag actually selects behavior.
+    python -m dish_data_pipeline_spark run-feed \
+        --name daily_visits --endpoint daily-visits \
+        --keys visit_date,source_file --required visit_date,total_visits \
+        --base-url https://api.example.com --warehouse /data/wh
 
-    python -m dish_data_pipeline_spark feed --name daily_visits \
-        --base-url http://api --warehouse /data/wh
-    python -m dish_data_pipeline_spark query --name pricing_summary \
-        --sf-dir /root/testdata/sf0.01
+    python -m dish_data_pipeline_spark query keep_latest_events \
+        --sf-dir /root/testdata/sf0.01 --limit 20
+
+``run-feed`` drives the full extract→DQ→stage→merge→audit feed
+(exit code 1 when the feed FAILED, so schedulers can gate on it);
+``query`` runs any of the 58 catalog queries and prints the result.
 """
 
 from __future__ import annotations
@@ -16,56 +19,76 @@ from __future__ import annotations
 import argparse
 import sys
 
-from dish_data_pipeline_spark import get_spark
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m dish_data_pipeline_spark",
+        description="PySpark-native analytics engine CLI",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rf = sub.add_parser("run-feed", help="run one feed end to end")
+    rf.add_argument("--name", required=True)
+    rf.add_argument("--endpoint", required=True)
+    rf.add_argument("--keys", required=True, help="comma-separated merge keys")
+    rf.add_argument(
+        "--required", required=True, help="comma-separated required columns"
+    )
+    rf.add_argument("--base-url", required=True)
+    rf.add_argument("--warehouse", required=True)
+
+    q = sub.add_parser("query", help="run a catalog query")
+    q.add_argument("name", help="catalog query name (see list-queries)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+
+    sub.add_parser("list-queries", help="list the 58 catalog queries")
+    return p
 
 
-def main(argv: list[str] | None = None) -> int:
-    parser = argparse.ArgumentParser(prog="dish_data_pipeline_spark")
-    sub = parser.add_subparsers(dest="cmd", required=True)
+def main(argv: list[str] | None = None, http_get=None) -> int:
+    args = _build_parser().parse_args(argv)
 
-    feed_p = sub.add_parser("feed", help="run one ingestion feed end to end")
-    feed_p.add_argument("--name", required=True)
-    feed_p.add_argument("--endpoint", default=None)
-    feed_p.add_argument("--base-url", required=True)
-    feed_p.add_argument("--warehouse", required=True)
-    feed_p.add_argument("--keys", default="visit_date,source_file")
-    feed_p.add_argument("--required", default="visit_date,total_visits")
+    if args.cmd == "list-queries":
+        from dish_data_pipeline_spark.plans import QUERIES
 
-    query_p = sub.add_parser("query", help="run a catalog query and show it")
-    query_p.add_argument("--name", required=True)
-    query_p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    query_p.add_argument("--limit", type=int, default=20)
-    query_p.add_argument("--explain", action="store_true")
+        for name, qd in QUERIES.items():
+            print(f"{name:24s} {qd.description}")
+        return 0
 
-    args = parser.parse_args(argv)
-    spark = get_spark("dish-data-pipeline-cli")
+    from dish_data_pipeline_spark import get_spark
 
-    if args.cmd == "feed":
+    spark = get_spark("dish-data-pipeline-spark-cli")
+
+    if args.cmd == "run-feed":
         from dish_data_pipeline_spark.pipeline import FeedConfig, run_feed
 
         feed = FeedConfig(
             name=args.name,
-            endpoint=args.endpoint or args.name,
+            endpoint=args.endpoint,
             keys=args.keys.split(","),
             required=args.required.split(","),
         )
-        res = run_feed(spark, feed, args.base_url, args.warehouse)
-        print(f"{res.table}: {res.status} ({res.record_count} rows)")
+        res = run_feed(
+            spark, feed, args.base_url, args.warehouse, http_get=http_get
+        )
+        print(f"{res.table}: {res.status} ({res.record_count} records)")
         for issue in res.issues:
-            print(f"  issue: {issue}")
+            print(f"  - {issue}")
         return 0 if res.status == "SUCCESS" else 1
 
-    from dish_data_pipeline_spark.plans import QUERIES
+    if args.cmd == "query":
+        from dish_data_pipeline_spark.plans import QUERIES
 
-    if args.name not in QUERIES:
-        print(f"unknown query {args.name!r}; known: {', '.join(sorted(QUERIES))}")
-        return 2
-    df = QUERIES[args.name].fn(spark, args.sf_dir)
-    if args.explain:
-        df.explain("formatted")
-    df.show(args.limit, truncate=False)
-    return 0
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}; try list-queries", file=sys.stderr)
+            return 2
+        df = QUERIES[args.name].fn(spark, args.sf_dir)
+        df.show(args.limit, truncate=False)
+        return 0
+
+    return 2
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    raise SystemExit(main())

@@ -185,14 +185,16 @@ def with_srp_buckets(
 ) -> DataFrame:
     """One (table_id, bucket) row per table per input row: signature
     = sign bits of the plane dot products, packed into a long.
-    Map-side only (plane literals, no shuffle); the downstream
-    bucket equi-join is what bounds candidate generation."""
-    tables_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in plane]) for plane in tbl])
-            for tbl in srp_planes(n_planes, n_tables, seed, dim)
-        ]
-    )
+    Map-side only (plane-tensor literal, no shuffle); the downstream
+    bucket equi-join is what bounds candidate generation.
+
+    Implementation note: this stays a higher-order-function fold ON
+    PURPOSE. Expanding the ~2k-term dot products into scalar codegen
+    expressions measured ~3× faster in isolation but blows Janino's
+    method budget once whole-stage codegen fuses the surrounding
+    operators (compile failure → interpreted fallback → worse). The
+    HOF form is compile-safe at any (n_planes, n_tables, dim)."""
+    tables_lit = F.lit(srp_planes(n_planes, n_tables, seed, dim))
     sig_array = F.expr(
         "transform(_tables, tbl -> aggregate(transform(tbl, p -> "
         f"CASE WHEN aggregate(zip_with(p, {vec}, (x, y) -> x * CAST(y AS DOUBLE)), "
@@ -224,15 +226,24 @@ def srp_block_pairs(
     a data column (label/category), whose cardinality is fixed and
     whose blocks grow linearly with the corpus (quadratic pairs).
     Output: (id_a < id_b, va, vb) distinct pairs, vectors attached
-    for downstream exact scoring."""
-    def sigs(id_out: str, vec_out: str, tbl: str, bkt: str) -> DataFrame:
-        return with_srp_buckets(
-            df.select(F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out)),
-            vec_out, n_planes, n_tables, seed, dim,
-        ).withColumnsRenamed({"table_id": tbl, "bucket": bkt})
+    for downstream exact scoring.
 
-    a = sigs("id_a", "va", "t_a", "b_a")
-    b = sigs("id_b", "vb", "t_b", "b_b")
+    The signature relation is persisted so the self-join's two
+    branches compute the (interpreted-HOF, relatively expensive)
+    signatures ONCE — the same move a 100 TB pipeline makes by
+    checkpointing the signature table before the bucket join."""
+    sig = with_srp_buckets(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v", n_planes, n_tables, seed, dim,
+    ).persist()
+
+    def side(id_out: str, vec_out: str, tbl: str, bkt: str) -> DataFrame:
+        return sig.withColumnsRenamed(
+            {"_id": id_out, "_v": vec_out, "table_id": tbl, "bucket": bkt}
+        )
+
+    a = side("id_a", "va", "t_a", "b_a")
+    b = side("id_b", "vb", "t_b", "b_b")
     return (
         a.join(
             b,

@@ -47,6 +47,22 @@ def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def widen(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Give CPU-bound map stages the full cluster width.
+
+    File splits are sized by bytes (``files.maxPartitionBytes``), but
+    hashing/fingerprinting cost is per-row — a few-MB text table
+    arrives as 1-2 splits and would run 60-way bit folds on 2 of 32
+    cores (measured 3-4× slower at sf0.1). Repartition ONLY when the
+    scan under-provisions; at real scale inputs already carry >=
+    cluster-width partitions and this is a no-op (no shuffle of a
+    100 TB corpus)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dsum(col: Column) -> Column:
     """Order-independent double sum via exact decimal accumulation."""
     return F.sum(col.cast(DEC)).cast("double")

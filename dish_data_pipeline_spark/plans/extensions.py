@@ -43,7 +43,7 @@ from dish_data_pipeline_spark.ops.text import (
     with_language_id,
     with_text_stats,
 )
-from dish_data_pipeline_spark.plans.common import QueryDef, read
+from dish_data_pipeline_spark.plans.common import QueryDef, read, widen
 from dish_data_pipeline_spark.plans.oracle_ann import (
     sql_embedding_neardup,
     sql_knn_lsh,
@@ -112,7 +112,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint set (md5 of the sorted values) — same information
     as the raw ARRAY column but hashable by the driver's comparator
     and expressible as a DuckDB oracle."""
-    d = read(spark, sf_dir, "documents")
+    d = widen(read(spark, sf_dir, "documents"), spark)
     digest = F.md5(
         F.expr(
             "array_join(transform(sort_array(fingerprints), "
@@ -142,7 +142,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("vec_id") + 100000
         )
     )
-    pairs = srp_block_pairs(corpus, n_planes=16, n_tables=2, seed=7)
+    pairs = srp_block_pairs(widen(corpus, spark), n_planes=16, n_tables=2, seed=7)
     return (
         pairs.withColumn("cosine", dot("va", "vb"))
         .filter(F.col("cosine") >= 0.95)
@@ -216,12 +216,13 @@ SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies of every 5th doc (id-shifted) — gives
-    the dedup queries real duplicate groups to find."""
+    the dedup queries real duplicate groups to find. Widened so the
+    per-row hash folds downstream use the full cluster."""
     d = read(spark, sf_dir, "documents")
     copies = d.filter(F.col("doc_id") % 5 == 0).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
-    return d.unionByName(copies)
+    return widen(d.unionByName(copies), spark)
 
 
 SQL_DOCS_WITH_DUPES = """
@@ -301,7 +302,7 @@ WHERE rank <= 10
 
 # --- LSH-bucketed ANN (oracle replicates the plane tensor) --------
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read(spark, sf_dir, "embeddings")
+    emb = widen(read(spark, sf_dir, "embeddings"), spark)
     return lsh_bucket_topk(emb, KNN_QUERY_IDS, k=10)
 
 
@@ -368,7 +369,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     extractor; features projected to scalar columns so the oracle
     (pure SQL over the text bytes) can verify the whole mapInPandas
     path value-for-value."""
-    d = read(spark, sf_dir, "documents")
+    d = widen(read(spark, sf_dir, "documents"), spark)
     feats = extract_features(text_to_binary_content(d))
     return feats.select(
         "doc_id",

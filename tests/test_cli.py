@@ -1,0 +1,36 @@
+"""CLI entry point: run-feed exit codes + query/list-queries."""
+
+from __future__ import annotations
+
+from dish_data_pipeline_spark.__main__ import main
+
+from tests.test_pipeline import visits_server
+
+
+def test_cli_run_feed_success_and_failure(spark, tmp_path, capsys):
+    argv = [
+        "run-feed",
+        "--name", "daily_visits",
+        "--endpoint", "daily_visits",
+        "--keys", "visit_date,source_file",
+        "--required", "visit_date,total_visits",
+        "--base-url", "http://fake",
+        "--warehouse", str(tmp_path / "wh"),
+    ]
+    assert main(argv, http_get=visits_server()) == 0
+    assert "SUCCESS (8 records)" in capsys.readouterr().out
+
+    def empty(url):
+        return 200, {"records": []}
+
+    assert main(argv, http_get=empty) == 1  # schedulers gate on this
+
+
+def test_cli_list_queries(capsys):
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "keep_latest_events" in out and "minhash_neardup" in out
+
+
+def test_cli_query_unknown(capsys):
+    assert main(["query", "nope"]) == 2

@@ -88,6 +88,28 @@ def sessionized_counts(
     )
 
 
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    content_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: md5 content hash +
+    ``dropDuplicatesWithinWatermark`` — the streaming twin of the
+    batch ``exact_dedup_groups`` path. State holds one entry per
+    distinct hash seen within the watermark horizon and is evicted
+    after it, so memory stays bounded on an unbounded stream (a
+    plain ``dropDuplicates`` would grow state forever — the thing
+    that kills a 100 TB ingest job on day three).
+
+    Emits the first-arriving row per content hash; duplicates
+    arriving within the watermark are suppressed."""
+    hashed = stream_df.withColumn("content_hash", F.md5(F.col(content_col)))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def stream_upsert_to_target(
     stream_df: DataFrame,
     target_path: str,

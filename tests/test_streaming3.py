@@ -138,3 +138,47 @@ def test_stream_stream_join_requires_watermarks(spark, tmp_path):
     # covered implicitly by test_stream_stream_interval_join finishing;
     # here we just assert the memory table exists and is queryable
     assert spark.sql("SELECT COUNT(*) AS n FROM ssj").collect()[0].n >= 0
+
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def test_stream_dedup_exact_suppresses_in_watermark_dupes(spark, tmp_path):
+    """Streaming exact dedup: duplicate content arriving within the
+    watermark horizon is suppressed; state is keyed on the content
+    hash (bounded by eviction, unlike plain dropDuplicates)."""
+    from dish_data_pipeline_spark.streaming import stream_dedup_exact
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00Z", "text": "alpha bravo"},
+        {"doc_id": 2, "ts": "2024-01-01T00:10:00Z", "text": "charlie delta"},
+        # exact dup of doc 1, 20 min later (inside 1h watermark)
+        {"doc_id": 3, "ts": "2024-01-01T00:20:00Z", "text": "alpha bravo"},
+        {"doc_id": 4, "ts": "2024-01-01T00:30:00Z", "text": "echo foxtrot"},
+    ]
+    with open(src / "part-0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    deduped = stream_dedup_exact(stream, ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT doc_id, text FROM dedup_stream").collect()
+    texts = sorted(r.text for r in out)
+    assert texts == ["alpha bravo", "charlie delta", "echo foxtrot"]
+    assert len(out) == 3  # doc 3 suppressed as an in-watermark dup

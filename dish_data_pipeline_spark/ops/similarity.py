@@ -90,6 +90,70 @@ def _plane_component(seed: int, p: int, d: int) -> float:
     return (x / 2**63) - 1.0
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 10,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Offline IVF centroid training: Lloyd's k-means as DataFrame
+    ops. Per iteration: assignment is a broadcast cross-score
+    (corpus × n_centroids, map-side) + argmax window; new means are
+    one posexplode/groupBy shuffle with order-independent decimal
+    sums (deterministic centroids across runs and cluster sizes).
+
+    Centroids are MODEL STATE, not data: they ride the driver
+    between iterations (n_centroids × dim doubles — the same class
+    of driver-side control data as ``partitioned_merge``'s partition
+    list), exactly how an offline training loop feeds a 100 TB
+    assignment pass. Init = lowest-id vectors (deterministic);
+    clusters that empty out keep their previous centroid.
+
+    Returns (centroid_id BIGINT, cent_vec ARRAY<DOUBLE>) for
+    ``ivf_topk(centroids=...)``."""
+    spark = embeddings.sparkSession
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r._v))
+        for i, r in enumerate(corpus.orderBy("_id").limit(n_centroids).collect())
+    ]
+    w = Window.partitionBy("_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    for _ in range(n_iters):
+        cent_df = spark.createDataFrame(
+            cents, "centroid_id bigint, cent_vec array<double>"
+        )
+        assigned = (
+            corpus.crossJoin(F.broadcast(cent_df))
+            .withColumn("sim", dot("_v", "cent_vec"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("centroid_id", "_v")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+                ).alias("cent_vec")
+            )
+        )
+        new = {int(r.centroid_id): list(r.cent_vec) for r in means.collect()}
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return spark.createDataFrame(cents, "centroid_id bigint, cent_vec array<double>")
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -98,14 +162,16 @@ def ivf_topk(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus against a fixed
     centroid set, then score queries only against the ``n_probe``
     nearest inverted lists.
 
-    Centroids are chosen deterministically (every ``|corpus| /
-    n_centroids``-th vector by id order — at scale, swap in k-means
-    centroids trained offline; the query plan is identical). The
+    Pass ``centroids`` from ``kmeans_centroids`` for trained lists;
+    the default picks the lowest-id vectors (deterministic, zero
+    training cost — fine for plumbing verification since exhaustive
+    probing equals brute force under ANY corpus partition). The
     corpus→centroid assignment is a broadcast cross-score (corpus ×
     n_centroids, map-side only), so the only shuffle is the final
     top-k window — the IVF recall/cost dial is ``n_probe``.
@@ -113,14 +179,15 @@ def ivf_topk(
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.desc("c_sim"), F.asc("centroid_id")
     )
-    # Deterministic centroid pick: lowest n_centroids vec ids.
-    centroids = (
-        embeddings.orderBy(F.asc(id_col))
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    if centroids is None:
+        # Deterministic centroid pick: lowest n_centroids vec ids.
+        centroids = (
+            embeddings.orderBy(F.asc(id_col))
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+            )
         )
-    )
 
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")

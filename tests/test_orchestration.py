@@ -15,8 +15,6 @@ from dish_data_pipeline_spark.orchestration import (
     stage_extract,
     stage_transform,
 )
-from dish_data_pipeline_spark.pipeline import FeedConfig
-
 from tests.test_pipeline import FEED, visits_server
 
 

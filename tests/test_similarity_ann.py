@@ -52,3 +52,56 @@ def test_lsh_subset_of_corpus(spark, sf_dir):
     out = lsh_bucket_topk(emb, [0, 1], k=5)
     for r in out.collect():
         assert r.neighbor_id in ids and r.neighbor_id not in (r.query_id,)
+
+
+def test_kmeans_centroids_shape_and_determinism(spark, sf_dir):
+    from dish_data_pipeline_spark.ops.similarity import kmeans_centroids
+
+    emb = read(spark, sf_dir, "embeddings")
+    c1 = kmeans_centroids(emb, n_centroids=5, n_iters=2)
+    rows = c1.collect()
+    assert len(rows) == 5
+    assert all(len(r.cent_vec) == 64 for r in rows)
+    # decimal-sum means => identical across runs
+    c2 = kmeans_centroids(emb, n_centroids=5, n_iters=2)
+    assert sorted(map(tuple, ((r.centroid_id, tuple(r.cent_vec)) for r in rows))) == \
+        sorted(map(tuple, ((r.centroid_id, tuple(r.cent_vec)) for r in c2.collect())))
+
+
+def test_ivf_trained_exhaustive_equals_bruteforce(spark, sf_dir):
+    """With n_probe = n_centroids every inverted list is scanned, so
+    the result equals brute force EXACTLY no matter how good (or bad)
+    the trained centroids are - the invariant that lets the catalog
+    verify IVF plumbing against the brute-force oracle."""
+    from dish_data_pipeline_spark.ops.similarity import kmeans_centroids
+
+    emb = read(spark, sf_dir, "embeddings")
+    trained = kmeans_centroids(emb, n_centroids=8, n_iters=2)
+    qids = [0, 1]
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in cosine_topk(emb, qids, k=5).collect()
+    )
+    ivf = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ivf_topk(
+            emb, qids, k=5, n_centroids=8, n_probe=8, centroids=trained
+        ).collect()
+    )
+    assert ivf == exact
+
+
+def test_ivf_trained_recall_with_few_probes(spark, sf_dir):
+    from dish_data_pipeline_spark.ops.similarity import kmeans_centroids
+
+    emb = read(spark, sf_dir, "embeddings")
+    trained = kmeans_centroids(emb, n_centroids=8, n_iters=3)
+    qids = [0, 1, 2]
+    truth = _truth(spark, sf_dir, qids, 10)
+    approx = ivf_topk(emb, qids, k=10, n_probe=3, centroids=trained)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in qids)
+    total = sum(len(truth[q]) for q in qids)
+    assert hits / total >= 0.3, f"trained-IVF recall {hits}/{total}"

@@ -38,6 +38,8 @@ _NEWLY_ORACLED_TAIL = [
     "knn_lsh",
     "knn_ivf",
     "multimodal_features",
+    "dup_clusters",
+    "training_corpus",
 ]
 
 QUERIES: dict[str, QueryDef] = {

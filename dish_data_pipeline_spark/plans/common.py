@@ -40,6 +40,14 @@ def ensure_session_confs(spark: SparkSession) -> None:
     UTC timestamps (DuckDB-oracle comparability)."""
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Right-size shuffles for the local CPU budget: a vanilla session
+    # defaults to 200 shuffle partitions, and the iterative operators
+    # (connected components, k-means) materialize via localCheckpoint
+    # where AQE's partition coalescing doesn't apply — 200-task
+    # rounds over tiny intermediates are pure scheduling overhead.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
 
 
 def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -49,9 +49,11 @@ from dish_data_pipeline_spark.plans.oracle_ann import (
     sql_knn_lsh,
 )
 from dish_data_pipeline_spark.plans.oracle_dedup import (
+    sql_dup_clusters,
     sql_minhash_neardup,
     sql_ngram_jaccard,
     sql_simhash_neardup,
+    sql_training_corpus,
     sql_winnow_fingerprint,
 )
 
@@ -275,6 +277,47 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Near-dup clustering (connected components over LSH pairs) ----
+def _minhash_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
+    shingled = with_shingles(corpus)
+    pairs = minhash_candidate_pairs(with_minhash(shingled))
+    return (
+        exact_jaccard_pairs(shingled, pairs)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate groups: A≈B and B≈C land A,B,C in one
+    cluster labelled by its minimum doc_id (singletons label
+    themselves). Verified against DuckDB WITH RECURSIVE reachability
+    over the identical pair set."""
+    from dish_data_pipeline_spark.ops.dedup_cluster import connected_components
+
+    corpus = _docs_with_dupes(spark, sf_dir)
+    return connected_components(
+        corpus.select("doc_id"), _minhash_pairs(corpus)
+    )
+
+
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-builder a training pipeline runs: quality
+    gate → near-dup pairs among survivors → connected components →
+    keep the canonical (min-id) member per cluster."""
+    from dish_data_pipeline_spark.ops.dedup_cluster import (
+        canonical_docs,
+        connected_components,
+    )
+
+    corpus = _docs_with_dupes(spark, sf_dir)
+    kept = corpus.withColumn("quality", quality_score()).filter(
+        F.col("quality") >= 0.75
+    )
+    clusters = connected_components(kept.select("doc_id"), _minhash_pairs(kept))
+    return canonical_docs(kept, clusters).select("doc_id", "lang", "quality")
+
+
 # --- Brute-force cosine top-k (exact oracle via decimal dot) ------
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 
@@ -453,4 +496,12 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
     "multimodal_features": QueryDef(
         q_multimodal_features, SQL_MULTIMODAL_FEATURES,
         "Arrow-batched mapInPandas feature extraction", ("multimodal",)),
+    "dup_clusters": QueryDef(
+        q_dup_clusters, sql_dup_clusters(SQL_DOCS_WITH_DUPES),
+        "connected components over MinHash-LSH near-dup pairs",
+        ("dedup", "iterative")),
+    "training_corpus": QueryDef(
+        q_training_corpus, sql_training_corpus(SQL_DOCS_WITH_DUPES),
+        "composed corpus builder: quality gate → near-dup clusters → canonical docs",
+        ("dedup", "text", "pipeline")),
 }

@@ -142,6 +142,69 @@ FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 """
 
 
+_CC_TAIL = """
+pairs8 AS (SELECT id_a, id_b FROM scored WHERE jaccard >= {threshold}),
+sym(a, b) AS (SELECT id_a, id_b FROM pairs8
+              UNION ALL SELECT id_b, id_a FROM pairs8),
+walk(id, r) AS (
+  SELECT doc_id, doc_id FROM {nodes}
+  UNION
+  SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.r)
+"""
+
+
+def sql_dup_clusters(corpus_sql: str, threshold: float = 0.8) -> str:
+    """Twin of ``connected_components`` over the MinHash-LSH pair
+    set: DuckDB's recursive reachability computes the same unique
+    fixpoint (min reachable id) the Spark label propagation
+    converges to."""
+    return (
+        "WITH RECURSIVE "
+        + minhash_pipeline_ctes(corpus_sql)
+        + ","
+        + _CC_TAIL.format(threshold=threshold, nodes="corpus")
+        + "SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id "
+        "FROM walk GROUP BY id"
+    )
+
+
+def sql_training_corpus(corpus_sql: str, threshold: float = 0.8) -> str:
+    """Twin of the composed corpus-builder: quality gate →
+    MinHash-LSH pairs among survivors → connected components →
+    canonical (min-id) member per cluster."""
+    return (
+        f"""
+WITH RECURSIVE
+base AS ({corpus_sql}),
+qstats AS (
+  SELECT doc_id, lang, text,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         CAST(LENGTH(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+')) AS DOUBLE)
+           AS n_tokens,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g'))
+           AS DOUBLE) AS n_punct
+  FROM base),
+kq AS (
+  SELECT doc_id, lang, text,
+         (CASE WHEN n_chars / GREATEST(n_tokens, 1.0) >= 2
+                AND n_chars / GREATEST(n_tokens, 1.0) <= 12 THEN 1.0 ELSE 0.5 END)
+         * (CASE WHEN n_punct / GREATEST(n_chars, 1.0) <= 0.2 THEN 1.0 ELSE 0.5 END)
+         AS quality
+  FROM qstats),
+kept AS (SELECT * FROM kq WHERE quality >= 0.75),
+"""
+        + minhash_pipeline_ctes("SELECT doc_id, text FROM kept").lstrip()
+        + ","
+        + _CC_TAIL.format(threshold=threshold, nodes="kept")
+        + """
+SELECT k.doc_id, k.lang, k.quality
+FROM kept k JOIN (SELECT id, MIN(r) AS m FROM walk GROUP BY id) c
+  ON c.id = k.doc_id
+WHERE k.doc_id = c.m
+"""
+    )
+
+
 def sql_winnow_fingerprint(k: int = 8, window: int = 4) -> str:
     """Twin of winnow_fingerprints over ``documents``: same grams,
     same window minima, digest of the sorted distinct set."""

@@ -185,3 +185,29 @@ def test_multimodal_feature_extraction(spark):
     row = feats[0]
     assert row.mime == "text/plain" and row.n_bytes == 3
     assert row.features == fake_feature_extract(b"abc")
+
+
+def test_connected_components_transitive_clusters(spark):
+    """A≈B and B≈C must cluster {A,B,C} even when A≈C was never a
+    pair — the property pairwise dedup lacks and corpus-building
+    needs. Singletons keep their own label."""
+    from pyspark.sql import Row as R
+
+    from dish_data_pipeline_spark.ops.dedup_cluster import (
+        canonical_docs,
+        connected_components,
+    )
+
+    ids = spark.createDataFrame([R(doc_id=i) for i in [1, 2, 3, 4, 7]])
+    pairs = spark.createDataFrame(
+        [R(id_a=1, id_b=2), R(id_a=2, id_b=3), R(id_a=4, id_b=7)]
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(ids, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 7: 4}
+
+    docs = ids.withColumn("text", F.lit("x"))
+    kept = canonical_docs(docs, connected_components(ids, pairs))
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4]

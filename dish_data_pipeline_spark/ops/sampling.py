@@ -1,0 +1,98 @@
+"""Deterministic sampling and sequence packing for training-data
+pipelines.
+
+Sampling uses the portable hash instead of an RNG: membership is a
+pure function of the row key, so samples are reproducible across
+runs, engines (the DuckDB oracle computes the identical sample),
+cluster sizes, and retries — and they compose (a 10% sample is a
+subset of the 20% sample under the same salt). ``df.sample()`` gives
+none of those guarantees.
+
+Packing lays documents end-to-end in a deterministic order and
+assigns each to the training-sequence bin its START falls in
+(concatenate-and-slice semantics — documents aren't split, so a bin
+overflows by at most one document tail). The window runs per hash
+bucket, not globally: a global ORDER BY window is a single-partition
+bottleneck at scale, while per-bucket packing is embarrassingly
+parallel and still deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dish_data_pipeline_spark.ops.portable import spark_phash
+from dish_data_pipeline_spark.ops.text import TOKEN_RE
+
+SAMPLE_DENOM = 10_000
+
+
+def sample_keep_expr(key_cols: Sequence[str], rate: float, salt: str = "sample") -> str:
+    """SQL predicate: keep iff hash(key, salt) lands under rate."""
+    h = spark_phash(f"concat_ws('|', {', '.join(key_cols)}, '{salt}')")
+    return f"({h}) % {SAMPLE_DENOM} < {int(rate * SAMPLE_DENOM)}"
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_cols: Sequence[str], salt: str = "sample"
+) -> DataFrame:
+    return df.filter(F.expr(sample_keep_expr(key_cols, rate, salt)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    key_cols: Sequence[str],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum keep rates (e.g. per-language quotas when mixing
+    a corpus). Same hash, different thresholds — still reproducible
+    and composable."""
+    h = spark_phash(f"concat_ws('|', {', '.join(key_cols)}, '{salt}')")
+    cases = " ".join(
+        f"WHEN '{stratum}' THEN {int(r * SAMPLE_DENOM)}"
+        for stratum, r in sorted(rates.items())
+    )
+    threshold = (
+        f"CASE {strata_col} {cases} ELSE {int(default_rate * SAMPLE_DENOM)} END"
+    )
+    return df.filter(F.expr(f"({h}) % {SAMPLE_DENOM} < {threshold}"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign each document to a training-sequence bin of ~``budget``
+    tokens. Documents are hashed into ``n_buckets`` independent
+    streams (parallel, no global sort), laid end-to-end in id order
+    within each stream, and binned by the budget window their first
+    token falls in.
+
+    Output: (id_col, bucket, seq_id, n_tokens) — deterministic, and
+    exactly expressible as a windowed SUM for the oracle."""
+    n_tokens = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    ).cast("bigint")
+    bucket = F.expr(f"pmod({spark_phash(f'cast({id_col} as string)')}, {n_buckets})")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        # integer division: exact in every engine, no float rounding
+        .withColumn("seq_id", F.expr(f"(_cum - n_tokens) div {budget}"))
+        .drop("_cum")
+        .select(id_col, "bucket", "seq_id", "n_tokens")
+    )

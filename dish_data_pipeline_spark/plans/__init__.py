@@ -40,6 +40,8 @@ _NEWLY_ORACLED_TAIL = [
     "multimodal_features",
     "dup_clusters",
     "training_corpus",
+    "doc_sample",
+    "sequence_packing",
 ]
 
 QUERIES: dict[str, QueryDef] = {

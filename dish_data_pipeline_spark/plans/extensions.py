@@ -277,6 +277,76 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Deterministic stratified sampling ----------------------------
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus mixing: per-language keep rates driven by
+    the portable hash of the doc key — membership is a pure function
+    of the row, so the sample is identical across runs, engines,
+    cluster sizes, and retries (df.sample() guarantees none of
+    these). Unlisted languages keep 10%."""
+    from dish_data_pipeline_spark.ops.sampling import stratified_sample
+
+    d = read(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", SAMPLE_RATES, key_cols=["cast(doc_id as string)"],
+        default_rate=0.1,
+    ).select("doc_id", "lang")
+
+
+def _sql_doc_sample() -> str:
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+    from dish_data_pipeline_spark.ops.sampling import SAMPLE_DENOM
+
+    h = duck_phash("concat_ws('|', cast(doc_id as string), 'sample')")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(r * SAMPLE_DENOM)}"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ({h}) % {SAMPLE_DENOM} < CASE lang {cases} ELSE {int(0.1 * SAMPLE_DENOM)} END
+"""
+
+
+# --- Sequence packing (token-budget binning) ----------------------
+PACK_BUDGET = 512
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~512-token training sequences: hash into
+    32 parallel streams, lay end-to-end in id order, bin by the
+    budget window each doc starts in (concatenate-and-slice — no
+    global sort, no single-partition window)."""
+    from dish_data_pipeline_spark.ops.sampling import pack_sequences
+
+    d = widen(read(spark, sf_dir, "documents"), spark)
+    return pack_sequences(d, budget=PACK_BUDGET)
+
+
+def _sql_sequence_packing() -> str:
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+
+    h = duck_phash("cast(doc_id as string)")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LENGTH(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+')) AS BIGINT)
+           AS n_tokens,
+         ({h}) % 32 AS bucket
+  FROM documents),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, bucket, (cum - n_tokens) // {PACK_BUDGET} AS seq_id, n_tokens
+FROM c
+"""
+
+
 # --- Near-dup clustering (connected components over LSH pairs) ----
 def _minhash_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
     shingled = with_shingles(corpus)
@@ -504,4 +574,12 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_training_corpus, sql_training_corpus(SQL_DOCS_WITH_DUPES),
         "composed corpus builder: quality gate → near-dup clusters → canonical docs",
         ("dedup", "text", "pipeline")),
+    "doc_sample": QueryDef(
+        q_doc_sample, _sql_doc_sample(),
+        "deterministic stratified sampling (per-language keep rates)",
+        ("sampling", "text")),
+    "sequence_packing": QueryDef(
+        q_sequence_packing, _sql_sequence_packing(),
+        "token-budget sequence packing (bucketed, no global sort)",
+        ("sampling", "text")),
 }

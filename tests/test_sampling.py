@@ -1,0 +1,76 @@
+"""Deterministic sampling + sequence packing semantics."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Row
+
+from dish_data_pipeline_spark.ops.portable import py_phash
+from dish_data_pipeline_spark.ops.sampling import (
+    SAMPLE_DENOM,
+    deterministic_sample,
+    pack_sequences,
+    stratified_sample,
+)
+
+LANGS = ["en", "de", "fr", "es"]
+
+
+def _docs(spark, n=200):
+    rows = [
+        Row(doc_id=i, text=" ".join(f"w{j}" for j in range(5 + i % 17)),
+            lang=LANGS[i % 4], source="s", n_chars=10)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_sample_matches_python_twin_and_nests(spark):
+    d = _docs(spark)
+    key = ["cast(doc_id as string)"]
+    s10 = {r.doc_id for r in deterministic_sample(d, 0.10, key).collect()}
+    s20 = {r.doc_id for r in deterministic_sample(d, 0.20, key).collect()}
+    expect10 = {
+        i for i in range(200)
+        if py_phash(f"{i}|sample") % SAMPLE_DENOM < int(0.10 * SAMPLE_DENOM)
+    }
+    assert s10 == expect10
+    # same salt => smaller sample nests inside the larger one
+    assert s10 <= s20
+
+
+def test_stratified_rates_match_python_twin(spark):
+    d = _docs(spark)
+    rates = {"en": 0.5, "de": 0.2}
+    out = stratified_sample(
+        d, "lang", rates, key_cols=["cast(doc_id as string)"], default_rate=0.0
+    ).collect()
+    got = {r.doc_id for r in out}
+    expect = set()
+    for i in range(200):
+        rate = rates.get(LANGS[i % 4], 0.0)
+        if py_phash(f"{i}|sample") % SAMPLE_DENOM < int(rate * SAMPLE_DENOM):
+            expect.add(i)
+    assert got == expect
+    assert all(LANGS[i % 4] in rates for i in got)  # default 0 drops rest
+
+
+def test_pack_sequences_invariants(spark):
+    budget = 40
+    out = pack_sequences(_docs(spark), budget=budget).collect()
+    # python twin: per bucket, id-ordered running sum
+    by_bucket: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.bucket, r.doc_id)):
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, rows in by_bucket.items():
+        cum = 0
+        prev_seq = 0
+        for r in rows:
+            assert r.seq_id == cum // budget  # start-offset binning
+            assert r.seq_id >= prev_seq  # monotone within bucket
+            cum += r.n_tokens
+            prev_seq = r.seq_id
+    # every doc has the regex token count
+    d = {r.doc_id: r.n_tokens for r in out}
+    assert d[0] == len(re.findall(r"[A-Za-z0-9]+", " ".join(f"w{j}" for j in range(5))))

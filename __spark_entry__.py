@@ -18,6 +18,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Fallback for uninstalled checkouts; `pip install -e .` /
+# `python setup.py develop` makes the package importable without it.
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dish_data_pipeline_spark.plans import QUERIES  # noqa: E402
@@ -35,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twin for every SQL-expressible query; LSH-family ops
-    are rows-only by contract."""
+    """DuckDB twin for EVERY query (62/62 — the LSH-family and
+    iterative oracles replicate the algorithms exactly via the
+    portable hash and WITH RECURSIVE; see plans/oracle_dedup.py)."""
     return {name: qd.sql for name, qd in QUERIES.items() if qd.sql is not None}

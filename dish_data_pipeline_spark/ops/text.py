@@ -126,6 +126,35 @@ def winnow_fingerprints(
     )
 
 
+# Cleaning patterns: Java∩RE2 subset (no lookaround) so the DuckDB
+# oracle evaluates literally the same regexes.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+CTRL_RE = r"[\x00-\x1f\x7f]"
+
+
+def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard pre-training text normalization: flag + strip URLs
+    and e-mail addresses, replace control characters with spaces,
+    collapse whitespace runs, trim. Pure ``regexp_replace`` chain —
+    JVM-side, order matters (URLs before whitespace collapse so the
+    removal seam collapses too)."""
+    text = F.col(text_col)
+    cleaned = F.regexp_replace(text, CTRL_RE, " ")
+    cleaned = F.regexp_replace(cleaned, URL_RE, " ")
+    cleaned = F.regexp_replace(cleaned, EMAIL_RE, " ")
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return (
+        df.withColumn("had_url", text.rlike(URL_RE).cast("int"))
+        .withColumn("had_email", text.rlike(EMAIL_RE).cast("int"))
+        .withColumn("clean_text", cleaned)
+        .withColumn(
+            "n_chars_removed",
+            (F.length(text) - F.length(cleaned)).cast("bigint"),
+        )
+    )
+
+
 def quality_score(text_col: str = "text") -> Column:
     """Heuristic quality score in [0,1]: token-length sanity ×
     punctuation sanity. Pure arithmetic → oracle-exact."""

@@ -42,6 +42,7 @@ _NEWLY_ORACLED_TAIL = [
     "training_corpus",
     "doc_sample",
     "sequence_packing",
+    "text_clean",
 ]
 
 QUERIES: dict[str, QueryDef] = {

@@ -277,6 +277,60 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Text cleaning / normalization --------------------------------
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training text normalization over a corpus with planted
+    URLs (every 7th doc) and e-mail addresses (every 11th) — the
+    synthetic documents are clean, so the query plants removable
+    artifacts deterministically in BOTH engines."""
+    from dish_data_pipeline_spark.ops.text import clean_text
+
+    d = read(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" see https://example.com/data?id=7 "),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" contact bob.smith@example.com now"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return clean_text(aug).select(
+        "doc_id", "had_url", "had_email", "clean_text", "n_chars_removed"
+    )
+
+
+def _sql_text_clean() -> str:
+    from dish_data_pipeline_spark.ops.text import CTRL_RE, EMAIL_RE, URL_RE
+
+    cleaned = (
+        "TRIM(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"text, '{CTRL_RE}', ' ', 'g'), '{URL_RE}', ' ', 'g'), "
+        f"'{EMAIL_RE}', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' see https://example.com/data?id=7 ' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' contact bob.smith@example.com now' ELSE '' END AS text
+  FROM documents),
+c AS (SELECT doc_id, text, {cleaned} AS clean_text FROM aug)
+SELECT doc_id,
+       CAST(regexp_matches(text, '{URL_RE}') AS INT) AS had_url,
+       CAST(regexp_matches(text, '{EMAIL_RE}') AS INT) AS had_email,
+       clean_text,
+       CAST(LENGTH(text) - LENGTH(clean_text) AS BIGINT) AS n_chars_removed
+FROM c
+"""
+
+
 # --- Deterministic stratified sampling ----------------------------
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
 
@@ -582,4 +636,8 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_sequence_packing, _sql_sequence_packing(),
         "token-budget sequence packing (bucketed, no global sort)",
         ("sampling", "text")),
+    "text_clean": QueryDef(
+        q_text_clean, _sql_text_clean(),
+        "text normalization: strip URLs/e-mails/control chars, collapse whitespace",
+        ("text",)),
 }

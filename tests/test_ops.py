@@ -211,3 +211,19 @@ def test_connected_components_transitive_clusters(spark):
     docs = ids.withColumn("text", F.lit("x"))
     kept = canonical_docs(docs, connected_components(ids, pairs))
     assert sorted(r.doc_id for r in kept.collect()) == [1, 4]
+
+
+def test_clean_text_strips_artifacts(spark):
+    from dish_data_pipeline_spark.ops.text import clean_text
+
+    raw = "Hello\x00world see https://x.io/a?b=1 mail a.b@c.org  now\t!"
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text=raw, lang="en", source="s", n_chars=len(raw)),
+         Row(doc_id=1, text="plain text", lang="en", source="s", n_chars=10)]
+    )
+    out = {r.doc_id: r for r in clean_text(d).collect()}
+    assert out[0].clean_text == "Hello world see mail now !"
+    assert out[0].had_url == 1 and out[0].had_email == 1
+    assert out[0].n_chars_removed == len(raw) - len(out[0].clean_text)
+    assert out[1].clean_text == "plain text"
+    assert out[1].had_url == 0 and out[1].had_email == 0

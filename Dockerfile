@@ -20,7 +20,8 @@ COPY dish_data_pipeline_spark ./dish_data_pipeline_spark
 RUN pip install --no-cache-dir .[rest]
 
 # Local-mode defaults; on a cluster, submit with spark-submit and
-# your cluster manager instead.
-ENV SPARK_LOCAL_CORES=*
+# your cluster manager instead. session.py reads SPARK_GRAFT_CPUS
+# ('*' → local[*]).
+ENV SPARK_GRAFT_CPUS=*
 ENTRYPOINT ["python", "-m", "dish_data_pipeline_spark"]
 CMD ["--help"]

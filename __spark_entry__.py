@@ -37,7 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twin for EVERY query (62/62 — the LSH-family and
-    iterative oracles replicate the algorithms exactly via the
-    portable hash and WITH RECURSIVE; see plans/oracle_dedup.py)."""
+    """DuckDB twin for EVERY query in the catalog — the LSH-family
+    and iterative oracles replicate the algorithms exactly via the
+    portable hash and WITH RECURSIVE; see plans/oracle_dedup.py."""
     return {name: qd.sql for name, qd in QUERIES.items() if qd.sql is not None}

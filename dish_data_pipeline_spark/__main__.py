@@ -11,7 +11,8 @@
 
 ``run-feed`` drives the full extract→DQ→stage→merge→audit feed
 (exit code 1 when the feed FAILED, so schedulers can gate on it);
-``query`` runs any of the 58 catalog queries and prints the result.
+``query`` runs any catalog query and prints the result
+(``list-queries`` enumerates them).
 """
 
 from __future__ import annotations
@@ -42,7 +43,7 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
 
-    sub.add_parser("list-queries", help="list the 58 catalog queries")
+    sub.add_parser("list-queries", help="list all catalog queries")
     return p
 
 

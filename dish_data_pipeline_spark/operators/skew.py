@@ -39,7 +39,9 @@ def salted_join(
     ``how`` must keep the large side on the preserved side:
     inner/left/left_semi/left_anti. Right/full outer would emit each
     unmatched small-side row once per salt replica — rejected."""
-    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti"}
+    # 'semi'/'anti' are Spark's own aliases for left_semi/left_anti —
+    # equally safe here (the large side is the preserved side).
+    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"}
     if how.lower().replace("_", "") not in allowed:
         raise ValueError(
             f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "

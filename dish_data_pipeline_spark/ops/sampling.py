@@ -30,9 +30,15 @@ from dish_data_pipeline_spark.ops.text import TOKEN_RE
 SAMPLE_DENOM = 10_000
 
 
+def _sql_str(v: str) -> str:
+    """SQL string literal with embedded quotes doubled — stratum
+    values and salts come from user config, not trusted SQL."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def sample_keep_expr(key_cols: Sequence[str], rate: float, salt: str = "sample") -> str:
     """SQL predicate: keep iff hash(key, salt) lands under rate."""
-    h = spark_phash(f"concat_ws('|', {', '.join(key_cols)}, '{salt}')")
+    h = spark_phash(f"concat_ws('|', {', '.join(key_cols)}, {_sql_str(salt)})")
     return f"({h}) % {SAMPLE_DENOM} < {int(rate * SAMPLE_DENOM)}"
 
 
@@ -53,9 +59,9 @@ def stratified_sample(
     """Per-stratum keep rates (e.g. per-language quotas when mixing
     a corpus). Same hash, different thresholds — still reproducible
     and composable."""
-    h = spark_phash(f"concat_ws('|', {', '.join(key_cols)}, '{salt}')")
+    h = spark_phash(f"concat_ws('|', {', '.join(key_cols)}, {_sql_str(salt)})")
     cases = " ".join(
-        f"WHEN '{stratum}' THEN {int(r * SAMPLE_DENOM)}"
+        f"WHEN {_sql_str(stratum)} THEN {int(r * SAMPLE_DENOM)}"
         for stratum, r in sorted(rates.items())
     )
     threshold = (

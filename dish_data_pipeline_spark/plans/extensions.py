@@ -144,9 +144,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("vec_id") + 100000
         )
     )
-    pairs = srp_block_pairs(widen(corpus, spark), n_planes=16, n_tables=2, seed=7)
+    pairs = srp_block_pairs(
+        widen(corpus, spark), n_planes=16, n_tables=2, seed=7, score=dot
+    )
     return (
-        pairs.withColumn("cosine", dot("va", "vb"))
+        pairs.withColumnRenamed("score", "cosine")
         .filter(F.col("cosine") >= 0.95)
         .select("id_a", "id_b", "cosine")
     )
@@ -447,8 +449,11 @@ KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embeddings.parquet is unit-norm by construction (TESTDATA.md;
+    # verified by q_embedding_norms), so skip the norm folds and
+    # score raw dots — matching the oracle SQL below exactly.
     emb = read(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, KNN_QUERY_IDS, k=10)
+    return cosine_topk(emb, KNN_QUERY_IDS, k=10, assume_normalized=True)
 
 
 SQL_KNN_BRUTEFORCE = """

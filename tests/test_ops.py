@@ -152,6 +152,28 @@ def test_cosine_topk_ranks_identical_vector_first(spark):
     assert abs(out[0].cosine - 1.0) < 1e-6
 
 
+def test_cosine_topk_true_cosine_on_unnormalized_input(spark):
+    # vectors deliberately NOT unit-norm; the default must divide by
+    # the norms (a raw dot would score neighbor 1 as 5.0, not 1.0)
+    rows = [
+        Row(vec_id=0, embedding=[2.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[5.0, 0.0], label=0),  # same direction
+        Row(vec_id=2, embedding=[3.0, 4.0], label=0),  # cos = 0.6
+    ]
+    emb = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = {r.neighbor_id: r.cosine for r in cosine_topk(emb, [0], k=2).collect()}
+    assert abs(out[1] - 1.0) < 1e-12
+    assert abs(out[2] - 0.6) < 1e-12
+    # the opt-in fast path returns raw dots on the same input
+    raw = {
+        r.neighbor_id: r.cosine
+        for r in cosine_topk(emb, [0], k=2, assume_normalized=True).collect()
+    }
+    assert abs(raw[1] - 10.0) < 1e-12
+
+
 def test_text_stats_counts(spark):
     d = spark.createDataFrame(
         [Row(doc_id=0, text="Hello, world! abc abc", lang="en", source="s",

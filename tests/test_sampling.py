@@ -56,6 +56,25 @@ def test_stratified_rates_match_python_twin(spark):
     assert all(LANGS[i % 4] in rates for i in got)  # default 0 drops rest
 
 
+def test_stratified_sample_escapes_quoted_strata(spark):
+    rows = [
+        Row(doc_id=i, lang="pt'; DROP" if i % 2 == 0 else "it's", source="s")
+        for i in range(100)
+    ]
+    d = spark.createDataFrame(rows)
+    rates = {"pt'; DROP": 1.0, "it's": 0.0}
+    out = stratified_sample(
+        d, "lang", rates, key_cols=["cast(doc_id as string)"], salt="o'salt"
+    ).collect()
+    got = {r.doc_id for r in out}
+    expect = {
+        i for i in range(100)
+        if i % 2 == 0
+        and py_phash(f"{i}|o'salt") % SAMPLE_DENOM < SAMPLE_DENOM
+    }
+    assert got == expect  # the quoted stratum keeps all, the other none
+
+
 def test_pack_sequences_invariants(spark):
     budget = 40
     out = pack_sequences(_docs(spark), budget=budget).collect()

@@ -47,6 +47,19 @@ def test_salted_join_rejects_outer_joins(spark):
             salted_join(large, small, ["k"], salt_col="id", how=how)
 
 
+def test_salted_join_accepts_semi_anti_aliases(spark):
+    large = _skewed(spark)
+    small = spark.createDataFrame([Row(k="hot")])
+    for how in ("semi", "anti", "left_semi", "left_anti"):
+        plain = large.join(small, ["k"], how).select("k", "id", "v")
+        salted = salted_join(large, small, ["k"], salt_col="id", how=how).select(
+            "k", "id", "v"
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), how
+
+
 def test_salted_agg_matches_plain_agg(spark):
     df = _skewed(spark)
     plain = {

@@ -12,7 +12,9 @@ from dish_data_pipeline_spark.plans.common import read
 
 
 def _truth(spark, sf_dir, qids, k):
-    exact = cosine_topk(read(spark, sf_dir, "embeddings"), qids, k=k)
+    exact = cosine_topk(
+        read(spark, sf_dir, "embeddings"), qids, k=k, assume_normalized=True
+    )
     out = {}
     for r in exact.collect():
         out.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -36,7 +38,9 @@ def test_ivf_scores_match_bruteforce_on_overlap(spark, sf_dir):
     qids = [0]
     exact = {
         r.neighbor_id: r.cosine
-        for r in cosine_topk(read(spark, sf_dir, "embeddings"), qids, k=10).collect()
+        for r in cosine_topk(
+            read(spark, sf_dir, "embeddings"), qids, k=10, assume_normalized=True
+        ).collect()
     }
     approx = {
         r.neighbor_id: r.cosine
@@ -80,7 +84,7 @@ def test_ivf_trained_exhaustive_equals_bruteforce(spark, sf_dir):
     qids = [0, 1]
     exact = sorted(
         (r.query_id, r.neighbor_id, r.cosine, r.rank)
-        for r in cosine_topk(emb, qids, k=5).collect()
+        for r in cosine_topk(emb, qids, k=5, assume_normalized=True).collect()
     )
     ivf = sorted(
         (r.query_id, r.neighbor_id, r.cosine, r.rank)

@@ -6,6 +6,12 @@
 
 Each query is fully executed JVM-side via the ``noop`` sink (no
 driver-side collect — measures the engine, not pandas transfer).
+
+Regression gate: per-query reference times live in
+``BENCH_BASELINE.json`` (pinned from the round-2 driver run). Any
+query slower than ``REGRESSION_FACTOR``× its baseline — with an
+absolute floor so sub-second noise can't trip it — is reported in
+the ``regressions`` key of the JSON line.
 """
 
 from __future__ import annotations
@@ -19,6 +25,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dish_data_pipeline_spark import get_spark
 from dish_data_pipeline_spark.plans import QUERIES
+
+
+REGRESSION_FACTOR = 1.5
+REGRESSION_ABS_FLOOR_SEC = 0.75  # ignore sub-second jitter
+
+
+def load_baseline(sf: float) -> dict[str, float]:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_BASELINE.json")
+    try:
+        with open(path) as f:
+            base = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if base.get("sf") != sf:  # baselines only comparable at same scale
+        return {}
+    return {k: float(v) for k, v in base.get("queries", {}).items()}
+
+
+def find_regressions(
+    timings: dict[str, float], baseline: dict[str, float]
+) -> dict[str, dict[str, float]]:
+    out: dict[str, dict[str, float]] = {}
+    for name, t in timings.items():
+        ref = baseline.get(name)
+        if ref is None or ref <= 0 or t < 0:
+            continue
+        if t > REGRESSION_FACTOR * ref and t - ref > REGRESSION_ABS_FLOOR_SEC:
+            out[name] = {"sec": t, "baseline_sec": ref, "ratio": round(t / ref, 2)}
+    return out
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -35,11 +71,22 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen and the parquet footer cache untimed, so
-    # timings measure query execution rather than session startup.
-    QUERIES["keep_latest_events"].fn(spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warm every query untimed at the smallest scale factor first:
+    # JVM/codegen compilation, Python worker pools (Arrow UDF ops),
+    # and parquet footer caches are per-plan-shape costs that would
+    # otherwise land on whichever query happens to run that shape
+    # first — making per-query times depend on catalog ORDER instead
+    # of query cost (the steady-state number is the one that matters
+    # for regression comparison and for a long-lived engine).
+    smoke_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    warm_dir = smoke_dir if os.path.isdir(smoke_dir) else sf_dir
+    for name, qd in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            qd.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            print(f"# warmup error {name}: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, qd in QUERIES.items():
@@ -55,6 +102,7 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = sf_from_dir(sf_dir)
     print(
         json.dumps(
             {
@@ -62,7 +110,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": sf_from_dir(sf_dir),
+                "sf": sf,
+                "regressions": find_regressions(timings, load_baseline(sf)),
             }
         )
     )

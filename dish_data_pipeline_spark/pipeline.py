@@ -30,7 +30,7 @@ from dish_data_pipeline_spark.operators.quality import (
     is_recoverable,
     run_data_quality_checks,
 )
-from dish_data_pipeline_spark.operators.upsert import upsert_keep_latest
+from dish_data_pipeline_spark.io_backends import TableBackend, get_backend
 from dish_data_pipeline_spark.sources.rest import (
     fetch_paginated_data,
     records_to_dataframe,
@@ -63,10 +63,17 @@ def run_feed(
     warehouse_dir: str,
     http_get=None,
     load_date: dt.date | None = None,
+    backend: "TableBackend | str" = "parquet",
 ) -> PipelineResult:
     """Run one feed end to end against a file warehouse layout:
     ``<warehouse>/raw/``, ``staging_<name>/``, ``tgt_<name>/``,
-    ``load_audit/``."""
+    ``load_audit/``.
+
+    ``backend`` picks the target-table format (io_backends): the
+    default join-based Parquet MERGE, or any TableBackend (e.g.
+    'delta' for transaction-logged atomic MERGE INTO)."""
+    if isinstance(backend, str):
+        backend = get_backend(backend)
     raw_dir = os.path.join(warehouse_dir, "raw")
     staging_path = os.path.join(warehouse_dir, f"staging_{feed.name}")
     target_path = os.path.join(warehouse_dir, f"tgt_{feed.name}")
@@ -115,14 +122,12 @@ def run_feed(
         staged = spark.read.parquet(staging_path)
         count = staged.count()
 
-        if os.path.exists(target_path):
-            target = spark.read.parquet(target_path)
-            merged = upsert_keep_latest(
-                target, staged, feed.keys, "load_timestamp"
+        if backend.exists(spark, target_path):
+            backend.merge_keep_latest(
+                spark, target_path, staged, feed.keys, "load_timestamp"
             )
-            dio.atomic_overwrite(merged, target_path)
         else:
-            dio.write_staging(staged, target_path)
+            backend.create(staged, target_path)
 
         _audit(count, "SUCCESS")
         return PipelineResult(feed.name, "SUCCESS", count, issues)

@@ -28,6 +28,11 @@ SKEW_CONFS = {
     # force a shuffled join (no broadcast) and make the tiny hot
     # bucket register as skewed
     "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # pin the partition count the size thresholds below are tuned
+    # for — catalog tests retune shuffle.partitions session-wide
+    # (plans.common.ensure_session_confs), and at higher counts the
+    # hot bucket no longer crosses the detector's median-based bar
+    "spark.sql.shuffle.partitions": "8",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",

@@ -87,26 +87,23 @@ def with_minhash(df: DataFrame, n_hashes: int = 16, seed: int = 42) -> DataFrame
     return base.withColumn("minhash", sig).drop("_ph")
 
 
-def minhash_candidate_pairs(
+def with_band_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate
-    pairs; estimated Jaccard = fraction of matching minhashes.
-
-    The band join is a plain equi-join on (band_id, band_hash) —
-    shuffle partitions by bucket, no all-pairs blowup. The band hash
-    is the portable 60-bit hash of the dash-joined band values, so
-    the DuckDB oracle reproduces the exact candidate set. Output:
-    (id_a < id_b, est_jaccard).
-    """
+    """Banded LSH relation: one row per (doc, band) with the band's
+    bucket hash — ``(_id, minhash, band_id, band_hash)``. The band
+    hash is the portable 60-bit hash of the dash-joined band values,
+    so the DuckDB oracle reproduces the exact buckets. Map-side only;
+    this is the relation a 100 TB pipeline persists as its signature
+    table."""
     band_str = (
         f"array_join(transform(slice(minhash, {{start}}, {rows_per_band}), "
         "x -> cast(x as string)), '-')"
     )
-    banded = df.select(
+    return df.select(
         F.col(id_col).alias("_id"),
         F.col("minhash"),
         F.explode(
@@ -124,6 +121,21 @@ def minhash_candidate_pairs(
         ).alias("band"),
     ).select("_id", "minhash", "band.band_id", "band.band_hash")
 
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate
+    pairs; estimated Jaccard = fraction of matching minhashes.
+
+    The band join is a plain equi-join on (band_id, band_hash) —
+    shuffle partitions by bucket, no all-pairs blowup. Output:
+    (id_a < id_b, est_jaccard).
+    """
+    banded = with_band_buckets(df, id_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -144,6 +156,51 @@ def minhash_candidate_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
+
+
+def incremental_neardup_filter(
+    new: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental ingestion dedup: drop NEW-batch docs that are
+    exact or near-duplicates of the EXISTING corpus (share any
+    MinHash band bucket — the same collision rule as
+    ``minhash_candidate_pairs``, so recall matches the batch
+    pipeline). Returns the surviving ``new`` rows unchanged.
+
+    Scale shape: both sides reduce to their banded bucket relations
+    map-side; the existing side ships only DISTINCT
+    ``(band_id, band_hash)`` keys — at 100 TB that signature table is
+    precomputed once per corpus version and reused every ingest, so
+    each incremental batch costs one bucket equi-join against keys,
+    never a rescan of corpus text and never an all-pairs comparison.
+    Within-batch duplicates are left to the batch operators
+    (``minhash_candidate_pairs`` on the survivors).
+    """
+
+    def banded(df: DataFrame) -> DataFrame:
+        return with_band_buckets(
+            with_minhash(with_shingles(df, text_col, shingle_n), n_hashes, seed),
+            id_col,
+            bands,
+            rows_per_band,
+        )
+
+    new_bands = banded(new).select("_id", "band_id", "band_hash")
+    existing_keys = banded(existing).select("band_id", "band_hash").distinct()
+    hit_ids = (
+        new_bands.join(existing_keys, ["band_id", "band_hash"], "left_semi")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    return new.join(hit_ids, id_col, "left_anti")
 
 
 def exact_jaccard_pairs(

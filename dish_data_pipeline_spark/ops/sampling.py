@@ -70,6 +70,54 @@ def stratified_sample(
     return df.filter(F.expr(f"({h}) % {SAMPLE_DENOM} < {threshold}"))
 
 
+def mixture_case_sql(strata_col: str, weights: Mapping[str, float]) -> str:
+    """CASE expr mapping stratum → target weight (shared verbatim by
+    the Spark plan and the DuckDB oracle)."""
+    cases = " ".join(
+        f"WHEN {_sql_str(s)} THEN CAST({float(w)!r} AS DOUBLE)"
+        for s, w in sorted(weights.items())
+    )
+    return f"CASE {strata_col} {cases} ELSE CAST(0.0 AS DOUBLE) END"
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: Mapping[str, float],
+    out_rows: int,
+    key_cols: Sequence[str],
+    salt: str = "mix",
+) -> DataFrame:
+    """Sample toward a TARGET mixture (e.g. 40% en / 30% de / 30% fr
+    of a ~``out_rows``-doc corpus): per-stratum keep rate =
+    ``min(1, weight × out_rows / observed_count)``, so over-represented
+    strata are downsampled and scarce ones kept whole.
+
+    Unlike ``stratified_sample`` (caller supplies rates), the rates
+    here derive from the data — and they derive INSIDE the plan: a
+    per-stratum count aggregate (map-side combined, tiny output)
+    broadcast-joined back onto the corpus. No driver collect, no
+    second pass over the data, membership still a pure function of
+    the row key (reproducible across runs/engines/cluster sizes).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    w_case = mixture_case_sql(strata_col, weights)
+    # explicit floor before the integral cast: Spark truncates
+    # double→bigint but DuckDB ROUNDS, so the cast alone would
+    # disagree; floor() then cast agrees everywhere
+    thresh = F.expr(
+        f"least({SAMPLE_DENOM}, CAST(floor("
+        f"{w_case} * {int(out_rows)} * {SAMPLE_DENOM} / _n) AS BIGINT))"
+    )
+    rates = counts.select(F.col(strata_col), thresh.alias("_thresh"))
+    h = spark_phash(f"concat_ws('|', {', '.join(key_cols)}, {_sql_str(salt)})")
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(F.expr(f"({h}) % {SAMPLE_DENOM} < _thresh"))
+        .drop("_thresh")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

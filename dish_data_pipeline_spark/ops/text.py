@@ -155,6 +155,116 @@ def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def top_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition statistics per document (Rae et al.
+    2021 §A1.1: a document dominated by one repeated n-gram is
+    boilerplate): the most frequent word n-gram, the fraction of
+    characters it covers, and the duplicate-n-gram occurrence
+    fraction.
+
+    Scale shape: explode n-grams → two-stage aggregation — a
+    partial-agg'd ``(doc, gram)`` count, then a per-doc rollup whose
+    top pick is ``max(struct(count, gram))`` (deterministic: highest
+    count, lexicographically-largest gram on ties; identical struct
+    comparison semantics in DuckDB ``max(struct_pack(...))``). Keys
+    are per-document, so reducer load is bounded by document length,
+    never corpus size. Documents with fewer than ``n`` tokens have no
+    n-gram and are absent from the output.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    # Spark's sequence(1, 0) counts DOWN — guard short docs to an
+    # explicit empty array.
+    grams = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n}))) "
+        "ELSE array() END"
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("_nchars"),
+        toks.alias("_toks"),
+    ).select(id_col, "_nchars", F.explode(grams).alias("gram"))
+    counts = exploded.groupBy(id_col, "gram").agg(
+        F.count("*").alias("gram_count"), F.first("_nchars").alias("_nchars")
+    )
+    rolled = counts.groupBy(id_col).agg(
+        F.max(
+            F.struct(F.col("gram_count").alias("c"), F.col("gram").alias("g"))
+        ).alias("_top"),
+        F.sum("gram_count").alias("n_ngrams"),
+        F.count("*").alias("n_distinct_ngrams"),
+        F.first("_nchars").alias("_nchars"),
+    )
+    return rolled.select(
+        id_col,
+        F.col("_top.g").alias("top_ngram"),
+        F.col("_top.c").alias("top_ngram_count"),
+        (
+            F.col("_top.c").cast("double")
+            * F.length("_top.g").cast("double")
+            / F.col("_nchars").cast("double")
+        ).alias("top_ngram_char_frac"),
+        F.col("n_ngrams"),
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_ngrams").cast("double")
+            / F.col("n_ngrams").cast("double")
+        ).alias("dup_ngram_frac"),
+    )
+
+
+def with_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_distinct_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher/C4-style document quality gate (Rae et al. 2021 §A1.1,
+    Raffel et al. 2020 §2.2) as pure column arithmetic: token-count
+    window, mean-token-length window, symbol-to-token ratio cap,
+    distinct-token-fraction floor. Emits one int flag per rule plus
+    the conjunction ``keep`` — callers filter or route on it.
+    Map-side only (0 shuffles), whole-stage-codegen'd."""
+    text = F.col(text_col)
+    toks = F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
+    n_tokens = F.size(toks).cast("bigint")
+    n_alnum = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
+    n_symbols = (
+        F.length(text) - F.length(F.regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+    ).cast("double")
+    denom = F.greatest(n_tokens, F.lit(1)).cast("double")
+    mean_len = n_alnum / denom
+    symbol_ratio = n_symbols / denom
+    distinct_frac = F.size(F.array_distinct(toks)).cast("double") / denom
+    ok_tokens = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+    ok_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    ok_symbol = symbol_ratio <= max_symbol_ratio
+    ok_distinct = distinct_frac >= min_distinct_frac
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", mean_len)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("distinct_frac", distinct_frac)
+        .withColumn("ok_tokens", ok_tokens.cast("int"))
+        .withColumn("ok_mean_len", ok_mean.cast("int"))
+        .withColumn("ok_symbol", ok_symbol.cast("int"))
+        .withColumn("ok_distinct", ok_distinct.cast("int"))
+        .withColumn(
+            "keep", (ok_tokens & ok_mean & ok_symbol & ok_distinct).cast("int")
+        )
+    )
+
+
 def quality_score(text_col: str = "text") -> Column:
     """Heuristic quality score in [0,1]: token-length sanity ×
     punctuation sanity. Pure arithmetic → oracle-exact."""

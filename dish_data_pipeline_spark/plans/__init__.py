@@ -25,12 +25,17 @@ _ALL: dict[str, QueryDef] = {
 
 # The driver checks entries in dict order under a bounded budget
 # (~50 rows per round), so the LEAST-driver-verified queries go
-# FIRST: these 13 gained oracles in round 2 but fell past the
-# round-2 budget and have zero driver rows (round-2 judge re-ran
-# the same gate locally on all 13 — green — but the official
-# scoreboard should certify them itself). The 50 entries with two
-# rounds of green driver history follow.
+# FIRST: the round-3 additions (zero driver history), then the 13
+# that gained oracles in round 2 but fell past the round-2 budget
+# (round-2 judge re-ran the same gate locally on all 13 — green —
+# but the official scoreboard should certify them itself). The
+# entries with two rounds of green driver history follow.
 _DRIVER_UNCHECKED_HEAD = [
+    "repetition_stats",
+    "gopher_quality",
+    "contamination",
+    "corpus_mix",
+    "incremental_dedup",
     "multimodal_meta",
     "winnow_fingerprint",
     "minhash_neardup",

@@ -50,6 +50,7 @@ from dish_data_pipeline_spark.plans.oracle_ann import (
 )
 from dish_data_pipeline_spark.plans.oracle_dedup import (
     sql_dup_clusters,
+    sql_incremental_neardup,
     sql_minhash_neardup,
     sql_ngram_jaccard,
     sql_simhash_neardup,
@@ -330,6 +331,230 @@ SELECT doc_id,
        clean_text,
        CAST(LENGTH(text) - LENGTH(clean_text) AS BIGINT) AS n_chars_removed
 FROM c
+"""
+
+
+# --- Gopher-style repetition statistics ---------------------------
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent word bigram per doc + the character fraction it
+    covers + duplicate-bigram occurrence fraction (the Gopher
+    boilerplate signals, Rae et al. 2021 §A1.1)."""
+    from dish_data_pipeline_spark.ops.text import top_ngram_stats
+
+    return top_ngram_stats(read(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS nchars,
+         regexp_extract_all(text, '[A-Za-z0-9]+') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, nchars,
+         unnest(CASE WHEN len(t) >= 2 THEN
+            list_transform(generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i + 1])
+            ELSE [] END) AS gram
+  FROM toks),
+counts AS (
+  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS gram_count,
+         MIN(nchars) AS nchars
+  FROM grams GROUP BY doc_id, gram),
+rolled AS (
+  SELECT doc_id,
+         max(struct_pack(c := gram_count, g := gram)) AS top,
+         CAST(SUM(gram_count) AS BIGINT) AS n_ngrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         MIN(nchars) AS nchars
+  FROM counts GROUP BY doc_id)
+SELECT doc_id, top.g AS top_ngram, top.c AS top_ngram_count,
+       CAST(top.c AS DOUBLE) * CAST(LENGTH(top.g) AS DOUBLE)
+         / CAST(nchars AS DOUBLE) AS top_ngram_char_frac,
+       n_ngrams,
+       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+         AS dup_ngram_frac
+FROM rolled
+"""
+
+
+# --- Gopher/C4-style quality gate ---------------------------------
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule quality flags + conjunction keep bit (token-count
+    window, mean-token-length window, symbol ratio cap, distinct
+    fraction floor) — pure map-side column arithmetic."""
+    from dish_data_pipeline_spark.ops.text import with_quality_flags
+
+    return with_quality_flags(read(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_tokens", "mean_token_len", "symbol_ratio",
+        "distinct_frac", "ok_tokens", "ok_mean_len", "ok_symbol",
+        "ok_distinct", "keep",
+    )
+
+
+SQL_GOPHER_QUALITY = """
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+           AS n_tokens,
+         CAST(LENGTH(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+           AS n_alnum,
+         CAST(LENGTH(text)
+              - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+           AS DOUBLE) AS n_symbols,
+         CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')))
+           AS DOUBLE) AS n_distinct
+  FROM documents),
+m AS (
+  SELECT doc_id, lang, n_tokens,
+         n_alnum / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS mean_token_len,
+         n_symbols / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS symbol_ratio,
+         n_distinct / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS distinct_frac
+  FROM s)
+SELECT doc_id, lang, n_tokens, mean_token_len, symbol_ratio, distinct_frac,
+       CAST(n_tokens >= 10 AND n_tokens <= 100000 AS INT) AS ok_tokens,
+       CAST(mean_token_len >= 2.0 AND mean_token_len <= 12.0 AS INT)
+         AS ok_mean_len,
+       CAST(symbol_ratio <= 0.1 AS INT) AS ok_symbol,
+       CAST(distinct_frac >= 0.2 AS INT) AS ok_distinct,
+       CAST(n_tokens >= 10 AND n_tokens <= 100000
+            AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+            AND symbol_ratio <= 0.1 AND distinct_frac >= 0.2 AS INT) AS keep
+FROM m
+"""
+
+
+# --- Benchmark decontamination (n-gram collision) -----------------
+CONTAM_N = 5
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination report: corpus docs (doc_id % 10 != 0) vs a
+    benchmark split (doc_id % 10 == 0) — hashed word 5-gram
+    collisions via a broadcast semi-join (GPT-3 appendix C style
+    decontamination)."""
+    from dish_data_pipeline_spark.ops.contamination import contamination_report
+
+    d = read(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    return contamination_report(corpus, bench, n=CONTAM_N)
+
+
+def _sql_contamination(n: int = CONTAM_N) -> str:
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+
+    ghash = duck_phash(f"array_to_string(t[i:i + {n - 1}], ' ')")
+    grams = (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(generate_series(1, len(t) - {n - 1}), i -> {ghash}) "
+        "ELSE [] END"
+    )
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+ctok AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS t
+         FROM corpus),
+cg AS (SELECT doc_id, unnest({grams}) AS gram_hash FROM ctok),
+btok AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS t
+         FROM bench),
+bg AS (SELECT DISTINCT unnest({grams}) AS gram_hash FROM btok),
+perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+           FROM cg GROUP BY doc_id),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+         FROM cg WHERE gram_hash IN (SELECT gram_hash FROM bg)
+         GROUP BY doc_id)
+SELECT c.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+         / CAST(GREATEST(COALESCE(p.n_grams, 0), 1) AS DOUBLE)
+         AS contamination_frac,
+       CAST(COALESCE(h.n_contaminated, 0) > 0 AS INT) AS contaminated
+FROM corpus c
+LEFT JOIN perdoc p ON p.doc_id = c.doc_id
+LEFT JOIN hits h ON h.doc_id = c.doc_id
+"""
+
+
+# --- Target-mixture corpus sampling -------------------------------
+MIX_WEIGHTS = {"en": 0.5, "de": 0.3, "fr": 0.2}
+MIX_OUT_ROWS = 200
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample toward a target language mixture: per-stratum rates
+    derived from observed counts INSIDE the plan (broadcast count
+    join, no driver collect), hash-deterministic membership."""
+    from dish_data_pipeline_spark.ops.sampling import mixture_sample
+
+    d = read(spark, sf_dir, "documents")
+    return mixture_sample(
+        d, "lang", MIX_WEIGHTS, MIX_OUT_ROWS,
+        key_cols=["cast(doc_id as string)"],
+    ).select("doc_id", "lang")
+
+
+def _sql_corpus_mix() -> str:
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+    from dish_data_pipeline_spark.ops.sampling import (
+        SAMPLE_DENOM,
+        mixture_case_sql,
+    )
+
+    w_case = mixture_case_sql("lang", MIX_WEIGHTS)
+    h = duck_phash("concat_ws('|', cast(doc_id as string), 'mix')")
+    return f"""
+WITH counts AS (SELECT lang, COUNT(*) AS _n FROM documents GROUP BY lang),
+th AS (SELECT lang, LEAST({SAMPLE_DENOM}, CAST(floor(
+         {w_case} * {MIX_OUT_ROWS} * {SAMPLE_DENOM} / _n) AS BIGINT))
+         AS _thresh
+       FROM counts)
+SELECT d.doc_id, d.lang FROM documents d JOIN th ON th.lang = d.lang
+WHERE ({h}) % {SAMPLE_DENOM} < _thresh
+"""
+
+
+# --- Incremental (cross-corpus) near-dup filter -------------------
+def _new_batch(d: DataFrame) -> DataFrame:
+    """Synthetic ingest batch: exact copies of every 7th doc (must be
+    dropped against the existing corpus) + genuinely fresh docs built
+    from ids (must survive)."""
+    copies = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    fresh = d.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.lit("fresh unseen material "),
+            F.col("doc_id").cast("string"),
+            F.lit(" alpha beta gamma delta epsilon zeta"),
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return copies.unionByName(fresh)
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch docs surviving the MinHash band-bucket probe against
+    the existing corpus' signature keys (incremental ingest dedup —
+    the existing side never rescans text at ingest time)."""
+    from dish_data_pipeline_spark.ops.dedup_fuzzy import (
+        incremental_neardup_filter,
+    )
+
+    d = read(spark, sf_dir, "documents")
+    return incremental_neardup_filter(_new_batch(d), d).select("doc_id", "lang")
+
+
+SQL_NEW_BATCH = """
+SELECT doc_id + 200000 AS doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 300000 AS doc_id,
+       'fresh unseen material ' || CAST(doc_id AS VARCHAR)
+         || ' alpha beta gamma delta epsilon zeta' AS text,
+       lang, source, n_chars
+FROM documents WHERE doc_id % 3 = 1
 """
 
 
@@ -647,4 +872,25 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_text_clean, _sql_text_clean(),
         "text normalization: strip URLs/e-mails/control chars, collapse whitespace",
         ("text",)),
+    "repetition_stats": QueryDef(
+        q_repetition_stats, SQL_REPETITION_STATS,
+        "Gopher repetition signals: top word bigram + char/dup fractions",
+        ("text", "quality")),
+    "gopher_quality": QueryDef(
+        q_gopher_quality, SQL_GOPHER_QUALITY,
+        "Gopher/C4 quality gate: per-rule flags + keep bit",
+        ("text", "quality")),
+    "contamination": QueryDef(
+        q_contamination, _sql_contamination(),
+        "benchmark decontamination: hashed 5-gram collisions, broadcast semi-join",
+        ("text", "dedup")),
+    "corpus_mix": QueryDef(
+        q_corpus_mix, _sql_corpus_mix(),
+        "target-mixture sampling: rates derived in-plan from stratum counts",
+        ("sampling", "text")),
+    "incremental_dedup": QueryDef(
+        q_incremental_dedup,
+        sql_incremental_neardup(SQL_NEW_BATCH, "SELECT * FROM documents"),
+        "incremental ingest dedup: band-bucket probe vs existing corpus",
+        ("dedup", "lsh")),
 }

@@ -18,17 +18,20 @@ from dish_data_pipeline_spark.ops.portable import duck_phash, perm_coeffs, perm_
 TOKEN_RE_SQL = "[A-Za-z0-9]+"
 
 
-def minhash_pipeline_ctes(
+def minhash_banded_ctes(
     corpus_sql: str,
+    prefix: str = "",
     n_hashes: int = 16,
     seed: int = 42,
     shingle_n: int = 3,
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> str:
-    """CTE chain ending in ``scored(id_a, id_b, est_jaccard,
-    jaccard)`` — the twin of with_shingles → with_minhash →
-    minhash_candidate_pairs → exact_jaccard_pairs."""
+    """CTE chain ending in ``{prefix}banded(doc_id, minhash, band_id,
+    band_hash)`` — the twin of with_shingles → with_minhash →
+    with_band_buckets. ``prefix`` lets one query band two corpora
+    (incremental dedup)."""
+    p = prefix
     # shingles: n-token windows; < n tokens → one joined shingle.
     # (x, i) lambda indices are 1-based; out-of-range slots yield
     # NULL, which list_distinct drops (Spark never emits them).
@@ -49,19 +52,36 @@ def minhash_pipeline_ctes(
     hi = f"(band_id * {rows_per_band} + {rows_per_band})"
     band_str = f"array_to_string(minhash[{lo}:{hi}], '-')"
     return f"""
-corpus AS ({corpus_sql}),
-tok AS (
-  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks FROM corpus),
-sh AS (
-  SELECT doc_id, {shingle_expr} AS shingles FROM tok),
-ph AS (
+{p}corpus AS ({corpus_sql}),
+{p}tok AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks FROM {p}corpus),
+{p}sh AS (
+  SELECT doc_id, {shingle_expr} AS shingles FROM {p}tok),
+{p}ph AS (
   SELECT doc_id, shingles, list_transform(shingles, s -> {duck_phash('s')}) AS ph
-  FROM sh),
-sig AS (
-  SELECT doc_id, shingles, [{sig_exprs}] AS minhash FROM ph),
-banded AS (
+  FROM {p}sh),
+{p}sig AS (
+  SELECT doc_id, shingles, [{sig_exprs}] AS minhash FROM {p}ph),
+{p}banded AS (
   SELECT doc_id, minhash, band_id, {duck_phash(band_str)} AS band_hash
-  FROM sig CROSS JOIN (SELECT unnest([{band_ids}]) AS band_id)),
+  FROM {p}sig CROSS JOIN (SELECT unnest([{band_ids}]) AS band_id)),"""
+
+
+def minhash_pipeline_ctes(
+    corpus_sql: str,
+    n_hashes: int = 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> str:
+    """CTE chain ending in ``scored(id_a, id_b, est_jaccard,
+    jaccard)`` — the twin of with_shingles → with_minhash →
+    minhash_candidate_pairs → exact_jaccard_pairs."""
+    head = minhash_banded_ctes(
+        corpus_sql, "", n_hashes, seed, shingle_n, bands, rows_per_band
+    )
+    return head + f"""
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
@@ -95,6 +115,24 @@ def sql_ngram_jaccard(corpus_sql: str) -> str:
     return (
         "WITH " + minhash_pipeline_ctes(corpus_sql)
         + "SELECT id_a, id_b, est_jaccard, jaccard FROM scored"
+    )
+
+
+def sql_incremental_neardup(new_sql: str, existing_sql: str) -> str:
+    """Twin of ``incremental_neardup_filter``: NEW docs surviving the
+    band-bucket probe against the EXISTING corpus' signature keys."""
+    return (
+        "WITH "
+        + minhash_banded_ctes(new_sql, "n_")
+        + minhash_banded_ctes(existing_sql, "e_")
+        + """
+hits AS (
+  SELECT DISTINCT nb.doc_id FROM n_banded nb
+  JOIN (SELECT DISTINCT band_id, band_hash FROM e_banded) eb
+    ON nb.band_id = eb.band_id AND nb.band_hash = eb.band_hash)
+SELECT c.doc_id, c.lang FROM n_corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM hits)
+"""
     )
 
 

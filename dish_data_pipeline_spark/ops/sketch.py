@@ -1,0 +1,97 @@
+"""KMV (k-minimum-values) distinct-count sketch — Bar-Yossef et al.
+2002's bottom-k estimator: hash every value, keep the k smallest
+distinct hashes per group; with ``h_k`` the k-th smallest over a hash
+space of size ``2^60``, the distinct count is ``(k-1) * 2^60 / h_k``
+(exact count when the group has fewer than k distinct values).
+
+Why KMV and not HyperLogLog here: the estimator is PURE integer/
+double arithmetic on the portable 60-bit hash, so the DuckDB oracle
+reproduces the sketch — including its estimation error — bit for
+bit, upgrading an "approximate" operator to full value-hash
+verification. (HLL's register/rho extraction needs bit-position
+intrinsics whose engine-side roundings are not portable; Spark's own
+``approx_count_distinct`` IS HLL and is the right choice when no
+cross-engine determinism is required.)
+
+Scale shape: hashing is map-side; the DISTINCT on (group, hash) is
+one hash-partitioned shuffle with partial aggregation; the k-th
+smallest per group is a per-group sort of the ALREADY-DEDUPED hash
+relation. For very-high-cardinality groups the production refinement
+is a per-partition bottom-k pre-prune (keep each partition's k
+smallest before the shuffle — the global bottom-k is a subset of the
+union of partition bottom-ks), which bounds the sorted relation at
+``k × partitions`` rows per group; at catalog scale the plain window
+is the simpler, equally-correct plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dish_data_pipeline_spark.ops.portable import spark_phash
+
+HASH_SPACE = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_sql: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimate of ``value_sql`` (a SQL
+    expression). Returns ``(group, n_distinct, est_distinct)`` where
+    ``n_distinct`` is the exact distinct-hash count (the verification
+    yardstick) and ``est_distinct`` the KMV estimate."""
+    hashed = df.selectExpr(
+        group_col, f"{spark_phash(value_sql)} AS _h"
+    ).distinct()
+    exact = hashed.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    w = Window.partitionBy(group_col).orderBy("_h")
+    kth = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == k)
+        .select(group_col, F.col("_h").alias("_kth"))
+    )
+    est = F.when(
+        F.col("_kth").isNull(), F.col("n_distinct").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("_kth").cast("double")
+    )
+    return (
+        exact.join(kth, group_col, "left")
+        .select(group_col, "n_distinct", est.alias("est_distinct"))
+    )
+
+
+def kmv_distinct_sql(
+    source_sql: str, group_col: str, value_sql_duck: str, k: int = 64
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct` — same hash, same rank,
+    same double arithmetic, hence bit-identical estimates.
+    ``source_sql`` must yield the group column and whatever
+    ``value_sql_duck`` references."""
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+
+    return f"""
+WITH src AS ({source_sql}),
+hashed AS (
+  SELECT DISTINCT {group_col}, {duck_phash(value_sql_duck)} AS h FROM src),
+exact AS (
+  SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM hashed GROUP BY {group_col}),
+ranked AS (
+  SELECT {group_col}, h,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+  FROM hashed),
+kth AS (SELECT {group_col}, h AS kth FROM ranked WHERE rn = {k})
+SELECT e.{group_col}, e.n_distinct,
+       CASE WHEN k.kth IS NULL THEN CAST(e.n_distinct AS DOUBLE)
+            ELSE CAST({float(k - 1)!r} AS DOUBLE)
+                 * CAST({HASH_SPACE!r} AS DOUBLE) / CAST(k.kth AS DOUBLE)
+       END AS est_distinct
+FROM exact e LEFT JOIN kth k ON k.{group_col} = e.{group_col}
+"""

@@ -155,6 +155,33 @@ def clean_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{1,3}[- ]?[0-9]{3}[- ]?[0-9]{3}[- ]?[0-9]{2,4}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: replace e-mail addresses,
+    IPv4 addresses, and international-format phone numbers with typed
+    placeholders (``<EMAIL>``/``<IP>``/``<PHONE>``), and emit per-doc
+    match counts for the redaction audit. Patterns stay in the
+    Java∩RE2 regex subset so the DuckDB oracle replicates them
+    literally. Order matters: e-mails first (their dotted domains
+    would otherwise partially match the IP pattern). Pure
+    ``regexp_replace``/``regexp_extract_all`` chain — map-side,
+    codegen'd, 0 shuffles."""
+    text = F.col(text_col)
+    n = lambda pat: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint")  # noqa: E731
+    red = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", n(EMAIL_RE))
+        .withColumn("n_ips", n(IPV4_RE))
+        .withColumn("n_phones", n(PHONE_RE))
+        .withColumn("text_redacted", red)
+    )
+
+
 def top_ngram_stats(
     df: DataFrame,
     id_col: str = "doc_id",

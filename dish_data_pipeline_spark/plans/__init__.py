@@ -31,6 +31,9 @@ _ALL: dict[str, QueryDef] = {
 # but the official scoreboard should certify them itself). The
 # entries with two rounds of green driver history follow.
 _DRIVER_UNCHECKED_HEAD = [
+    "segment_dedup",
+    "pii_redaction",
+    "distinct_sketch",
     "repetition_stats",
     "gopher_quality",
     "contamination",

@@ -558,6 +558,144 @@ FROM documents WHERE doc_id % 3 = 1
 """
 
 
+# --- Segment-level exact dedup ------------------------------------
+SEG_TOKENS = 10
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip 10-token segments duplicated across documents (keep-first
+    in the lowest doc_id) and reassemble the surviving text — CCNet
+    paragraph-dedup over fixed token windows. Runs on the
+    planted-duplicate corpus so whole documents genuinely empty out."""
+    from dish_data_pipeline_spark.ops.segments import segment_dedup
+
+    return segment_dedup(
+        _docs_with_dupes(spark, sf_dir), seg_tokens=SEG_TOKENS
+    )
+
+
+def _sql_segment_dedup(k: int = SEG_TOKENS) -> str:
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+
+    return f"""
+WITH corpus AS ({SQL_DOCS_WITH_DUPES}),
+tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS t FROM corpus),
+posn AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, CAST(ceil(len(t) / {k}.0) AS BIGINT) - 1))
+           AS pos
+  FROM tok),
+seg AS (
+  SELECT doc_id, pos,
+         array_to_string(t[pos * {k} + 1:pos * {k} + {k}], ' ') AS seg
+  FROM posn),
+sh AS (SELECT doc_id, pos, seg, {duck_phash('seg')} AS seg_hash FROM seg),
+census AS (
+  SELECT seg_hash, COUNT(DISTINCT doc_id) AS n_docs,
+         MIN(doc_id) AS first_doc
+  FROM sh GROUP BY seg_hash),
+kept AS (
+  SELECT s.doc_id, string_agg(s.seg, ' ' ORDER BY s.pos) AS text_deduped,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM sh s JOIN census c ON c.seg_hash = s.seg_hash
+  WHERE c.n_docs <= 1 OR s.doc_id = c.first_doc
+  GROUP BY s.doc_id),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments
+  FROM sh GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(kp.text_deduped, '') AS text_deduped,
+       COALESCE(t.n_segments, 0) AS n_segments,
+       COALESCE(kp.n_kept, 0) AS n_kept
+FROM corpus d
+LEFT JOIN totals t ON t.doc_id = d.doc_id
+LEFT JOIN kept kp ON kp.doc_id = d.doc_id
+"""
+
+
+# --- PII redaction ------------------------------------------------
+# Synthetic PII planted from doc_id (the corpus itself has none):
+# identical SQL string evaluated by Spark and DuckDB.
+PII_AUG_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' "
+    "|| CAST(doc_id AS STRING) || '@mail.example.com' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' from host 10.0.' "
+    "|| CAST(doc_id % 256 AS STRING) || '.' || CAST(doc_id % 100 AS STRING) "
+    "ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN ' call +49 170 ' "
+    "|| lpad(CAST(doc_id % 1000000 AS STRING), 6, '0') ELSE '' END"
+)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact planted e-mails / IPv4s / phone numbers with typed
+    placeholders and count matches per doc (map-side regexp chain)."""
+    from dish_data_pipeline_spark.ops.text import redact_pii
+
+    d = read(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(PII_AUG_SQL)
+    )
+    return redact_pii(d).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "text_redacted"
+    )
+
+
+def _sql_pii_redaction() -> str:
+    from dish_data_pipeline_spark.ops.text import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{IPV4_RE}', '<IP>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return f"""
+WITH aug AS (SELECT doc_id, {PII_AUG_SQL} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       {red} AS text_redacted
+FROM aug
+"""
+
+
+# --- KMV distinct-count sketch ------------------------------------
+KMV_K = 64
+
+
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct trigram count, exact AND KMV-estimated —
+    the sketch arithmetic is bit-identical in the DuckDB oracle, so
+    the approximation itself is verified, not just bounded."""
+    from dish_data_pipeline_spark.ops.sketch import kmv_distinct
+
+    d = read(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.expr(
+            "explode(CASE WHEN size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) >= 3 "
+            "THEN transform(sequence(1, size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) - 2), "
+            "i -> concat_ws(' ', slice(regexp_extract_all(text, '[A-Za-z0-9]+', 0), i, 3))) "
+            "ELSE array() END)"
+        ).alias("gram"),
+    )
+    return kmv_distinct(grams, "lang", "gram", k=KMV_K)
+
+
+def _sql_distinct_sketch() -> str:
+    from dish_data_pipeline_spark.ops.sketch import kmv_distinct_sql
+
+    src = (
+        "SELECT lang, unnest(list_transform(generate_series(1, "
+        "len(regexp_extract_all(text, '[A-Za-z0-9]+')) - 2), "
+        "i -> array_to_string(regexp_extract_all(text, '[A-Za-z0-9]+')"
+        "[i:i + 2], ' '))) AS gram FROM documents"
+    )
+    return kmv_distinct_sql(src, "lang", "gram", k=KMV_K)
+
+
 # --- Deterministic stratified sampling ----------------------------
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
 
@@ -893,4 +1031,16 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         sql_incremental_neardup(SQL_NEW_BATCH, "SELECT * FROM documents"),
         "incremental ingest dedup: band-bucket probe vs existing corpus",
         ("dedup", "lsh")),
+    "segment_dedup": QueryDef(
+        q_segment_dedup, _sql_segment_dedup(),
+        "segment-level exact dedup: strip cross-doc duplicate token chunks",
+        ("dedup", "text")),
+    "pii_redaction": QueryDef(
+        q_pii_redaction, _sql_pii_redaction(),
+        "PII redaction: e-mail/IP/phone placeholders + audit counts",
+        ("text", "quality")),
+    "distinct_sketch": QueryDef(
+        q_distinct_sketch, _sql_distinct_sketch(),
+        "KMV distinct-count sketch, estimate bit-identical to oracle",
+        ("sketch", "text")),
 }

@@ -1,0 +1,111 @@
+"""Unit tests for segment-level dedup, PII redaction, and the KMV
+distinct-count sketch. Planted cases with hand-computed
+expectations; sf0.01 oracle equivalence is covered by the catalog
+gate (tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from dish_data_pipeline_spark.ops.portable import py_phash
+from dish_data_pipeline_spark.ops.segments import segment_dedup
+from dish_data_pipeline_spark.ops.sketch import kmv_distinct
+from dish_data_pipeline_spark.ops.text import redact_pii
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows]
+    )
+
+
+# --- segment_dedup ------------------------------------------------
+SEG = "one two three four"  # a full 4-token segment
+
+
+def test_segment_dedup_keep_first(spark):
+    # doc 1 and doc 2 share segment SEG; doc 1 (smaller id) keeps it
+    df = _docs(
+        spark,
+        [
+            (1, SEG + " alpha beta gamma delta"),
+            (2, SEG + " epsilon zeta eta theta"),
+            (3, "totally different words here"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in segment_dedup(df, seg_tokens=4, max_docs=1).collect()
+    }
+    assert out[1].text_deduped == SEG + " alpha beta gamma delta"
+    assert out[1].n_segments == 2 and out[1].n_kept == 2
+    assert out[2].text_deduped == "epsilon zeta eta theta"
+    assert out[2].n_segments == 2 and out[2].n_kept == 1
+    assert out[3].text_deduped == "totally different words here"
+
+
+def test_segment_dedup_empties_exact_copy(spark):
+    # doc 9 is an exact copy of doc 1 → every segment stripped,
+    # row survives with empty text (quality gate decides, not us)
+    df = _docs(spark, [(1, SEG), (9, SEG)])
+    out = {r.doc_id: r for r in segment_dedup(df, seg_tokens=4).collect()}
+    assert out[1].text_deduped == SEG
+    assert out[9].text_deduped == "" and out[9].n_kept == 0
+    assert out[9].n_segments == 1
+
+
+def test_segment_dedup_partial_tail_and_order(spark):
+    # 6 tokens at seg_tokens=4 → segments "a b c d" and "e f";
+    # reassembly must restore original order
+    df = _docs(spark, [(1, "a b c d e f")])
+    row = segment_dedup(df, seg_tokens=4).collect()[0]
+    assert row.text_deduped == "a b c d e f"
+    assert row.n_segments == 2 and row.n_kept == 2
+
+
+# --- redact_pii ---------------------------------------------------
+def test_redact_pii_planted(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at bob.smith+x@corp.example.org today"),
+            (2, "server 192.168.1.254 and peer 10.0.0.7"),
+            (3, "call +49 170 123456 now"),
+            (4, "nothing sensitive here"),
+        ],
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_emails == 1 and out[1].text_redacted == (
+        "mail me at <EMAIL> today"
+    )
+    assert out[2].n_ips == 2 and out[2].text_redacted == (
+        "server <IP> and peer <IP>"
+    )
+    assert out[3].n_phones == 1 and out[3].text_redacted == (
+        "call <PHONE> now"
+    )
+    r4 = out[4]
+    assert (r4.n_emails, r4.n_ips, r4.n_phones) == (0, 0, 0)
+    assert r4.text_redacted == "nothing sensitive here"
+
+
+# --- kmv_distinct -------------------------------------------------
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=f"x{i}") for i in range(10)]
+        + [Row(g="a", v="x0")]  # duplicate must not inflate
+    )
+    row = kmv_distinct(df, "g", "v", k=64).collect()[0]
+    assert row.n_distinct == 10
+    assert row.est_distinct == 10.0  # below k → exact
+
+
+def test_kmv_estimate_matches_python_twin(spark):
+    values = [f"val-{i}" for i in range(500)]
+    df = spark.createDataFrame([Row(g="a", v=v) for v in values])
+    row = kmv_distinct(df, "g", "v", k=32).collect()[0]
+    assert row.n_distinct == 500
+    kth = sorted({py_phash(v) for v in values})[31]
+    expected = 31.0 * float(1 << 60) / float(kth)
+    assert row.est_distinct == expected  # bit-identical arithmetic
+    assert abs(row.est_distinct - 500) / 500 < 0.5  # sane accuracy

@@ -31,6 +31,10 @@ _ALL: dict[str, QueryDef] = {
 # but the official scoreboard should certify them itself). The
 # entries with two rounds of green driver history follow.
 _DRIVER_UNCHECKED_HEAD = [
+    "corpus_pipeline",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
     "segment_dedup",
     "pii_redaction",
     "distinct_sketch",

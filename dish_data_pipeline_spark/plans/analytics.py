@@ -218,6 +218,170 @@ WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
 """
 
 
+# --- TPC-H Q7 shape: volume shipping between two nations ----------
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade: revenue shipped between NATION_1 suppliers
+    and NATION_2 customers (both directions) by ship year. Six-way
+    join; nation dims broadcast twice under different aliases, the
+    pair filter prunes before the aggregate."""
+    li = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+    s = read(spark, sf_dir, "supplier")
+    n = read(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("_sk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("_ck"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+SQL_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+# --- TPC-H Q8 shape: national market share ------------------------
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of EUROPE's PROMO-part order volume per
+    year: conditional decimal sum over total decimal sum, one IEEE
+    division at the end (deterministic under any partitioning)."""
+    li = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+    s = read(spark, sf_dir, "supplier")
+    p = read(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_regionkey")
+    )
+    r = read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n2 = read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("_ck"))
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("_sk"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            dsum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0)
+            ).alias("nation_volume"),
+            dsum(vol).alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = f"""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'EUROPE')
+SELECT o_year,
+       {sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END")}
+         AS nation_volume,
+       {sql_dsum('vol')} AS total_volume,
+       {sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END")}
+         / {sql_dsum('vol')} AS mkt_share
+FROM base GROUP BY o_year
+"""
+
+
+# --- TPC-H Q9 shape: product-line profit by nation ----------------
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on SMALL-type parts by supplier nation and order year
+    (Q9 minus the partsupp supply-cost leg — the table the testdata
+    doesn't carry)."""
+    li = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders")
+    s = read(spark, sf_dir, "supplier")
+    p = read(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    n = read(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+SQL_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'SMALL'
+GROUP BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES: dict[str, QueryDef] = {
     "large_orders": QueryDef(
         q_large_orders, SQL_LARGE_ORDERS,
@@ -238,4 +402,16 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
     "sessionize": QueryDef(
         q_sessionize, SQL_SESSIONIZE,
         "gap-based batch sessionization (lag + cumsum)", ("window", "session")),
+    "volume_shipping": QueryDef(
+        q_volume_shipping, SQL_VOLUME_SHIPPING,
+        "TPC-H Q7 shape: bilateral nation trade by ship year",
+        ("join", "agg")),
+    "market_share": QueryDef(
+        q_market_share, SQL_MARKET_SHARE,
+        "TPC-H Q8 shape: national market share ratio per year",
+        ("join", "agg")),
+    "product_profit": QueryDef(
+        q_product_profit, SQL_PRODUCT_PROFIT,
+        "TPC-H Q9 shape: product-line profit by nation and year",
+        ("join", "agg")),
 }

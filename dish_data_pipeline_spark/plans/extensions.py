@@ -696,6 +696,93 @@ def _sql_distinct_sketch() -> str:
     return kmv_distinct_sql(src, "lang", "gram", k=KMV_K)
 
 
+# --- Composed corpus-preparation pipeline -------------------------
+PIPE_OUT_ROWS = 150
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-preparation flow a training run needs,
+    composed from the catalog's own operators: Gopher quality gate →
+    benchmark decontamination (5-gram collision) → target-mixture
+    sampling. Every stage is the SAME operator its standalone query
+    uses, so this verifies composition, not new logic. Complements
+    ``training_corpus`` (the dedup-centric composition)."""
+    from dish_data_pipeline_spark.ops.contamination import decontaminate
+    from dish_data_pipeline_spark.ops.sampling import mixture_sample
+    from dish_data_pipeline_spark.ops.text import with_quality_flags
+
+    d = read(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    gated = (
+        with_quality_flags(corpus)
+        .filter(F.col("keep") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    clean = decontaminate(gated, bench, n=CONTAM_N)
+    return mixture_sample(
+        clean, "lang", MIX_WEIGHTS, PIPE_OUT_ROWS,
+        key_cols=["cast(doc_id as string)"], salt="pipe",
+    ).select("doc_id", "lang")
+
+
+def _sql_corpus_pipeline() -> str:
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+    from dish_data_pipeline_spark.ops.sampling import (
+        SAMPLE_DENOM,
+        mixture_case_sql,
+    )
+
+    n = CONTAM_N
+    ghash = duck_phash(f"array_to_string(t[i:i + {n - 1}], ' ')")
+    grams = (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(generate_series(1, len(t) - {n - 1}), i -> {ghash}) "
+        "ELSE [] END"
+    )
+    w_case = mixture_case_sql("lang", MIX_WEIGHTS)
+    h = duck_phash("concat_ws('|', cast(doc_id as string), 'pipe')")
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+           AS n_tokens,
+         CAST(LENGTH(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+           AS n_alnum,
+         CAST(LENGTH(text)
+              - LENGTH(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+           AS DOUBLE) AS n_symbols,
+         CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')))
+           AS DOUBLE) AS n_distinct
+  FROM documents WHERE doc_id % 10 != 0),
+gated AS (
+  SELECT doc_id, lang, text FROM q
+  WHERE n_tokens >= 10 AND n_tokens <= 100000
+    AND n_alnum / CAST(GREATEST(n_tokens, 1) AS DOUBLE) >= 2.0
+    AND n_alnum / CAST(GREATEST(n_tokens, 1) AS DOUBLE) <= 12.0
+    AND n_symbols / CAST(GREATEST(n_tokens, 1) AS DOUBLE) <= 0.1
+    AND n_distinct / CAST(GREATEST(n_tokens, 1) AS DOUBLE) >= 0.2),
+ctok AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS t
+         FROM gated),
+cg AS (SELECT doc_id, unnest({grams}) AS gram_hash FROM ctok),
+btok AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS t
+         FROM documents WHERE doc_id % 10 = 0),
+bg AS (SELECT DISTINCT unnest({grams}) AS gram_hash FROM btok),
+hits AS (SELECT DISTINCT doc_id FROM cg
+         WHERE gram_hash IN (SELECT gram_hash FROM bg)),
+clean AS (
+  SELECT g.* FROM gated g
+  WHERE g.doc_id NOT IN (SELECT doc_id FROM hits)),
+counts AS (SELECT lang, COUNT(*) AS _n FROM clean GROUP BY lang),
+th AS (SELECT lang, LEAST({SAMPLE_DENOM}, CAST(floor(
+         {w_case} * {PIPE_OUT_ROWS} * {SAMPLE_DENOM} / _n) AS BIGINT))
+         AS _thresh
+       FROM counts)
+SELECT c.doc_id, c.lang FROM clean c JOIN th ON th.lang = c.lang
+WHERE ({h}) % {SAMPLE_DENOM} < _thresh
+"""
+
+
 # --- Deterministic stratified sampling ----------------------------
 SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
 
@@ -1043,4 +1130,8 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_distinct_sketch, _sql_distinct_sketch(),
         "KMV distinct-count sketch, estimate bit-identical to oracle",
         ("sketch", "text")),
+    "corpus_pipeline": QueryDef(
+        q_corpus_pipeline, _sql_corpus_pipeline(),
+        "composed flow: quality gate -> decontaminate -> mixture sample",
+        ("text", "sampling", "dedup")),
 }

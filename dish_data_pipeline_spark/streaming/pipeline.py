@@ -110,6 +110,44 @@ def stream_dedup_exact(
     )
 
 
+def stream_incremental_neardup(
+    stream_df: DataFrame,
+    existing_corpus: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming tier of ``ops.dedup_fuzzy.incremental_neardup_filter``:
+    each micro-batch of newly-ingested docs probes the EXISTING
+    corpus' MinHash band buckets and only band-clean survivors reach
+    the sink. foreachBatch reuses the batch operator verbatim, so the
+    collision rule (and its oracle-verified recall) is identical in
+    both tiers; the existing side reduces to its DISTINCT signature
+    keys once per batch — at scale that signature table is a
+    precomputed relation, making each batch one bucket equi-join,
+    never a corpus rescan. Checkpointing makes replays idempotent
+    (a re-delivered batch re-filters to the same survivors).
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from dish_data_pipeline_spark.ops.dedup_fuzzy import (
+        incremental_neardup_filter,
+    )
+
+    def do_filter(batch: DataFrame, batch_id: int) -> None:
+        survivors = incremental_neardup_filter(
+            batch, existing_corpus, id_col=id_col, text_col=text_col
+        )
+        survivors.write.mode("append").parquet(sink_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(do_filter)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_upsert_to_target(
     stream_df: DataFrame,
     target_path: str,

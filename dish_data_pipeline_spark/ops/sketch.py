@@ -67,6 +67,100 @@ def kmv_distinct(
     )
 
 
+def kmv_merge_distinct(
+    df: DataFrame,
+    outer_group: str,
+    inner_group: str,
+    value_sql: str,
+    k: int = 64,
+) -> DataFrame:
+    """Distributed-sketch estimate: build a bottom-k sketch per
+    ``(outer, inner)`` partition, then MERGE the per-partition
+    sketches into one estimate per ``outer`` group. KMV merges
+    losslessly — the union of per-partition bottom-k sets contains
+    the global bottom-k (any hash among the k smallest globally is
+    among the k smallest of its own partition) — so the merged
+    estimate EQUALS the single-pass estimate, which is the property
+    that lets a 1000-executor corpus scan ship k values per
+    partition instead of re-scanning data (tested exactly in
+    ``tests/test_round3_properties.py``-style unit tests).
+
+    Returns ``(outer, n_partitions, est_distinct)``."""
+    hashed = df.selectExpr(
+        outer_group, inner_group, f"{spark_phash(value_sql)} AS _h"
+    ).distinct()
+    w_part = Window.partitionBy(outer_group, inner_group).orderBy("_h")
+    sketches = hashed.withColumn("_rn", F.row_number().over(w_part)).filter(
+        F.col("_rn") <= k
+    )
+    n_parts = sketches.groupBy(outer_group).agg(
+        F.countDistinct(inner_group).alias("n_partitions")
+    )
+    merged = sketches.select(outer_group, "_h").distinct()
+    w_outer = Window.partitionBy(outer_group).orderBy("_h")
+    ranked = merged.withColumn("_rn", F.row_number().over(w_outer))
+    counts = ranked.groupBy(outer_group).agg(F.count(F.lit(1)).alias("_n"))
+    kth = ranked.filter(F.col("_rn") == k).select(
+        outer_group, F.col("_h").alias("_kth")
+    )
+    est = F.when(
+        F.col("_kth").isNull(), F.col("_n").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("_kth").cast("double")
+    )
+    return (
+        counts.join(kth, outer_group, "left")
+        .join(n_parts, outer_group)
+        .select(outer_group, "n_partitions", est.alias("est_distinct"))
+    )
+
+
+def kmv_merge_distinct_sql(
+    source_sql: str,
+    outer_group: str,
+    inner_group: str,
+    value_sql_duck: str,
+    k: int = 64,
+) -> str:
+    """DuckDB twin of :func:`kmv_merge_distinct`."""
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+
+    return f"""
+WITH src AS ({source_sql}),
+hashed AS (
+  SELECT DISTINCT {outer_group}, {inner_group},
+         {duck_phash(value_sql_duck)} AS h FROM src),
+sk AS (
+  SELECT * FROM (
+    SELECT {outer_group}, {inner_group}, h,
+           row_number() OVER (PARTITION BY {outer_group}, {inner_group}
+                              ORDER BY h) AS rn
+    FROM hashed) t
+  WHERE rn <= {k}),
+nparts AS (
+  SELECT {outer_group},
+         CAST(COUNT(DISTINCT {inner_group}) AS BIGINT) AS n_partitions
+  FROM sk GROUP BY {outer_group}),
+merged AS (SELECT DISTINCT {outer_group}, h FROM sk),
+ranked AS (
+  SELECT {outer_group}, h,
+         row_number() OVER (PARTITION BY {outer_group} ORDER BY h) AS rn
+  FROM merged),
+cnt AS (
+  SELECT {outer_group}, CAST(COUNT(*) AS BIGINT) AS n
+  FROM merged GROUP BY {outer_group}),
+kth AS (SELECT {outer_group}, h AS kth FROM ranked WHERE rn = {k})
+SELECT c.{outer_group}, p.n_partitions,
+       CASE WHEN k.kth IS NULL THEN CAST(c.n AS DOUBLE)
+            ELSE CAST({float(k - 1)!r} AS DOUBLE)
+                 * CAST({HASH_SPACE!r} AS DOUBLE) / CAST(k.kth AS DOUBLE)
+       END AS est_distinct
+FROM cnt c
+LEFT JOIN kth k ON k.{outer_group} = c.{outer_group}
+JOIN nparts p ON p.{outer_group} = c.{outer_group}
+"""
+
+
 def kmv_distinct_sql(
     source_sql: str, group_col: str, value_sql_duck: str, k: int = 64
 ) -> str:

@@ -696,6 +696,41 @@ def _sql_distinct_sketch() -> str:
     return kmv_distinct_sql(src, "lang", "gram", k=KMV_K)
 
 
+# --- Mergeable-sketch distinct count ------------------------------
+TRIGRAM_SPARK = (
+    "explode(CASE WHEN size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) >= 3 "
+    "THEN transform(sequence(1, size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) - 2), "
+    "i -> concat_ws(' ', slice(regexp_extract_all(text, '[A-Za-z0-9]+', 0), i, 3))) "
+    "ELSE array() END)"
+)
+TRIGRAM_DUCK_SRC = (
+    "SELECT lang, source, unnest(list_transform(generate_series(1, "
+    "len(regexp_extract_all(text, '[A-Za-z0-9]+')) - 2), "
+    "i -> array_to_string(regexp_extract_all(text, '[A-Za-z0-9]+')"
+    "[i:i + 2], ' '))) AS gram FROM documents"
+)
+
+
+def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KMV: per-(lang, source) bottom-k sketches merged
+    to one per-lang distinct-trigram estimate — each partition ships
+    k hashes, never raw data, and the merged estimate provably
+    equals the single-pass sketch."""
+    from dish_data_pipeline_spark.ops.sketch import kmv_merge_distinct
+
+    d = read(spark, sf_dir, "documents")
+    grams = d.select("lang", "source", F.expr(TRIGRAM_SPARK).alias("gram"))
+    return kmv_merge_distinct(grams, "lang", "source", "gram", k=KMV_K)
+
+
+def _sql_sketch_merge() -> str:
+    from dish_data_pipeline_spark.ops.sketch import kmv_merge_distinct_sql
+
+    return kmv_merge_distinct_sql(
+        TRIGRAM_DUCK_SRC, "lang", "source", "gram", k=KMV_K
+    )
+
+
 # --- Composed corpus-preparation pipeline -------------------------
 PIPE_OUT_ROWS = 150
 
@@ -1134,4 +1169,8 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_corpus_pipeline, _sql_corpus_pipeline(),
         "composed flow: quality gate -> decontaminate -> mixture sample",
         ("text", "sampling", "dedup")),
+    "sketch_merge": QueryDef(
+        q_sketch_merge, _sql_sketch_merge(),
+        "mergeable KMV: per-partition sketches -> global estimate",
+        ("sketch", "text")),
 }

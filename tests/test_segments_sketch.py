@@ -100,6 +100,28 @@ def test_kmv_exact_below_k(spark):
     assert row.est_distinct == 10.0  # below k → exact
 
 
+def test_kmv_merge_equals_direct(spark):
+    # the merged per-partition sketches must give EXACTLY the
+    # single-pass estimate (union of bottom-ks ⊇ global bottom-k),
+    # including a group that never reaches k (falls back to exact)
+    from dish_data_pipeline_spark.ops.sketch import kmv_merge_distinct
+
+    rows = [
+        Row(g="big", p=f"p{i % 3}", v=f"val-{i}") for i in range(300)
+    ] + [Row(g="small", p="p0", v=f"v{i}") for i in range(5)]
+    df = spark.createDataFrame(rows)
+    direct = {
+        r.g: r.est_distinct
+        for r in kmv_distinct(df, "g", "v", k=32).collect()
+    }
+    merged = {
+        r.g: (r.n_partitions, r.est_distinct)
+        for r in kmv_merge_distinct(df, "g", "p", "v", k=32).collect()
+    }
+    assert merged["big"] == (3, direct["big"])
+    assert merged["small"] == (1, 5.0) and direct["small"] == 5.0
+
+
 def test_kmv_estimate_matches_python_twin(spark):
     values = [f"val-{i}" for i in range(500)]
     df = spark.createDataFrame([Row(g="a", v=v) for v in values])

@@ -143,6 +143,40 @@ def test_contamination_matches_python(spark, corpus_texts, bench_texts):
     assert got == expect
 
 
+# --- incremental near-dup filter vs python twin -------------------
+def _py_bands(text: str, bands: int = 4, rows: int = 4) -> set[tuple[int, int]]:
+    from tests.test_dedup_properties import _py_minhash, _py_shingles
+
+    sig = _py_minhash(_py_shingles(text))
+    return {
+        (b, py_phash("-".join(str(v) for v in sig[b * rows : b * rows + rows])))
+        for b in range(bands)
+    }
+
+
+@SLOW
+@given(DOCS, DOCS)
+def test_incremental_filter_matches_python(spark, new_texts, old_texts):
+    from dish_data_pipeline_spark.ops.dedup_fuzzy import (
+        incremental_neardup_filter,
+    )
+
+    new_df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(new_texts)]
+    )
+    old_df = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=t) for i, t in enumerate(old_texts)]
+    )
+    got = {
+        r.doc_id for r in incremental_neardup_filter(new_df, old_df).collect()
+    }
+    old_keys = {k for t in old_texts for k in _py_bands(t)}
+    expect = {
+        i for i, t in enumerate(new_texts) if not (_py_bands(t) & old_keys)
+    }
+    assert got == expect
+
+
 # --- kmv sketch vs python twin ------------------------------------
 @SLOW
 @given(

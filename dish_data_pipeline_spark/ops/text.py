@@ -168,8 +168,10 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     literally. Order matters: e-mails first (their dotted domains
     would otherwise partially match the IP pattern). Pure
     ``regexp_replace``/``regexp_extract_all`` chain — map-side,
-    codegen'd, 0 shuffles."""
-    text = F.col(text_col)
+    codegen'd, 0 shuffles. NULL text is treated as '' (zero counts,
+    empty redaction) — without the coalesce, legacy ``size(null)``
+    would emit -1 audit counts."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     n = lambda pat: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint")  # noqa: E731
     red = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     red = F.regexp_replace(red, IPV4_RE, "<IP>")
@@ -261,8 +263,10 @@ def with_quality_flags(
     window, mean-token-length window, symbol-to-token ratio cap,
     distinct-token-fraction floor. Emits one int flag per rule plus
     the conjunction ``keep`` — callers filter or route on it.
-    Map-side only (0 shuffles), whole-stage-codegen'd."""
-    text = F.col(text_col)
+    Map-side only (0 shuffles), whole-stage-codegen'd. NULL text is
+    treated as '' (0 tokens, gated out) so legacy ``size(null) = -1``
+    never reaches the stats."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
     n_tokens = F.size(toks).cast("bigint")
     n_alnum = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")

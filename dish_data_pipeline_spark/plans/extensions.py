@@ -392,7 +392,8 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_GOPHER_QUALITY = """
-WITH s AS (
+WITH d0 AS (SELECT doc_id, lang, COALESCE(text, '') AS text FROM documents),
+s AS (
   SELECT doc_id, lang,
          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
            AS n_tokens,
@@ -403,7 +404,7 @@ WITH s AS (
            AS DOUBLE) AS n_symbols,
          CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+')))
            AS DOUBLE) AS n_distinct
-  FROM documents),
+  FROM d0),
 m AS (
   SELECT doc_id, lang, n_tokens,
          n_alnum / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS mean_token_len,
@@ -651,7 +652,8 @@ def _sql_pii_redaction() -> str:
         f"'{PHONE_RE}', '<PHONE>', 'g')"
     )
     return f"""
-WITH aug AS (SELECT doc_id, {PII_AUG_SQL} AS text FROM documents)
+WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+aug AS (SELECT doc_id, {PII_AUG_SQL} AS text FROM d0)
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,

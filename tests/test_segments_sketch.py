@@ -89,6 +89,28 @@ def test_redact_pii_planted(spark):
     assert r4.text_redacted == "nothing sensitive here"
 
 
+# --- null / empty text contract -----------------------------------
+def test_null_text_is_empty_contract(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from dish_data_pipeline_spark.ops.text import with_quality_flags
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="")], schema
+    )
+    q = {r.doc_id: r for r in with_quality_flags(df).collect()}
+    # legacy size(null) = -1 must never leak: null ≡ ''
+    assert q[1].n_tokens == 0 and q[1].keep == 0
+    assert q[2].n_tokens == 0 and q[2].keep == 0
+    r = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (r[1].n_emails, r[1].text_redacted) == (0, "")
+    seg = {r.doc_id: r for r in segment_dedup(df).collect()}
+    assert seg[1].n_segments == 0 and seg[1].text_deduped == ""
+
+
 # --- kmv_distinct -------------------------------------------------
 def test_kmv_exact_below_k(spark):
     df = spark.createDataFrame(

@@ -53,7 +53,9 @@ def contamination_report(
     counts (a decontamination pass must be able to KEEP the clean
     set, not just list offenders).
     """
-    doc_grams = _gram_hashes(corpus, id_col, text_col, n)
+    # consumed twice (per-doc totals + hit counts): persist so the
+    # corpus is tokenized+hashed once (LRU-evictable after the action)
+    doc_grams = _gram_hashes(corpus, id_col, text_col, n).persist()
     bench_grams = F.broadcast(
         _gram_hashes(benchmark, id_col, text_col, n)
         .select("gram_hash")

@@ -170,14 +170,23 @@ def _cc_star(
         edges = ss
         if changed == 0:
             break
-    # at the fixpoint every non-min node points at its component min
-    labels = edges.selectExpr("u AS _id", "v AS _label")
+    # At the fixpoint every non-min node points at its component min.
+    # The groupBy-min guard keeps the one-row-per-id contract even if
+    # the loop exits via max_iters before a true star fixpoint (a
+    # node may then still carry several parents); the original id
+    # column is preserved untouched so both engines return the same
+    # schema.
+    labels = (
+        edges.selectExpr("u AS _jk", "v AS _label")
+        .groupBy("_jk")
+        .agg(F.min("_label").alias("_label"))
+    )
     return (
-        ids.select(F.col(id_col).cast("long").alias("_id"))
-        .join(labels, "_id", "left")
+        ids.select(F.col(id_col), F.col(id_col).cast("long").alias("_jk"))
+        .join(labels, "_jk", "left")
         .select(
-            F.col("_id").alias(id_col),
-            F.coalesce("_label", "_id").alias("cluster_id"),
+            F.col(id_col),
+            F.coalesce("_label", "_jk").alias("cluster_id"),
         )
     )
 

@@ -71,7 +71,11 @@ def segment_dedup(
     were all duplicated elsewhere survives with empty text, so a
     downstream quality gate (not silent data loss) decides its fate.
     """
-    seg = _segments(df, id_col, text_col, seg_tokens)
+    # The segment relation feeds the census, the rejoin, AND the
+    # totals — persist so tokenize+hash runs once, not three times
+    # (MEMORY_AND_DISK, LRU-evictable after the caller's action; the
+    # same convention as srp_block_pairs' signature relation).
+    seg = _segments(df, id_col, text_col, seg_tokens).persist()
     census = seg.groupBy("seg_hash").agg(
         F.countDistinct(id_col).alias("_n_docs"),
         F.min(id_col).alias("_first_doc"),

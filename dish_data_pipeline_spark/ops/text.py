@@ -166,21 +166,25 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     match counts for the redaction audit. Patterns stay in the
     Java∩RE2 regex subset so the DuckDB oracle replicates them
     literally. Order matters: e-mails first (their dotted domains
-    would otherwise partially match the IP pattern). Pure
+    would otherwise partially match the IP pattern) — and each count
+    is taken on the text the replacement actually sees, so a match
+    consumed by an earlier stage (a phone-shaped digit run inside an
+    e-mail) is never counted: counts always tie out against the
+    placeholders present in ``text_redacted``. Pure
     ``regexp_replace``/``regexp_extract_all`` chain — map-side,
     codegen'd, 0 shuffles. NULL text is treated as '' (zero counts,
     empty redaction) — without the coalesce, legacy ``size(null)``
     would emit -1 audit counts."""
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    n = lambda pat: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("bigint")  # noqa: E731
-    red = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
-    red = F.regexp_replace(red, IPV4_RE, "<IP>")
-    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    t0 = F.coalesce(F.col(text_col), F.lit(""))
+    n = lambda t, pat: F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint")  # noqa: E731
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
     return (
-        df.withColumn("n_emails", n(EMAIL_RE))
-        .withColumn("n_ips", n(IPV4_RE))
-        .withColumn("n_phones", n(PHONE_RE))
-        .withColumn("text_redacted", red)
+        df.withColumn("n_emails", n(t0, EMAIL_RE))
+        .withColumn("n_ips", n(t1, IPV4_RE))
+        .withColumn("n_phones", n(t2, PHONE_RE))
+        .withColumn("text_redacted", t3)
     )
 
 

@@ -634,8 +634,13 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     placeholders and count matches per doc (map-side regexp chain)."""
     from dish_data_pipeline_spark.ops.text import redact_pii
 
-    d = read(spark, sf_dir, "documents").withColumn(
-        "text", F.expr(PII_AUG_SQL)
+    # null→'' BEFORE augmentation (matches the oracle's d0 CTE):
+    # Spark's || is null-propagating, so coalescing after would erase
+    # the planted PII on null-text docs while DuckDB keeps it
+    d = (
+        read(spark, sf_dir, "documents")
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .withColumn("text", F.expr(PII_AUG_SQL))
     )
     return redact_pii(d).select(
         "doc_id", "n_emails", "n_ips", "n_phones", "text_redacted"
@@ -645,26 +650,34 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_pii_redaction() -> str:
     from dish_data_pipeline_spark.ops.text import EMAIL_RE, IPV4_RE, PHONE_RE
 
-    red = (
-        f"regexp_replace(regexp_replace(regexp_replace(text, "
-        f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
-        f"'{IPV4_RE}', '<IP>', 'g'), "
-        f"'{PHONE_RE}', '<PHONE>', 'g')"
-    )
+    # staged exactly like redact_pii: each count taken on the text
+    # its replacement stage sees
     return f"""
 WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
-aug AS (SELECT doc_id, {PII_AUG_SQL} AS text FROM d0)
+aug AS (SELECT doc_id, {PII_AUG_SQL} AS t0 FROM d0),
+s1 AS (SELECT doc_id, t0,
+              regexp_replace(t0, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM aug),
+s2 AS (SELECT doc_id, t0, t1,
+              regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2 FROM s1)
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
-       {red} AS text_redacted
-FROM aug
+       CAST(len(regexp_extract_all(t0, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+FROM s2
 """
 
 
 # --- KMV distinct-count sketch ------------------------------------
 KMV_K = 64
+
+# shared by distinct_sketch and sketch_merge (Spark side)
+TRIGRAM_SPARK = (
+    "explode(CASE WHEN size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) >= 3 "
+    "THEN transform(sequence(1, size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) - 2), "
+    "i -> concat_ws(' ', slice(regexp_extract_all(text, '[A-Za-z0-9]+', 0), i, 3))) "
+    "ELSE array() END)"
+)
 
 
 def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,15 +687,7 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dish_data_pipeline_spark.ops.sketch import kmv_distinct
 
     d = read(spark, sf_dir, "documents")
-    grams = d.select(
-        "lang",
-        F.expr(
-            "explode(CASE WHEN size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) >= 3 "
-            "THEN transform(sequence(1, size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) - 2), "
-            "i -> concat_ws(' ', slice(regexp_extract_all(text, '[A-Za-z0-9]+', 0), i, 3))) "
-            "ELSE array() END)"
-        ).alias("gram"),
-    )
+    grams = d.select("lang", F.expr(TRIGRAM_SPARK).alias("gram"))
     return kmv_distinct(grams, "lang", "gram", k=KMV_K)
 
 
@@ -699,12 +704,6 @@ def _sql_distinct_sketch() -> str:
 
 
 # --- Mergeable-sketch distinct count ------------------------------
-TRIGRAM_SPARK = (
-    "explode(CASE WHEN size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) >= 3 "
-    "THEN transform(sequence(1, size(regexp_extract_all(text, '[A-Za-z0-9]+', 0)) - 2), "
-    "i -> concat_ws(' ', slice(regexp_extract_all(text, '[A-Za-z0-9]+', 0), i, 3))) "
-    "ELSE array() END)"
-)
 TRIGRAM_DUCK_SRC = (
     "SELECT lang, source, unnest(list_transform(generate_series(1, "
     "len(regexp_extract_all(text, '[A-Za-z0-9]+')) - 2), "

@@ -126,8 +126,11 @@ def stream_incremental_neardup(
     both tiers; the existing side reduces to its DISTINCT signature
     keys once per batch — at scale that signature table is a
     precomputed relation, making each batch one bucket equi-join,
-    never a corpus rescan. Checkpointing makes replays idempotent
-    (a re-delivered batch re-filters to the same survivors).
+    never a corpus rescan. Each batch overwrites its OWN
+    ``batch_id=N`` subdirectory, so an at-least-once replay of a
+    half-committed batch rewrites the same survivors instead of
+    appending duplicates (a plain append would break exactly the
+    dedup guarantee this sink exists for).
 
     Returns the started StreamingQuery (caller awaits/stops)."""
     from dish_data_pipeline_spark.ops.dedup_fuzzy import (
@@ -138,7 +141,9 @@ def stream_incremental_neardup(
         survivors = incremental_neardup_filter(
             batch, existing_corpus, id_col=id_col, text_col=text_col
         )
-        survivors.write.mode("append").parquet(sink_path)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(sink_path, f"batch_id={batch_id}")
+        )
 
     return (
         stream_df.writeStream.foreachBatch(do_filter)

@@ -118,6 +118,43 @@ def mixture_sample(
     )
 
 
+def mixture_sample_tokens(
+    df: DataFrame,
+    strata_col: str,
+    weights: Mapping[str, float],
+    out_tokens: int,
+    token_col: str,
+    key_cols: Sequence[str],
+    salt: str = "mixtok",
+) -> DataFrame:
+    """Token-budgeted mixture sampling: training mixtures are
+    specified as TOKEN shares ("30% of the budget is code"), not
+    document shares — so the per-stratum keep rate here is
+    ``min(1, weight × out_tokens / observed_token_sum)``, derived
+    from a per-stratum SUM aggregate instead of a row count. With
+    per-doc hash membership the sampled token mass matches the
+    target share in expectation (exact token-level control would
+    require splitting documents — the packer's job, not the
+    sampler's). Same plan shape as :func:`mixture_sample`: one
+    map-side-combined aggregate broadcast back onto the corpus, no
+    driver collect, membership a pure row-key function."""
+    sums = df.groupBy(strata_col).agg(
+        F.sum(F.col(token_col).cast("bigint")).alias("_tok")
+    )
+    w_case = mixture_case_sql(strata_col, weights)
+    thresh = F.expr(
+        f"least({SAMPLE_DENOM}, CAST(floor("
+        f"{w_case} * {int(out_tokens)} * {SAMPLE_DENOM} / _tok) AS BIGINT))"
+    )
+    rates = sums.select(F.col(strata_col), thresh.alias("_thresh"))
+    h = spark_phash(f"concat_ws('|', {', '.join(key_cols)}, {_sql_str(salt)})")
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(F.expr(f"({h}) % {SAMPLE_DENOM} < _thresh"))
+        .drop("_thresh")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

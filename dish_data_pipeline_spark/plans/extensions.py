@@ -515,6 +515,53 @@ WHERE ({h}) % {SAMPLE_DENOM} < _thresh
 """
 
 
+# --- Token-budgeted mixture sampling ------------------------------
+MIXTOK_OUT_TOKENS = 12_000
+
+
+def q_corpus_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample toward a target TOKEN mixture: per-stratum rates =
+    weight × token budget / observed token sum, derived in-plan
+    (training mixtures are token-budgeted, not doc-budgeted)."""
+    from dish_data_pipeline_spark.ops.sampling import mixture_sample_tokens
+
+    d = read(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0)
+        ).cast("bigint"),
+    )
+    return mixture_sample_tokens(
+        d, "lang", MIX_WEIGHTS, MIXTOK_OUT_TOKENS,
+        token_col="n_tokens", key_cols=["cast(doc_id as string)"],
+    ).select("doc_id", "lang", "n_tokens")
+
+
+def _sql_corpus_mix_tokens() -> str:
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+    from dish_data_pipeline_spark.ops.sampling import (
+        SAMPLE_DENOM,
+        mixture_case_sql,
+    )
+
+    w_case = mixture_case_sql("lang", MIX_WEIGHTS)
+    h = duck_phash("concat_ws('|', cast(doc_id as string), 'mixtok')")
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+sums AS (SELECT lang, SUM(n_tokens) AS _tok FROM d GROUP BY lang),
+th AS (SELECT lang, LEAST({SAMPLE_DENOM}, CAST(floor(
+         {w_case} * {MIXTOK_OUT_TOKENS} * {SAMPLE_DENOM} / _tok) AS BIGINT))
+         AS _thresh
+       FROM sums)
+SELECT d.doc_id, d.lang, d.n_tokens FROM d JOIN th ON th.lang = d.lang
+WHERE ({h}) % {SAMPLE_DENOM} < _thresh
+"""
+
+
 # --- Incremental (cross-corpus) near-dup filter -------------------
 def _new_batch(d: DataFrame) -> DataFrame:
     """Synthetic ingest batch: exact copies of every 7th doc (must be
@@ -1148,6 +1195,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
     "corpus_mix": QueryDef(
         q_corpus_mix, _sql_corpus_mix(),
         "target-mixture sampling: rates derived in-plan from stratum counts",
+        ("sampling", "text")),
+    "corpus_mix_tokens": QueryDef(
+        q_corpus_mix_tokens, _sql_corpus_mix_tokens(),
+        "token-budgeted mixture: rates from per-stratum token sums",
         ("sampling", "text")),
     "incremental_dedup": QueryDef(
         q_incremental_dedup,

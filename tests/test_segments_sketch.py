@@ -89,6 +89,33 @@ def test_redact_pii_planted(spark):
     assert r4.text_redacted == "nothing sensitive here"
 
 
+# --- token-budgeted mixture sampling ------------------------------
+def test_mixture_sample_tokens_budget(spark):
+    from dish_data_pipeline_spark.ops.sampling import mixture_sample_tokens
+
+    # "a": 4000 docs × 10 tokens; "b": 40 docs × 10 tokens (scarce)
+    rows = [Row(doc_id=i, lang="a", n_tokens=10) for i in range(4000)]
+    rows += [Row(doc_id=10_000 + i, lang="b", n_tokens=10) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    out = mixture_sample_tokens(
+        df, "lang", {"a": 0.5, "b": 0.5}, 2000,
+        token_col="n_tokens", key_cols=["cast(doc_id as string)"],
+    ).collect()
+    toks = {}
+    for r in out:
+        toks[r.lang] = toks.get(r.lang, 0) + r.n_tokens
+    # "a" is downsampled toward its 1000-token share (hash sampling
+    # ⇒ binomial noise around the target); scarce "b" kept whole
+    assert toks["b"] == 400
+    assert 600 <= toks["a"] <= 1400
+    # deterministic: identical second run
+    again = mixture_sample_tokens(
+        df, "lang", {"a": 0.5, "b": 0.5}, 2000,
+        token_col="n_tokens", key_cols=["cast(doc_id as string)"],
+    ).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+
+
 # --- null / empty text contract -----------------------------------
 def test_null_text_is_empty_contract(spark):
     from pyspark.sql.types import LongType, StringType, StructField, StructType

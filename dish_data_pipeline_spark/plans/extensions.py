@@ -28,6 +28,7 @@ from dish_data_pipeline_spark.ops.multimodal import (
     extract_features,
     text_to_binary_content,
 )
+from dish_data_pipeline_spark.ops.quantize import quantized_topk_sql
 from dish_data_pipeline_spark.ops.similarity import (
     cosine_topk,
     ivf_topk,
@@ -1005,6 +1006,17 @@ WHERE rank <= 10
 """
 
 
+# --- Int8-quantized top-k -----------------------------------------
+def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by symmetric-int8 quantized dot product: 4× smaller
+    vectors, exact-integer dot, rescaled by the two per-vector
+    scales; the quantization error itself is oracle-verified."""
+    from dish_data_pipeline_spark.ops.quantize import quantized_topk
+
+    emb = read(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, KNN_QUERY_IDS, k=10)
+
+
 # --- LSH-bucketed ANN (oracle replicates the plane tensor) --------
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = widen(read(spark, sf_dir, "embeddings"), spark)
@@ -1144,6 +1156,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
     "knn_bruteforce": QueryDef(
         q_knn_bruteforce, SQL_KNN_BRUTEFORCE,
         "exact cosine top-k over embeddings", ("similarity",)),
+    "knn_quantized": QueryDef(
+        q_knn_quantized, quantized_topk_sql(KNN_QUERY_IDS, k=10),
+        "int8-quantized dot-product top-k, quantization oracle-exact",
+        ("similarity", "quantization")),
     "knn_lsh": QueryDef(
         q_knn_lsh, sql_knn_lsh(KNN_QUERY_IDS),
         "sign-random-projection LSH ANN top-k", ("similarity", "lsh")),

@@ -26,6 +26,8 @@ is the simpler, equally-correct plan.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -158,6 +160,136 @@ SELECT c.{outer_group}, p.n_partitions,
 FROM cnt c
 LEFT JOIN kth k ON k.{outer_group} = c.{outer_group}
 JOIN nparts p ON p.{outer_group} = c.{outer_group}
+"""
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    bins: int = 128,
+) -> DataFrame:
+    """Approximate per-group quantiles from a fixed-width histogram —
+    the single-pass, bounded-state alternative to an exact
+    percentile's per-group sort: at 100 TB the histogram is
+    ``bins`` counters per group (mergeable across partitions by
+    addition), where exact quantiles need the whole column resident.
+
+    Two scans (per-group min/max, then bin counts — both map-side
+    combined), one tiny broadcast join, cumulative window over
+    ``bins`` rows per group. Estimate = left bin edge + linear
+    interpolation within the crossing bin. Every step is plain
+    arithmetic in a fixed order, so the DuckDB oracle reproduces the
+    estimate (and its binning error) bit for bit. Degenerate groups
+    (min = max) return that value for every quantile.
+
+    Returns ``(group, q, est)`` with one row per group × quantile."""
+    rng = df.groupBy(group_col).agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    binned = (
+        df.join(F.broadcast(rng), group_col)
+        .withColumn(
+            "_bin",
+            F.expr(
+                f"CASE WHEN _hi > _lo THEN least({bins - 1}, "
+                f"CAST(floor((CAST({value_col} AS DOUBLE) - _lo) "
+                f"* {bins} / (_hi - _lo)) AS INT)) ELSE 0 END"
+            ),
+        )
+        .groupBy(group_col, "_bin")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+            F.first("_n").alias("_n"),
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("_cum", F.sum("_c").over(w))
+    out = None
+    for q in quantiles:
+        # first bin whose cumulative count reaches q*n; interpolate
+        # inside it. target/frac/est arithmetic order mirrors the SQL.
+        # CAST AS DOUBLE: Spark parses bare 0.9 as a DECIMAL literal,
+        # whose exact arithmetic diverges from the oracle's IEEE
+        # doubles in the last ulp.
+        qd = f"CAST({float(q)!r} AS DOUBLE)"
+        hit = (
+            cum.filter(F.expr(f"_cum >= {qd} * _n"))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(group_col).orderBy("_bin")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+        )
+        est = F.expr(
+            f"CASE WHEN _hi > _lo THEN _lo + (CAST(_bin AS DOUBLE) + "
+            f"(({qd} * _n - (_cum - _c)) / _c)) * (_hi - _lo) / {bins} "
+            "ELSE _lo END"
+        )
+        part = hit.select(
+            F.col(group_col),
+            F.lit(float(q)).alias("q"),
+            est.alias("est"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def histogram_quantiles_sql(
+    source_sql: str,
+    group_col: str,
+    value_col: str,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    bins: int = 128,
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles`."""
+    # CAST inside VALUES: DuckDB would otherwise infer DECIMAL for
+    # the quantile literals, changing both schema and arithmetic
+    q_rows = ", ".join(
+        f"(CAST({float(q)!r} AS DOUBLE))" for q in quantiles
+    )
+    return f"""
+WITH src AS ({source_sql}),
+rng AS (
+  SELECT {group_col}, MIN(CAST({value_col} AS DOUBLE)) AS lo,
+         MAX(CAST({value_col} AS DOUBLE)) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM src GROUP BY {group_col}),
+binned AS (
+  SELECT s.{group_col},
+         CASE WHEN r.hi > r.lo THEN LEAST({bins - 1},
+           CAST(floor((CAST(s.{value_col} AS DOUBLE) - r.lo)
+                * {bins} / (r.hi - r.lo)) AS INT)) ELSE 0 END AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c,
+         MIN(r.lo) AS lo, MIN(r.hi) AS hi, MIN(r.n) AS n
+  FROM src s JOIN rng r ON r.{group_col} = s.{group_col}
+  GROUP BY 1, 2),
+cum AS (
+  SELECT *, SUM(c) OVER (PARTITION BY {group_col} ORDER BY bin
+                         ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM binned),
+qs(q) AS (VALUES {q_rows}),
+hit AS (
+  SELECT *, row_number() OVER (PARTITION BY {group_col}, q
+                               ORDER BY bin) AS rn
+  FROM cum CROSS JOIN qs
+  WHERE cumc >= q * n)
+SELECT {group_col}, q,
+       CASE WHEN hi > lo THEN lo + (CAST(bin AS DOUBLE) +
+         ((q * n - (cumc - c)) / c)) * (hi - lo) / {bins}
+       ELSE lo END AS est
+FROM hit WHERE rn = 1
 """
 
 

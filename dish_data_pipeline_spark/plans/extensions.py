@@ -780,6 +780,33 @@ def _sql_sketch_merge() -> str:
     )
 
 
+# --- Histogram approximate quantiles ------------------------------
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of event value per event_type —
+    bounded state (128 counters/group, mergeable by addition) where
+    the exact `value_quantiles` needs a per-group sort; the binning
+    error itself is oracle-verified."""
+    from dish_data_pipeline_spark.ops.sketch import histogram_quantiles
+
+    e = read(spark, sf_dir, "events")
+    return histogram_quantiles(
+        e.select("event_type", "value"), "event_type", "value",
+        quantiles=HIST_QS,
+    )
+
+
+def _sql_approx_quantiles() -> str:
+    from dish_data_pipeline_spark.ops.sketch import histogram_quantiles_sql
+
+    return histogram_quantiles_sql(
+        "SELECT event_type, value FROM events", "event_type", "value",
+        quantiles=HIST_QS,
+    )
+
+
 # --- Composed corpus-preparation pipeline -------------------------
 PIPE_OUT_ROWS = 150
 
@@ -1241,4 +1268,8 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_sketch_merge, _sql_sketch_merge(),
         "mergeable KMV: per-partition sketches -> global estimate",
         ("sketch", "text")),
+    "approx_quantiles": QueryDef(
+        q_approx_quantiles, _sql_approx_quantiles(),
+        "histogram-sketch quantiles: bounded mergeable state",
+        ("sketch", "agg")),
 }

@@ -89,6 +89,24 @@ def test_redact_pii_planted(spark):
     assert r4.text_redacted == "nothing sensitive here"
 
 
+# --- histogram quantiles ------------------------------------------
+def test_histogram_quantiles_accuracy_and_degenerate(spark):
+    from dish_data_pipeline_spark.ops.sketch import histogram_quantiles
+
+    rows = [Row(g="u", v=float(i)) for i in range(1000)]  # uniform 0..999
+    rows += [Row(g="const", v=7.0)] * 10  # degenerate: min == max
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.g, r.q): r.est
+        for r in histogram_quantiles(df, "g", "v", quantiles=(0.5, 0.9)).collect()
+    }
+    # uniform data: histogram interpolation lands within one bin
+    # width (999/128 ≈ 7.8) of the true quantile
+    assert abs(out[("u", 0.5)] - 499.5) <= 999 / 128
+    assert abs(out[("u", 0.9)] - 899.1) <= 999 / 128
+    assert out[("const", 0.5)] == 7.0 and out[("const", 0.9)] == 7.0
+
+
 # --- token-budgeted mixture sampling ------------------------------
 def test_mixture_sample_tokens_budget(spark):
     from dish_data_pipeline_spark.ops.sampling import mixture_sample_tokens

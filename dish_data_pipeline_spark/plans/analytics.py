@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dish_data_pipeline_spark.plans.common import (
+    DEC,
     QueryDef,
     dsum,
     read,
@@ -218,6 +219,42 @@ WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
 """
 
 
+# --- Time-range rolling window ------------------------------------
+ROLL_SECONDS = 7 * 86400
+
+
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 7-DAY rolling value sum/count over event time —
+    RANGE-frame semantics (all events within the trailing interval,
+    however many rows that is), the time-series frame the row-based
+    `window_running` can't express. Ordering key is epoch seconds
+    (bigint) so the frame bound is exact in both engines; the sum is
+    decimal-accumulated (order-independent)."""
+    e = read(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-ROLL_SECONDS, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("roll_sum"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+SQL_ROLLING_WINDOW = f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS roll_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN {ROLL_SECONDS} PRECEDING AND CURRENT ROW)
+"""
+
+
 # --- TPC-H Q7 shape: volume shipping between two nations ----------
 def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilateral trade: revenue shipped between NATION_1 suppliers
@@ -402,6 +439,10 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
     "sessionize": QueryDef(
         q_sessionize, SQL_SESSIONIZE,
         "gap-based batch sessionization (lag + cumsum)", ("window", "session")),
+    "rolling_window": QueryDef(
+        q_rolling_window, SQL_ROLLING_WINDOW,
+        "7-day RANGE-frame rolling sum/count per user over event time",
+        ("window", "timeseries")),
     "volume_shipping": QueryDef(
         q_volume_shipping, SQL_VOLUME_SHIPPING,
         "TPC-H Q7 shape: bilateral nation trade by ship year",

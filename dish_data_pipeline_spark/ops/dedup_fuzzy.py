@@ -203,6 +203,66 @@ def incremental_neardup_filter(
     return new.join(hit_ids, id_col, "left_anti")
 
 
+def lsh_quality_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Evaluation harness: precision/recall of the banded-LSH
+    candidate set against exact all-pairs shingle-Jaccard truth at
+    ``threshold``. Returns ONE row: ``(n_candidates, n_true_pairs,
+    true_positives, precision, recall)``.
+
+    The truth side is a deliberate O(N²) rescore — this is the
+    "measure, don't guess" tool you run on a SAMPLE to tune
+    ``(bands, rows_per_band)`` against a target recall before a
+    production pass (the theoretical S-curve ``1-(1-s^r)^b`` tells
+    you where to look; this measures where you actually are on your
+    corpus). Never run it on the full corpus."""
+    sh = with_shingles(df, text_col, shingle_n).select(
+        F.col(id_col), "shingles"
+    ).persist()
+    cand = minhash_candidate_pairs(
+        with_minhash(sh, n_hashes, seed), id_col, bands, rows_per_band
+    ).select("id_a", "id_b")
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    jac = F.expr(
+        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+        "CAST(size(array_union(sh_a, sh_b)) AS DOUBLE)"
+    )
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_j", jac)
+        .filter(F.col("_j") >= threshold)
+        .select("id_a", "id_b")
+    )
+    tp = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    m = (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true_pairs")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("true_positives")))
+    )
+    return m.select(
+        "n_candidates",
+        "n_true_pairs",
+        "true_positives",
+        F.expr("CAST(true_positives AS DOUBLE) / n_candidates").alias(
+            "precision"
+        ),
+        F.expr("CAST(true_positives AS DOUBLE) / n_true_pairs").alias(
+            "recall"
+        ),
+    )
+
+
 def exact_jaccard_pairs(
     shingled: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -52,6 +52,7 @@ from dish_data_pipeline_spark.plans.oracle_ann import (
 from dish_data_pipeline_spark.plans.oracle_dedup import (
     sql_dup_clusters,
     sql_incremental_neardup,
+    sql_lsh_quality,
     sql_minhash_neardup,
     sql_ngram_jaccard,
     sql_simhash_neardup,
@@ -605,6 +606,24 @@ SELECT doc_id + 300000 AS doc_id,
        lang, source, n_chars
 FROM documents WHERE doc_id % 3 = 1
 """
+
+
+# --- LSH quality evaluation ---------------------------------------
+# fixed-size sample whatever the corpus scale: the truth side is
+# O(N²) by design, so the harness pins N (base ids < 400 plus their
+# planted copies) instead of growing with the corpus
+LSH_EVAL_FILTER = "doc_id % 100000 < 400"
+
+
+def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash band-join candidate set vs
+    exact all-pairs Jaccard truth at 0.8 — the sample-scale tuning
+    harness for (bands, rows_per_band)."""
+    from dish_data_pipeline_spark.ops.dedup_fuzzy import lsh_quality_metrics
+
+    return lsh_quality_metrics(
+        _docs_with_dupes(spark, sf_dir).filter(F.expr(LSH_EVAL_FILTER))
+    )
 
 
 # --- Segment-level exact dedup ------------------------------------
@@ -1252,6 +1271,13 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_segment_dedup, _sql_segment_dedup(),
         "segment-level exact dedup: strip cross-doc duplicate token chunks",
         ("dedup", "text")),
+    "lsh_quality": QueryDef(
+        q_lsh_quality,
+        sql_lsh_quality(
+            f"SELECT * FROM ({SQL_DOCS_WITH_DUPES}) WHERE {LSH_EVAL_FILTER}"
+        ),
+        "LSH tuning harness: candidate precision/recall vs exact truth",
+        ("dedup", "lsh", "quality")),
     "pii_redaction": QueryDef(
         q_pii_redaction, _sql_pii_redaction(),
         "PII redaction: e-mail/IP/phone placeholders + audit counts",

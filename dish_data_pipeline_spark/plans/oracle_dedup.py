@@ -118,6 +118,35 @@ def sql_ngram_jaccard(corpus_sql: str) -> str:
     )
 
 
+def sql_lsh_quality(corpus_sql: str, threshold: float = 0.8) -> str:
+    """Twin of ``lsh_quality_metrics``: LSH candidate precision/
+    recall against exact all-pairs Jaccard truth."""
+    inter = "len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))"
+    return (
+        "WITH "
+        + minhash_pipeline_ctes(corpus_sql)
+        + f""",
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST({inter} AS DOUBLE)
+        / CAST(len(a.shingles) + len(b.shingles) - {inter} AS DOUBLE)
+        >= {threshold}),
+tp AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b),
+m AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_candidates,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS true_positives)
+SELECT n_candidates, n_true_pairs, true_positives,
+       CAST(true_positives AS DOUBLE) / n_candidates AS precision,
+       CAST(true_positives AS DOUBLE) / n_true_pairs AS recall
+FROM m
+"""
+    )
+
+
 def sql_incremental_neardup(new_sql: str, existing_sql: str) -> str:
     """Twin of ``incremental_neardup_filter``: NEW docs surviving the
     band-bucket probe against the EXISTING corpus' signature keys."""

@@ -143,6 +143,42 @@ def test_contamination_matches_python(spark, corpus_texts, bench_texts):
     assert got == expect
 
 
+# --- histogram quantiles vs python twin ---------------------------
+@SLOW
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=60),
+    st.sampled_from([0.5, 0.9]),
+)
+def test_histogram_quantiles_matches_python(spark, values, q):
+    from dish_data_pipeline_spark.ops.sketch import histogram_quantiles
+
+    bins = 16
+    df = spark.createDataFrame([Row(g="x", v=float(x)) for x in values])
+    got = {
+        r.q: r.est
+        for r in histogram_quantiles(
+            df, "g", "v", quantiles=(q,), bins=bins
+        ).collect()
+    }
+
+    lo, hi, n = float(min(values)), float(max(values)), len(values)
+    if hi <= lo:
+        expect = lo
+    else:
+        counts = [0] * bins
+        for x in values:
+            b = min(bins - 1, int((float(x) - lo) * bins / (hi - lo)))
+            counts[b] += 1
+        cum = 0
+        for b, c in enumerate(counts):
+            cum += c
+            if cum >= q * n:
+                frac = (q * n - (cum - c)) / c
+                expect = lo + (b + frac) * (hi - lo) / bins
+                break
+    assert abs(got[q] - expect) < 1e-9
+
+
 # --- incremental near-dup filter vs python twin -------------------
 def _py_bands(text: str, bands: int = 4, rows: int = 4) -> set[tuple[int, int]]:
     from tests.test_dedup_properties import _py_minhash, _py_shingles

@@ -54,6 +54,51 @@ def test_quality_gate_and_redaction_stream(spark, tmp_path):
     assert "alice@example.com" not in out[1].text_redacted
 
 
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """Stream-static join: a document stream enriched against a
+    static source-priority dim — the broadcast join works unchanged
+    inside Structured Streaming (no state, no watermark needed)."""
+    from pyspark.sql import Row
+
+    dims = spark.createDataFrame(
+        [Row(source="wiki", priority=1), Row(source="web", priority=3)]
+    )
+    src = tmp_path / "in" / "b.jsonl"
+    src.parent.mkdir(parents=True)
+    rows = [
+        {"doc_id": 1, "text": "alpha", "source": "wiki"},
+        {"doc_id": 2, "text": "beta", "source": "web"},
+        {"doc_id": 3, "text": "gamma", "source": "unknown"},
+    ]
+    with open(src, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src.parent))
+    enriched = stream.join(F.broadcast(dims), "source", "left").select(
+        "doc_id", F.coalesce("priority", F.lit(9)).alias("priority")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("stream_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        r.doc_id: r.priority
+        for r in spark.sql("SELECT * FROM stream_enrich").collect()
+    }
+    assert out == {1: 1, 2: 3, 3: 9}
+
+
 def test_segment_census_hot_key(spark):
     hot = "shared boilerplate header repeated on every single document here today"
     n_hot = 300

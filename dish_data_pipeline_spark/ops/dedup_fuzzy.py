@@ -203,6 +203,15 @@ def incremental_neardup_filter(
     return new.join(hit_ids, id_col, "left_anti")
 
 
+# One definition of exact shingle Jaccard over (sh_a, sh_b) columns,
+# shared by the rescorer and the evaluation harness (the DuckDB
+# oracle's list_filter/list_contains formula is its twin).
+JACCARD_SQL = (
+    "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+    "CAST(size(array_union(sh_a, sh_b)) AS DOUBLE)"
+)
+
+
 def lsh_quality_metrics(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -224,7 +233,14 @@ def lsh_quality_metrics(
     ``(bands, rows_per_band)`` against a target recall before a
     production pass (the theoretical S-curve ``1-(1-s^r)^b`` tells
     you where to look; this measures where you actually are on your
-    corpus). Never run it on the full corpus."""
+    corpus). Never run it on the full corpus.
+
+    An empty candidate or truth set yields precision/recall 1.0 (no
+    false positives / nothing to find), so a clean sample reads as a
+    pass, not a NULL, in a tuning loop. The shingle relation feeds
+    the candidate pipeline and both truth sides — persisted
+    (MEMORY_AND_DISK, LRU-evictable after the caller's action, the
+    ``srp_block_pairs`` convention)."""
     sh = with_shingles(df, text_col, shingle_n).select(
         F.col(id_col), "shingles"
     ).persist()
@@ -233,14 +249,10 @@ def lsh_quality_metrics(
     ).select("id_a", "id_b")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    jac = F.expr(
-        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
-        "CAST(size(array_union(sh_a, sh_b)) AS DOUBLE)"
-    )
     truth = (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_j", jac)
+        .withColumn("_j", F.expr(JACCARD_SQL))
         .filter(F.col("_j") >= threshold)
         .select("id_a", "id_b")
     )
@@ -254,12 +266,14 @@ def lsh_quality_metrics(
         "n_candidates",
         "n_true_pairs",
         "true_positives",
-        F.expr("CAST(true_positives AS DOUBLE) / n_candidates").alias(
-            "precision"
-        ),
-        F.expr("CAST(true_positives AS DOUBLE) / n_true_pairs").alias(
-            "recall"
-        ),
+        F.expr(
+            "CASE WHEN n_candidates = 0 THEN CAST(1.0 AS DOUBLE) "
+            "ELSE CAST(true_positives AS DOUBLE) / n_candidates END"
+        ).alias("precision"),
+        F.expr(
+            "CASE WHEN n_true_pairs = 0 THEN CAST(1.0 AS DOUBLE) "
+            "ELSE CAST(true_positives AS DOUBLE) / n_true_pairs END"
+        ).alias("recall"),
     )
 
 
@@ -273,13 +287,7 @@ def exact_jaccard_pairs(
         .drop("_jid")
         .join(sh.withColumnRenamed("shingles", "sh_b"), pairs.id_b == F.col("_jid"))
         .drop("_jid")
-        .withColumn(
-            "jaccard",
-            F.expr(
-                "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
-                "CAST(size(array_union(sh_a, sh_b)) AS DOUBLE)"
-            ),
-        )
+        .withColumn("jaccard", F.expr(JACCARD_SQL))
         .drop("sh_a", "sh_b")
     )
     return out

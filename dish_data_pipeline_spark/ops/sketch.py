@@ -184,7 +184,12 @@ def histogram_quantiles(
     estimate (and its binning error) bit for bit. Degenerate groups
     (min = max) return that value for every quantile.
 
-    Returns ``(group, q, est)`` with one row per group × quantile."""
+    Returns ``(group, q, est)`` with one row per group × quantile.
+    NULL values are excluded (they would otherwise fall into the top
+    bin via NULL-skipping least()); a group of only NULLs vanishes."""
+    if not quantiles:
+        raise ValueError("histogram_quantiles needs at least one quantile")
+    df = df.filter(F.col(value_col).isNotNull())
     rng = df.groupBy(group_col).agg(
         F.min(F.col(value_col).cast("double")).alias("_lo"),
         F.max(F.col(value_col).cast("double")).alias("_hi"),
@@ -214,36 +219,32 @@ def histogram_quantiles(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = binned.withColumn("_cum", F.sum("_c").over(w))
-    out = None
-    for q in quantiles:
-        # first bin whose cumulative count reaches q*n; interpolate
-        # inside it. target/frac/est arithmetic order mirrors the SQL.
-        # CAST AS DOUBLE: Spark parses bare 0.9 as a DECIMAL literal,
-        # whose exact arithmetic diverges from the oracle's IEEE
-        # doubles in the last ulp.
-        qd = f"CAST({float(q)!r} AS DOUBLE)"
-        hit = (
-            cum.filter(F.expr(f"_cum >= {qd} * _n"))
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy(group_col).orderBy("_bin")
-                ),
-            )
-            .filter(F.col("_rn") == 1)
+    # ONE pass for all quantiles (mirrors the oracle's qs VALUES
+    # cross join): explode the quantile literals against the cum
+    # relation, keep each (group, q)'s first crossing bin. Literals
+    # are double-typed Columns — Spark would parse a bare 0.9 in SQL
+    # text as DECIMAL, whose exact arithmetic diverges from the
+    # oracle's IEEE doubles in the last ulp.
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    hit = (
+        cum.select("*", qcol)
+        .filter(F.expr("_cum >= q * _n"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(group_col, "q").orderBy("_bin")
+            ),
         )
-        est = F.expr(
-            f"CASE WHEN _hi > _lo THEN _lo + (CAST(_bin AS DOUBLE) + "
-            f"(({qd} * _n - (_cum - _c)) / _c)) * (_hi - _lo) / {bins} "
-            "ELSE _lo END"
-        )
-        part = hit.select(
-            F.col(group_col),
-            F.lit(float(q)).alias("q"),
-            est.alias("est"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+        .filter(F.col("_rn") == 1)
+    )
+    est = F.expr(
+        f"CASE WHEN _hi > _lo THEN _lo + (CAST(_bin AS DOUBLE) + "
+        f"((q * _n - (_cum - _c)) / _c)) * (_hi - _lo) / {bins} "
+        "ELSE _lo END"
+    )
+    return hit.select(F.col(group_col), F.col("q"), est.alias("est"))
 
 
 def histogram_quantiles_sql(
@@ -260,7 +261,8 @@ def histogram_quantiles_sql(
         f"(CAST({float(q)!r} AS DOUBLE))" for q in quantiles
     )
     return f"""
-WITH src AS ({source_sql}),
+WITH src AS (
+  SELECT * FROM ({source_sql}) WHERE {value_col} IS NOT NULL),
 rng AS (
   SELECT {group_col}, MIN(CAST({value_col} AS DOUBLE)) AS lo,
          MAX(CAST({value_col} AS DOUBLE)) AS hi,

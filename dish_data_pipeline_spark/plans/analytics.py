@@ -250,9 +250,12 @@ SELECT event_id, user_id,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS roll_sum,
        CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN {ROLL_SECONDS} PRECEDING AND CURRENT ROW)
 """
+# floor before the cast: Spark's unix_timestamp TRUNCATES fractional
+# seconds while DuckDB's bare CAST(epoch(..) AS BIGINT) ROUNDS —
+# floor() makes the frame key identical for sub-second timestamps.
 
 
 # --- TPC-H Q7 shape: volume shipping between two nations ----------

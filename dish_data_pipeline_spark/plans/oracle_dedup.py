@@ -140,8 +140,12 @@ m AS (
          (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS true_positives)
 SELECT n_candidates, n_true_pairs, true_positives,
-       CAST(true_positives AS DOUBLE) / n_candidates AS precision,
-       CAST(true_positives AS DOUBLE) / n_true_pairs AS recall
+       CASE WHEN n_candidates = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(true_positives AS DOUBLE) / n_candidates END
+         AS precision,
+       CASE WHEN n_true_pairs = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(true_positives AS DOUBLE) / n_true_pairs END
+         AS recall
 FROM m
 """
     )

@@ -378,3 +378,57 @@ def simhash_near_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def cross_doc_ngram_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document duplicate n-gram coverage: the fraction of a
+    doc's distinct n-gram shingles that also occur in at least one
+    OTHER document — the corpus-level duplication diagnostic from
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (2022), used to decide whether fuzzy dedup is worth
+    running and to audit its effect afterwards.
+
+    Shape for 100 TB: shingles are hashed to the portable 60-bit
+    value BEFORE the shuffle, so the doc-frequency step keys on a
+    fixed-width long, never the raw n-gram string. Doc frequency is
+    a COUNT window over the hash partition — the same single keyed
+    shuffle a groupBy would take, but the (expensive: regexp
+    tokenize + md5 per shingle) shingle pipeline is computed ONCE
+    instead of once per side of a frequency self-join. The per-doc
+    rollup is a second keyed shuffle — no all-pairs step anywhere.
+    Returns (id_col, n_ngrams, n_dup_ngrams, dup_coverage); the
+    ratio is one IEEE division of exact BIGINT counts, so it is
+    partitioning-invariant and oracle-comparable.
+    """
+    from pyspark.sql import Window
+
+    doc_shingle = (
+        with_shingles(df.select(id_col, text_col), text_col, n)
+        .select(F.col(id_col), F.explode("shingles").alias("_s"))
+        # shingles are already distinct per doc (with_shingles), so
+        # each (doc, hash) row is unique and COUNT(*) per hash below
+        # is exactly the shingle's document frequency.
+        .withColumn("_h", F.expr(spark_phash("_s")))
+        .select(id_col, "_h")
+    )
+    return (
+        doc_shingle.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("_h"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_ngrams"),
+            F.count(F.when(F.col("_df") >= 2, 1))
+            .cast("bigint")
+            .alias("n_dup_ngrams"),
+        )
+        .withColumn(
+            "dup_coverage",
+            F.col("n_dup_ngrams").cast("double") / F.col("n_ngrams"),
+        )
+    )

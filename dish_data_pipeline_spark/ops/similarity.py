@@ -446,16 +446,22 @@ def lsh_bucket_topk(
         ).filter(F.col("query_id").isin(query_ids)),
         "q_vec",
     )
+    # Score BEFORE the pair-dedup so only the scalar cosine rides the
+    # dedup + window shuffles, never the two embedding arrays (at
+    # dim >= 1k the vectors would dominate shuffle bytes). The scorer
+    # is deterministic, so every table's copy of a pair carries the
+    # identical scalar and the arbitrary-row dedup is safe.
     pairs = (
         F.broadcast(qs)
         .join(cands, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot("q_vec", "c_vec"))
+        .select("query_id", "neighbor_id", "cosine")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("cosine", dot("q_vec", "c_vec"))
-        .withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -31,6 +31,9 @@ _ALL: dict[str, QueryDef] = {
 # but the official scoreboard should certify them itself). The
 # entries with two rounds of green driver history follow.
 _DRIVER_UNCHECKED_HEAD = [
+    "dup_ngram_coverage",
+    "vocab_topk",
+    "embedding_dedup",
     "lsh_quality",
     "rolling_window",
     "approx_quantiles",

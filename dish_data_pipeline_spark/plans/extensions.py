@@ -37,6 +37,7 @@ from dish_data_pipeline_spark.ops.similarity import (
 from dish_data_pipeline_spark.ops.text import (
     BPE_RE,
     LANG_MARKERS,
+    TOKEN_RE,
     lang_pick_case_sql,
     quality_score,
     winnow_fingerprints,
@@ -46,11 +47,13 @@ from dish_data_pipeline_spark.ops.text import (
 )
 from dish_data_pipeline_spark.plans.common import QueryDef, read, widen
 from dish_data_pipeline_spark.plans.oracle_ann import (
+    sql_embedding_dedup,
     sql_embedding_neardup,
     sql_knn_lsh,
 )
 from dish_data_pipeline_spark.plans.oracle_dedup import (
     sql_dup_clusters,
+    sql_dup_ngram_coverage,
     sql_incremental_neardup,
     sql_lsh_quality,
     sql_minhash_neardup,
@@ -1162,6 +1165,97 @@ FROM documents
 """
 
 
+# --- Cross-doc duplicate n-gram coverage (Lee et al. 2022) --------
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication diagnostic: per doc, the fraction of its
+    distinct 5-gram shingles that occur in >= 2 documents. Run over
+    the planted-duplicates corpus so the metric has signal (the base
+    synthetic docs share almost no 5-grams)."""
+    from dish_data_pipeline_spark.ops.dedup_fuzzy import cross_doc_ngram_coverage
+
+    return cross_doc_ngram_coverage(
+        widen(_docs_with_dupes(spark, sf_dir), spark), n=5
+    )
+
+
+# --- Corpus vocabulary build (wordcount with doc frequency) -------
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with term + document frequency —
+    the tokenize → explode → two-level aggregate shape (both levels
+    get map-side combine; the second agg's input is already hash-
+    partitioned by a prefix of its key, and top-k is
+    TakeOrderedAndProject, never a global sort). Token-asc tiebreak
+    makes the cut deterministic."""
+    d = read(spark, sf_dir, "documents")
+    per_doc = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+            ).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("tf").cast("bigint").alias("term_freq"),
+        F.count("*").cast("bigint").alias("doc_freq"),
+    )
+    return vocab.orderBy(F.desc("term_freq"), F.asc("token")).limit(100)
+
+
+SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+  FROM documents),
+per_doc AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY token, doc_id),
+vocab AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS term_freq,
+         CAST(COUNT(*) AS BIGINT) AS doc_freq
+  FROM per_doc GROUP BY token)
+SELECT token, term_freq, doc_freq FROM vocab
+ORDER BY term_freq DESC, token ASC LIMIT 100
+"""
+
+
+# --- SemDeDup-style embedding dedup (pairs → CC → canonical) ------
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full embedding-dedup composition a training pipeline runs
+    (SemDeDup shape): SRP-LSH blocked candidates → exact cosine gate
+    → connected components → one canonical (min-id) survivor per
+    near-dup cluster, with the cluster size it represents. Same
+    planted corpus as ``embedding_neardup`` so every planted copy
+    must collapse into its source's cluster."""
+    from dish_data_pipeline_spark.ops.dedup_cluster import connected_components
+    from dish_data_pipeline_spark.ops.similarity import dot, srp_block_pairs
+
+    emb = read(spark, sf_dir, "embeddings")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+    )
+    edges = (
+        srp_block_pairs(
+            widen(corpus, spark), n_planes=16, n_tables=2, seed=7, score=dot
+        )
+        .filter(F.col("score") >= 0.95)
+        .select("id_a", "id_b")
+    )
+    clusters = connected_components(
+        corpus.select("vec_id"), edges, id_col="vec_id"
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        clusters.filter(F.col("vec_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select("vec_id", "cluster_id", "cluster_size")
+    )
+
+
 EXTENSION_QUERIES: dict[str, QueryDef] = {
     "text_stats": QueryDef(
         q_text_stats, SQL_TEXT_STATS,
@@ -1298,4 +1392,18 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_approx_quantiles, _sql_approx_quantiles(),
         "histogram-sketch quantiles: bounded mergeable state",
         ("sketch", "agg")),
+    "dup_ngram_coverage": QueryDef(
+        q_dup_ngram_coverage,
+        sql_dup_ngram_coverage(SQL_DOCS_WITH_DUPES),
+        "cross-doc duplicate 5-gram coverage (Lee et al. 2022 diagnostic)",
+        ("text", "dedup")),
+    "vocab_topk": QueryDef(
+        q_vocab_topk, SQL_VOCAB_TOPK,
+        "top-100 vocabulary with term + document frequency",
+        ("text",)),
+    "embedding_dedup": QueryDef(
+        q_embedding_dedup,
+        sql_embedding_dedup(SQL_EMBEDDING_NEARDUP_CORPUS),
+        "SemDeDup shape: SRP blocks -> cosine gate -> CC -> canonical",
+        ("embedding", "dedup")),
 }

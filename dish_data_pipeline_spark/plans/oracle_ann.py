@@ -115,3 +115,47 @@ JOIN corpus ea ON ea.vec_id = p.id_a
 JOIN corpus eb ON eb.vec_id = p.id_b
 WHERE {dot} >= {threshold}
 """
+
+
+def sql_embedding_dedup(
+    corpus_sql: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 2,
+    seed: int = 7,
+    dim: int = 64,
+) -> str:
+    """Twin of the SemDeDup-style composition: SRP-blocked candidate
+    pairs → exact cosine gate → recursive-reachability connected
+    components (same unique min-id fixpoint the Spark label
+    propagation converges to) → canonical (min-id) survivor with its
+    cluster size."""
+    dot = DOT_SQL.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH RECURSIVE corpus AS ({corpus_sql}),
+sig AS ({sig_union_sql('corpus', n_planes=n_planes, n_tables=n_tables, seed=seed, dim=dim)}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.table_id = b.table_id AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id),
+edges AS (
+  SELECT p.id_a, p.id_b FROM cand p
+  JOIN corpus ea ON ea.vec_id = p.id_a
+  JOIN corpus eb ON eb.vec_id = p.id_b
+  WHERE {dot} >= {threshold}),
+sym(a, b) AS (SELECT id_a, id_b FROM edges
+              UNION ALL SELECT id_b, id_a FROM edges),
+walk(id, r) AS (
+  SELECT vec_id, vec_id FROM corpus
+  UNION
+  SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.r),
+lab AS (
+  SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+  FROM walk GROUP BY id),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY cluster_id)
+SELECT l.vec_id, l.cluster_id, s.cluster_size
+FROM lab l JOIN sizes s USING (cluster_id)
+WHERE l.vec_id = l.cluster_id
+"""

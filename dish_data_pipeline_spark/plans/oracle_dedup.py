@@ -295,3 +295,31 @@ SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fingerprints,
        md5(array_to_string(list_sort(fps), ',')) AS fp_digest
 FROM m
 """
+
+
+def sql_dup_ngram_coverage(corpus_sql: str, n: int = 5) -> str:
+    """Twin of ``cross_doc_ngram_coverage``: same shingling, same
+    portable 60-bit shingle hash, same BIGINT counts and single
+    IEEE division."""
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    shingle_expr = (
+        f"CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')] "
+        f"ELSE list_distinct(list_transform(toks, (x, i) -> "
+        f"CASE WHEN i <= len(toks) - {n - 1} THEN {parts} END)) END"
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+tok AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks FROM corpus),
+sh AS (SELECT doc_id, {shingle_expr} AS shingles FROM tok),
+ds AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+hashed AS (SELECT doc_id, {duck_phash('s')} AS h FROM ds),
+freq AS (SELECT h, COUNT(*) AS df FROM hashed GROUP BY h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS BIGINT) AS n_dup_ngrams,
+       CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE) / COUNT(*)
+         AS dup_coverage
+FROM hashed JOIN freq USING (h)
+GROUP BY doc_id
+"""

@@ -385,6 +385,7 @@ def cross_doc_ngram_coverage(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    hot_df_threshold: int = 1000,
 ) -> DataFrame:
     """Per-document duplicate n-gram coverage: the fraction of a
     doc's distinct n-gram shingles that also occur in at least one
@@ -394,19 +395,33 @@ def cross_doc_ngram_coverage(
     running and to audit its effect afterwards.
 
     Shape for 100 TB: shingles are hashed to the portable 60-bit
-    value BEFORE the shuffle, so the doc-frequency step keys on a
+    value BEFORE any shuffle, so every keyed step works on a
     fixed-width long, never the raw n-gram string. Doc frequency is
-    a COUNT window over the hash partition — the same single keyed
-    shuffle a groupBy would take, but the (expensive: regexp
-    tokenize + md5 per shingle) shingle pipeline is computed ONCE
-    instead of once per side of a frequency self-join. The per-doc
-    rollup is a second keyed shuffle — no all-pairs step anywhere.
-    Returns (id_col, n_ngrams, n_dup_ngrams, dup_coverage); the
-    ratio is one IEEE division of exact BIGINT counts, so it is
-    partitioning-invariant and oracle-comparable.
+    a groupBy-count (map-side partial aggregation collapses even a
+    corpus-wide boilerplate shingle to one row per input
+    partition), and the frequency rejoin uses the two-path hot-key
+    pattern rather than trusting the optimizer: AQE's skew split
+    only rewrites a join whose BOTH children are direct shuffle
+    stages, and the frequency side here sits behind its own
+    aggregate, so the hot shingle's reducer could never be split
+    (verified: OptimizeSkewedJoin never fires on this shape; a
+    COUNT window would be strictly worse — one unsplittable task).
+    Instead, keys with document frequency >= ``hot_df_threshold``
+    are broadcast and their rows map-side-joined (never shuffled);
+    only cold keys take the shuffle join, which is skew-free by
+    construction. The broadcast side is bounded by the same
+    invariant that makes the pattern safe at any scale: at most
+    total_shingle_rows / hot_df_threshold keys can be hot. The
+    hashed relation is persisted so the expensive (regexp tokenize
+    + md5 per shingle) pipeline feeds both paths from one
+    computation — MEMORY_AND_DISK, LRU-evictable after the action,
+    same convention as the SRP signature relation; a 100 TB run
+    would checkpoint it. The per-doc rollup is one more keyed
+    shuffle — no all-pairs step anywhere. Returns (id_col,
+    n_ngrams, n_dup_ngrams, dup_coverage); the ratio is one IEEE
+    division of exact BIGINT counts, so it is partitioning-
+    invariant and oracle-comparable.
     """
-    from pyspark.sql import Window
-
     doc_shingle = (
         with_shingles(df.select(id_col, text_col), text_col, n)
         .select(F.col(id_col), F.explode("shingles").alias("_s"))
@@ -415,11 +430,16 @@ def cross_doc_ngram_coverage(
         # is exactly the shingle's document frequency.
         .withColumn("_h", F.expr(spark_phash("_s")))
         .select(id_col, "_h")
+        .persist()
     )
+    freq = doc_shingle.groupBy("_h").agg(F.count("*").alias("_df"))
+    hot = F.broadcast(freq.filter(F.col("_df") >= hot_df_threshold))
+    hot_rows = doc_shingle.join(hot, "_h")
+    cold_rows = doc_shingle.join(
+        hot.select("_h"), "_h", "left_anti"
+    ).join(freq.filter(F.col("_df") < hot_df_threshold), "_h")
     return (
-        doc_shingle.withColumn(
-            "_df", F.count("*").over(Window.partitionBy("_h"))
-        )
+        hot_rows.unionByName(cold_rows)
         .groupBy(id_col)
         .agg(
             F.count("*").cast("bigint").alias("n_ngrams"),

@@ -129,3 +129,41 @@ def test_vocab_topk_counts_match_python(spark, sf_dir):
     expect = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
     assert [(r["token"], r["term_freq"]) for r in got] == expect
     assert all(r["doc_freq"] == df_[r["token"]] for r in got)
+
+
+def test_ngram_coverage_hot_shingle_broadcast_path(spark):
+    """A boilerplate phrase shared by thousands of docs is the
+    coverage op's hot key. AQE's skew split can never rescue the
+    frequency rejoin (the frequency side sits behind its own
+    aggregate, and OptimizeSkewedJoin only splits joins whose both
+    children are direct shuffle stages — verified empirically), so
+    the op must route hot keys through the broadcast path: their
+    rows map-side-join and never hit a shuffled reducer."""
+    from pyspark.sql import Row
+
+    n_hot, n_cold = 2000, 60
+    # each doc: 4 unique tokens then a shared 5-token boilerplate
+    # tail -> exactly one of its 5 shingles is corpus-wide hot
+    boiler = "standard legal disclaimer boilerplate footer"
+    rows = [
+        Row(doc_id=i, text=f"u{i}a u{i}b u{i}c u{i}d {boiler}")
+        for i in range(n_hot)
+    ] + [
+        Row(
+            doc_id=10_000 + i,
+            text=f"totally distinct filler number{i} with words alpha{i} beta{i} gamma{i}",
+        )
+        for i in range(n_cold)
+    ]
+    cov = cross_doc_ngram_coverage(
+        spark.createDataFrame(rows), n=5, hot_df_threshold=1000
+    )
+    got = {r["doc_id"]: r["dup_coverage"] for r in cov.collect()}
+    plan = cov._jdf.queryExecution().executedPlan().toString()
+
+    # 9 tokens -> 5 shingles; only the all-boilerplate one is shared
+    assert all(got[i] == 0.2 for i in range(n_hot))
+    assert all(got[10_000 + i] == 0.0 for i in range(n_cold))
+    # hot rows take broadcast joins (positive join + anti split);
+    # only cold keys reach the sort-merge/shuffled side
+    assert "BroadcastHashJoin" in plan, plan

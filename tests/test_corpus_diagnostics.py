@@ -167,3 +167,42 @@ def test_ngram_coverage_hot_shingle_broadcast_path(spark):
     # hot rows take broadcast joins (positive join + anti split);
     # only cold keys reach the sort-merge/shuffled side
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tfidf_topterms_matches_python(spark, sf_dir):
+    """Top-3 terms per doc equal a Python twin of the rational-idf
+    scoring, including the (tfidf desc, token asc) tiebreak."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from dish_data_pipeline_spark.plans.extensions import q_tfidf_topterms
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    n_docs = len(rows)
+    tf: dict[int, Counter] = {}
+    df_: Counter = Counter()
+    for doc_id, text in rows:
+        toks = Counter(re.findall("[A-Za-z0-9]+", text.lower()))
+        tf[doc_id] = toks
+        df_.update(toks.keys())
+    expect = {}
+    for doc_id, toks in tf.items():
+        scored = sorted(
+            ((t, c, df_[t], (c * n_docs) / df_[t]) for t, c in toks.items()),
+            key=lambda x: (-x[3], x[0]),
+        )[:3]
+        expect[doc_id] = [
+            (t, c, d, s, r + 1) for r, (t, c, d, s) in enumerate(scored)
+        ]
+    got: dict[int, list] = {}
+    for r in q_tfidf_topterms(spark, sf_dir).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["token"], r["tf"], r["df"], r["tfidf"], r["rank"])
+        )
+    for doc_id in got:
+        got[doc_id].sort(key=lambda x: x[4])
+    assert got == expect

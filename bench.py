@@ -88,6 +88,15 @@ def main() -> None:
         except Exception as exc:
             print(f"# warmup error {name}: {exc}", file=sys.stderr)
 
+    # clear caches between warmup and between timed queries: several
+    # operators persist intermediates (SRP signatures, CC edges, the
+    # shingle-hash relation) that are deliberately left LRU-evictable
+    # for the CALLER's action, but accumulate across an 85-query
+    # sweep — measured to inflate unrelated late-catalog queries up
+    # to ~12x via eviction + GC pressure. Per-query baselines mean
+    # "this query's own cost", so each timed run starts cache-clean.
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name, qd in QUERIES.items():
         if only and name not in only:
@@ -100,6 +109,7 @@ def main() -> None:
         except Exception as exc:  # a failing query must not hide the rest
             print(f"# bench error {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_from_dir(sf_dir)

@@ -187,3 +187,46 @@ def pack_sequences(
         .drop("_cum")
         .select(id_col, "bucket", "seq_id", "n_tokens")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into fixed-token chunks with overlap —
+    the context-window preprocessing every training/RAG pipeline
+    runs before packing or embedding. Chunk i starts at token
+    ``i * (chunk_tokens - overlap)``; the last chunk may be short;
+    an empty document yields one empty chunk (mirroring the
+    single-shingle convention for short docs).
+
+    Pure map-side higher-order expressions — tokenize, windowed
+    slice, posexplode — so the operator has ZERO shuffles and
+    scales linearly with input splits; returns (id_col, chunk_id,
+    chunk_text, n_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0).alias("_toks"),
+    )
+    chunks = (
+        "transform(sequence(0, greatest(size(_toks) - 1, 0), {step}), "
+        "s -> struct(array_join(slice(_toks, s + 1, {c}), ' ') AS chunk_text, "
+        "size(slice(_toks, s + 1, {c})) AS n_tokens))"
+    ).format(step=step, c=chunk_tokens)
+    return base.select(
+        F.col(id_col),
+        F.posexplode(F.expr(chunks)).alias("chunk_id", "_ch"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("_ch.chunk_text").alias("chunk_text"),
+        F.col("_ch.n_tokens").cast("bigint").alias("n_tokens"),
+    )

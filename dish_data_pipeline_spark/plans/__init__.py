@@ -34,6 +34,7 @@ _DRIVER_UNCHECKED_HEAD = [
     "dup_ngram_coverage",
     "vocab_topk",
     "tfidf_topterms",
+    "doc_chunks",
     "embedding_dedup",
     "lsh_quality",
     "rolling_window",

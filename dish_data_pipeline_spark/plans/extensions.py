@@ -1219,6 +1219,37 @@ ORDER BY term_freq DESC, token ASC LIMIT 100
 """
 
 
+# --- Fixed-token chunking with overlap ----------------------------
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-token chunks, 8-token overlap, over ``documents`` — the
+    zero-shuffle map-side context-window splitter (see
+    ``ops/sampling.chunk_documents``)."""
+    from dish_data_pipeline_spark.ops.sampling import chunk_documents
+
+    return chunk_documents(read(spark, sf_dir, "documents"))
+
+
+def _sql_doc_chunks(chunk_tokens: int = 32, overlap: int = 8) -> str:
+    step = chunk_tokens - overlap
+    c = chunk_tokens
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS toks
+  FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         range(0, GREATEST(len(toks), 1), {step}) AS starts
+  FROM tok)
+SELECT doc_id,
+       CAST(unnest(range(0, len(starts))) AS INTEGER) AS chunk_id,
+       unnest(list_transform(starts,
+              s -> array_to_string(toks[s + 1 : s + {c}], ' '))) AS chunk_text,
+       CAST(unnest(list_transform(starts,
+              s -> len(toks[s + 1 : s + {c}]))) AS BIGINT) AS n_tokens
+FROM st
+"""
+
+
 # --- TF-IDF top terms per document --------------------------------
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by TF-IDF with the
@@ -1478,6 +1509,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_tfidf_topterms, SQL_TFIDF_TOPTERMS,
         "top-3 TF-IDF terms per doc (exact rational idf surrogate)",
         ("text",)),
+    "doc_chunks": QueryDef(
+        q_doc_chunks, _sql_doc_chunks(),
+        "fixed-token chunking with overlap (zero-shuffle map-side)",
+        ("text", "sampling")),
     "embedding_dedup": QueryDef(
         q_embedding_dedup,
         sql_embedding_dedup(SQL_EMBEDDING_NEARDUP_CORPUS),

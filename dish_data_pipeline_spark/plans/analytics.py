@@ -133,7 +133,13 @@ FROM events
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # unix_timestamp, NOT cast("long"): the testdata parquet stores
+    # ts as timestamp[us] without timezone (TIMESTAMP_NTZ in Spark 4),
+    # which refuses a direct BIGINT cast. unix_timestamp also floors
+    # sub-second parts, matching the oracle's floor(epoch(ts)) — same
+    # convention as q_rolling_window below.
+    sec = F.unix_timestamp(F.col("ts"))
+    gap = sec - F.lag(sec).over(w)
     with_flag = e.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
@@ -153,8 +159,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSIONIZE = f"""
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
-         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
-                OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -978,12 +978,17 @@ WITH t AS (
   FROM documents),
 c AS (
   SELECT doc_id, bucket, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum
+         CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
   FROM t)
-SELECT doc_id, bucket, (cum - n_tokens) // {PACK_BUDGET} AS seq_id, n_tokens
+SELECT doc_id, bucket,
+       CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       n_tokens
 FROM c
 """
+# CAST both the windowed SUM and seq_id: DuckDB's windowed SUM(BIGINT)
+# yields HUGEINT (int128), which the driver's value-hash treats
+# differently from Spark's BIGINT (red hash row in round 3).
 
 
 # --- Near-dup clustering (connected components over LSH pairs) ----

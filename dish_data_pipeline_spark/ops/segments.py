@@ -71,37 +71,49 @@ def segment_dedup(
     were all duplicated elsewhere survives with empty text, so a
     downstream quality gate (not silent data loss) decides its fate.
     """
-    # The segment relation feeds the census, the rejoin, AND the
-    # totals — persist so tokenize+hash runs once, not three times
-    # (MEMORY_AND_DISK, LRU-evictable after the caller's action; the
-    # same convention as srp_block_pairs' signature relation).
-    seg = _segments(df, id_col, text_col, seg_tokens).persist()
-    census = seg.groupBy("seg_hash").agg(
-        F.countDistinct(id_col).alias("_n_docs"),
-        F.min(id_col).alias("_first_doc"),
+    # Single-pass shape: the census (distinct-doc count + first doc
+    # per segment hash) is computed as window functions over the
+    # seg_hash partitioning instead of a groupBy census + rejoin —
+    # that folds 3 consumers of the segment relation (census, rejoin,
+    # totals) into ONE linear pipeline: tokenize+hash runs once with
+    # no persist, and the relation is shuffled once by seg_hash and
+    # once by doc id (round 3's persist+rejoin shape ran 2.6× over
+    # baseline re-scanning the persisted text). dense_rank-max gives
+    # the distinct-doc count without countDistinct (unsupported over
+    # windows). Skew note: a corpus-hot boilerplate hash lands one
+    # window partition (AQE can't split windows the way it splits
+    # joins) — at 60-bit hash granularity a single segment would
+    # need ~billions of repeats before one reducer is at risk, and
+    # the heavy ``seg`` text column rides the same single shuffle the
+    # old rejoin needed anyway.
+    from pyspark.sql import Window
+
+    seg = _segments(df, id_col, text_col, seg_tokens)
+    w_ord = Window.partitionBy("seg_hash").orderBy(id_col)
+    w_all = Window.partitionBy("seg_hash")
+    ranked = seg.withColumn("_dr", F.dense_rank().over(w_ord))
+    stats = ranked.withColumn("_n_docs", F.max("_dr").over(w_all)).withColumn(
+        "_first_doc", F.min(id_col).over(w_all)
     )
-    kept = (
-        seg.join(census, "seg_hash")
-        .filter(
-            (F.col("_n_docs") <= max_docs) | (F.col(id_col) == F.col("_first_doc"))
-        )
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
-                    lambda x: x["seg"],
+    keep = (F.col("_n_docs") <= max_docs) | (
+        F.col(id_col) == F.col("_first_doc")
+    )
+    per_doc = stats.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "seg")))
                 ),
-                " ",
-            ).alias("text_deduped"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count(F.when(keep, F.lit(1))).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_segments"),
     )
-    totals = seg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
     return (
         df.select(id_col)
-        .join(totals, id_col, "left")
-        .join(kept, id_col, "left")
+        .join(per_doc, id_col, "left")
         .select(
             id_col,
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),

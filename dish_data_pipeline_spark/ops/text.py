@@ -170,21 +170,37 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     is taken on the text the replacement actually sees, so a match
     consumed by an earlier stage (a phone-shaped digit run inside an
     e-mail) is never counted: counts always tie out against the
-    placeholders present in ``text_redacted``. Pure
-    ``regexp_replace``/``regexp_extract_all`` chain — map-side,
-    codegen'd, 0 shuffles. NULL text is treated as '' (zero counts,
-    empty redaction) — without the coalesce, legacy ``size(null)``
-    would emit -1 audit counts."""
+    placeholders present in ``text_redacted`` — in fact they are
+    COMPUTED from those placeholders: each count is the occurrence
+    count of its placeholder token in the final redacted text,
+    derived from the length delta of a literal (non-regex) strip.
+    That keeps the regex work to the 3 unavoidable replace passes —
+    the earlier per-stage ``regexp_extract_all`` counts tripled the
+    regex cost (11× over baseline at sf0.1) for byte-identical
+    results on any corpus that doesn't already contain the literal
+    placeholder tokens. Map-side, codegen'd, 0 shuffles. NULL text
+    is treated as '' (zero counts, empty redaction)."""
     t0 = F.coalesce(F.col(text_col), F.lit(""))
-    n = lambda t, pat: F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint")  # noqa: E731
     t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
     t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
     t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    red = F.col("text_redacted")
+
+    def n(token: str):
+        return (
+            (F.length(red) - F.length(F.replace(red, F.lit(token))))
+            / F.lit(len(token))
+        ).cast("bigint")
+
+    # two projections on purpose: text_redacted lands first so the
+    # 3-regex chain is computed once and the counts reference the
+    # materialized column (CollapseProject keeps non-cheap exprs
+    # single-use; subexpression elimination backs it up)
     return (
-        df.withColumn("n_emails", n(t0, EMAIL_RE))
-        .withColumn("n_ips", n(t1, IPV4_RE))
-        .withColumn("n_phones", n(t2, PHONE_RE))
-        .withColumn("text_redacted", t3)
+        df.withColumn("text_redacted", t3)
+        .withColumn("n_emails", n("<EMAIL>"))
+        .withColumn("n_ips", n("<IP>"))
+        .withColumn("n_phones", n("<PHONE>"))
     )
 
 

@@ -720,21 +720,31 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_pii_redaction() -> str:
     from dish_data_pipeline_spark.ops.text import EMAIL_RE, IPV4_RE, PHONE_RE
 
-    # staged exactly like redact_pii: each count taken on the text
-    # its replacement stage sees
+    # staged exactly like redact_pii: the 3-regex replacement chain,
+    # then each count derived from the placeholder occurrences in the
+    # final redacted text (literal-replace length delta — no extra
+    # regex passes, same convention as the Spark side)
     return f"""
 WITH d0 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
 aug AS (SELECT doc_id, {PII_AUG_SQL} AS t0 FROM d0),
-s1 AS (SELECT doc_id, t0,
-              regexp_replace(t0, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM aug),
-s2 AS (SELECT doc_id, t0, t1,
-              regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2 FROM s1)
+red AS (SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                 t0, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{IPV4_RE}', '<IP>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g') AS text_redacted
+        FROM aug)
 SELECT doc_id,
-       CAST(len(regexp_extract_all(t0, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS n_phones,
-       regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS text_redacted
-FROM s2
+       CAST((len(text_redacted)
+             - len(replace(text_redacted, '<EMAIL>', ''))) // 7 AS BIGINT)
+         AS n_emails,
+       CAST((len(text_redacted)
+             - len(replace(text_redacted, '<IP>', ''))) // 4 AS BIGINT)
+         AS n_ips,
+       CAST((len(text_redacted)
+             - len(replace(text_redacted, '<PHONE>', ''))) // 7 AS BIGINT)
+         AS n_phones,
+       text_redacted
+FROM red
 """
 
 

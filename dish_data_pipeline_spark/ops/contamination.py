@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dish_data_pipeline_spark.cache_registry import tracked_persist
 from dish_data_pipeline_spark.ops.portable import spark_phash
 from dish_data_pipeline_spark.ops.text import TOKEN_RE
 
@@ -55,7 +56,7 @@ def contamination_report(
     """
     # consumed twice (per-doc totals + hit counts): persist so the
     # corpus is tokenized+hashed once (LRU-evictable after the action)
-    doc_grams = _gram_hashes(corpus, id_col, text_col, n).persist()
+    doc_grams = tracked_persist(_gram_hashes(corpus, id_col, text_col, n))
     bench_grams = F.broadcast(
         _gram_hashes(benchmark, id_col, text_col, n)
         .select("gram_hash")

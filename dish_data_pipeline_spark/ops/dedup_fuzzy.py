@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dish_data_pipeline_spark.cache_registry import tracked_persist
 from dish_data_pipeline_spark.ops.portable import perm_coeffs, perm_expr, spark_phash
 from dish_data_pipeline_spark.ops.text import TOKEN_RE
 
@@ -241,9 +242,9 @@ def lsh_quality_metrics(
     the candidate pipeline and both truth sides — persisted
     (MEMORY_AND_DISK, LRU-evictable after the caller's action, the
     ``srp_block_pairs`` convention)."""
-    sh = with_shingles(df, text_col, shingle_n).select(
-        F.col(id_col), "shingles"
-    ).persist()
+    sh = tracked_persist(
+        with_shingles(df, text_col, shingle_n).select(F.col(id_col), "shingles")
+    )
     cand = minhash_candidate_pairs(
         with_minhash(sh, n_hashes, seed), id_col, bands, rows_per_band
     ).select("id_a", "id_b")
@@ -430,8 +431,8 @@ def cross_doc_ngram_coverage(
         # is exactly the shingle's document frequency.
         .withColumn("_h", F.expr(spark_phash("_s")))
         .select(id_col, "_h")
-        .persist()
     )
+    doc_shingle = tracked_persist(doc_shingle)
     freq = doc_shingle.groupBy("_h").agg(F.count("*").alias("_df"))
     hot = F.broadcast(freq.filter(F.col("_df") >= hot_df_threshold))
     hot_rows = doc_shingle.join(hot, "_h")

@@ -379,10 +379,14 @@ def srp_block_pairs(
     cache entry is MEMORY_AND_DISK and evictable (LRU) once the
     query's action completes; a long-lived session reusing many
     corpora should checkpoint the signature table itself."""
-    sig = with_srp_buckets(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
-        "_v", n_planes, n_tables, seed, dim, impl=impl,
-    ).persist()
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    sig = tracked_persist(
+        with_srp_buckets(
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+            "_v", n_planes, n_tables, seed, dim, impl=impl,
+        )
+    )
 
     def side(id_out: str, vec_out: str, tbl: str, bkt: str) -> DataFrame:
         return sig.withColumnsRenamed(

@@ -323,3 +323,144 @@ SELECT e.{group_col}, e.n_distinct,
        END AS est_distinct
 FROM exact e LEFT JOIN kth k ON k.{group_col} = e.{group_col}
 """
+
+# --- Count-min frequency sketch -----------------------------------
+# Cormode & Muthukrishnan 2005: d universal-hash rows × w buckets of
+# counters; a value's frequency estimate is the MIN of its d bucket
+# counters (always ≥ the true count — collisions only add). The
+# counter table is one groupBy over (group, row, bucket) with full
+# map-side combine, and MERGING sketches is plain counter addition
+# (sum is associative), so a 1000-executor corpus scan ships
+# d × w counters per partition, never re-scanning data. Like the KMV
+# sketch above, all arithmetic is portable integer math on the 60-bit
+# md5 hash, so the DuckDB oracle reproduces the sketch — including
+# its overestimation error — bit for bit.
+
+
+def count_min_freq(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    d: int = 4,
+    w: int = 64,
+    k: int = 10,
+    seed: int = 9,
+) -> DataFrame:
+    """Per-group CMS frequency estimates for the top-``k`` values by
+    TRUE frequency (the verification yardstick — at 100 TB the true
+    counts are exactly what you cannot afford, and the heavy-hitter
+    candidates come from a stream or a sample instead). Input is one
+    row per value OCCURRENCE; returns
+    ``(group, value, true_count, cms_count)`` with ``cms_count >=
+    true_count`` by construction."""
+    from dish_data_pipeline_spark.ops.portable import perm_coeffs, perm_expr
+
+    coeffs = perm_coeffs(d, seed)
+    base = df.select(
+        F.col(group_col),
+        F.col(value_col).alias("_v"),
+        F.expr(spark_phash(value_col)).alias("_h"),
+    )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("_i"),
+                F.expr(f"({perm_expr('_h', a, b)}) % {w}").alias("_b"),
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    counters = (
+        base.select(group_col, F.explode(buckets).alias("_s"))
+        .select(group_col, F.col("_s._i").alias("_i"), F.col("_s._b").alias("_b"))
+        .groupBy(group_col, "_i", "_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    true_counts = base.groupBy(group_col, "_v", "_h").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.desc("true_count"), F.asc("_v")
+    )
+    topk = (
+        true_counts.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    probes = topk.select(
+        group_col, "_v", "true_count", F.explode(buckets).alias("_s")
+    ).select(
+        group_col,
+        "_v",
+        "true_count",
+        F.col("_s._i").alias("_i"),
+        F.col("_s._b").alias("_b"),
+    )
+    return (
+        probes.join(counters, [group_col, "_i", "_b"])
+        .groupBy(group_col, "_v", "true_count")
+        .agg(F.min("_cnt").alias("cms_count"))
+        .select(
+            group_col,
+            F.col("_v").alias("value"),
+            "true_count",
+            "cms_count",
+        )
+    )
+
+
+def count_min_freq_sql(
+    source_sql: str,
+    group_col: str,
+    value_col: str,
+    d: int = 4,
+    w: int = 64,
+    k: int = 10,
+    seed: int = 9,
+) -> str:
+    """DuckDB twin of :func:`count_min_freq` (same perms, same
+    bucket arithmetic, same tie-break)."""
+    from dish_data_pipeline_spark.ops.portable import (
+        duck_phash,
+        perm_coeffs,
+        perm_expr,
+    )
+
+    coeffs = perm_coeffs(d, seed)
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT {group_col}, v, h, {i} AS i, "
+        f"(({perm_expr('h', a, b)}) % {w}) AS b FROM base"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+WITH src AS ({source_sql}),
+base AS (
+  SELECT {group_col}, {value_col} AS v,
+         {duck_phash(value_col)} AS h
+  FROM src),
+expanded AS ({bucket_rows}),
+counters AS (
+  SELECT {group_col}, i, b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM expanded GROUP BY {group_col}, i, b),
+true_counts AS (
+  SELECT {group_col}, v, h, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM base GROUP BY {group_col}, v, h),
+topk AS (
+  SELECT * FROM (
+    SELECT {group_col}, v, h, true_count,
+           row_number() OVER (PARTITION BY {group_col}
+                              ORDER BY true_count DESC, v ASC) AS rn
+    FROM true_counts) t
+  WHERE rn <= {k}),
+probes AS (
+  {" UNION ALL ".join(
+      f"SELECT {group_col}, v, true_count, {i} AS i, "
+      f"(({perm_expr('h', a, b)}) % {w}) AS b FROM topk"
+      for i, (a, b) in enumerate(coeffs))})
+SELECT p.{group_col}, p.v AS value, p.true_count,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_count
+FROM probes p
+JOIN counters c
+  ON c.{group_col} = p.{group_col} AND c.i = p.i AND c.b = p.b
+GROUP BY p.{group_col}, p.v, p.true_count
+"""

@@ -36,6 +36,8 @@ _DRIVER_UNCHECKED_HEAD = [
     # round-3 red rows, fixed this round — certify first
     "sessionize",
     "sequence_packing",
+    # new this round — zero driver history
+    "cms_topk",
     # last driver row r1/r2 — not re-checked in round 3
     "rollup_events",
     "set_ops",

@@ -839,6 +839,47 @@ def _sql_approx_quantiles() -> str:
     )
 
 
+# --- Count-min frequency sketch -----------------------------------
+CMS_D, CMS_W, CMS_K = 4, 64, 10
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for each language's
+    top-10 tokens (by true frequency, the verification yardstick):
+    bounded mergeable counter state (4×64 per group) where an exact
+    heavy-hitter count needs the full vocabulary groupBy. The CMS
+    overestimation itself is oracle-verified — both engines compute
+    identical counters from the portable 60-bit hash."""
+    from dish_data_pipeline_spark.ops.sketch import count_min_freq
+    from dish_data_pipeline_spark.ops.text import TOKEN_RE
+
+    d = read(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")
+        ).alias("token"),
+    )
+    return count_min_freq(
+        toks, "lang", "token", d=CMS_D, w=CMS_W, k=CMS_K
+    )
+
+
+def _sql_cms_topk() -> str:
+    from dish_data_pipeline_spark.ops.sketch import count_min_freq_sql
+    from dish_data_pipeline_spark.ops.text import TOKEN_RE
+
+    return count_min_freq_sql(
+        "SELECT lang, unnest(regexp_extract_all(text, "
+        f"'{TOKEN_RE}')) AS token FROM documents",
+        "lang",
+        "token",
+        d=CMS_D,
+        w=CMS_W,
+        k=CMS_K,
+    )
+
+
 # --- Composed corpus-preparation pipeline -------------------------
 PIPE_OUT_ROWS = 150
 
@@ -1506,6 +1547,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
     "sketch_merge": QueryDef(
         q_sketch_merge, _sql_sketch_merge(),
         "mergeable KMV: per-partition sketches -> global estimate",
+        ("sketch", "text")),
+    "cms_topk": QueryDef(
+        q_cms_topk, _sql_cms_topk(),
+        "count-min-sketch heavy-hitter counts, bit-identical to oracle",
         ("sketch", "text")),
     "approx_quantiles": QueryDef(
         q_approx_quantiles, _sql_approx_quantiles(),

@@ -198,3 +198,56 @@ def test_kmv_estimate_matches_python_twin(spark):
     expected = 31.0 * float(1 << 60) / float(kth)
     assert row.est_distinct == expected  # bit-identical arithmetic
     assert abs(row.est_distinct - 500) / 500 < 0.5  # sane accuracy
+
+
+# --- count-min sketch ---------------------------------------------
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    from dish_data_pipeline_spark.ops.sketch import count_min_freq
+
+    rows = (
+        [Row(g="a", v="x")] * 50
+        + [Row(g="a", v="y")] * 20
+        + [Row(g="a", v=f"noise-{i}") for i in range(200)]
+    )
+    out = {
+        r.value: (r.true_count, r.cms_count)
+        for r in count_min_freq(
+            spark.createDataFrame(rows), "g", "v", d=4, w=64, k=5
+        ).collect()
+    }
+    assert out["x"][0] == 50 and out["y"][0] == 20
+    for true, est in out.values():
+        assert est >= true  # CMS only ever overestimates
+
+
+def test_cms_matches_python_twin(spark):
+    """The counter a probe reads is exactly the sum of colliding
+    hashes — replicated value-for-value in plain Python."""
+    from collections import Counter
+
+    from dish_data_pipeline_spark.ops.portable import (
+        perm_coeffs,
+        py_perm,
+        py_phash,
+    )
+    from dish_data_pipeline_spark.ops.sketch import count_min_freq
+
+    d, w = 3, 8  # tiny width to force collisions
+    values = [f"v{i}" for i in range(40)] + ["hot"] * 25
+    coeffs = perm_coeffs(d, 9)
+    counters: Counter = Counter()
+    for v in values:
+        h = py_phash(v)
+        for i, (a, b) in enumerate(coeffs):
+            counters[(i, py_perm(h, a, b) % w)] += 1
+    h_hot = py_phash("hot")
+    expected = min(
+        counters[(i, py_perm(h_hot, a, b) % w)]
+        for i, (a, b) in enumerate(coeffs)
+    )
+    df = spark.createDataFrame([Row(g="a", v=v) for v in values])
+    got = {
+        r.value: r.cms_count
+        for r in count_min_freq(df, "g", "v", d=d, w=w, k=1, seed=9).collect()
+    }
+    assert got == {"hot": expected}

@@ -200,3 +200,32 @@ def canonical_docs(
     return docs.join(clusters, id_col).filter(
         F.col(id_col) == F.col("cluster_id")
     )
+
+
+def canonical_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Keep one survivor per cluster: the HIGHEST-``score_col``
+    member (ties broken by smallest id, so the choice is
+    deterministic and engine-independent). This is the corpus
+    canonicalization a training pipeline actually wants — when
+    near-duplicates differ (one copy truncated, one boilerplated),
+    keep the best copy, not the first — where :func:`canonical_docs`
+    keeps the min-id member regardless of quality. Adds
+    ``cluster_size`` so downstream mixing can weight survivors by
+    how much duplication they absorbed. One window over the cluster
+    id: rank + size share the single shuffle."""
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    w_all = Window.partitionBy("cluster_id")
+    return (
+        docs.join(clusters, id_col)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "cluster_id")
+    )

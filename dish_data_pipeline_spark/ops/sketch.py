@@ -337,6 +337,50 @@ FROM exact e LEFT JOIN kth k ON k.{group_col} = e.{group_col}
 # its overestimation error — bit for bit.
 
 
+def _cms_buckets(coeffs, w: int):
+    """Array of (row, bucket) structs for a hash column ``_h``."""
+    from dish_data_pipeline_spark.ops.portable import perm_expr
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("_i"),
+                F.expr(f"({perm_expr('_h', a, b)}) % {w}").alias("_b"),
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+
+
+def cms_counters(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    d: int = 4,
+    w: int = 64,
+    seed: int = 9,
+) -> DataFrame:
+    """The CMS counter relation ``(group, _i, _b, _cnt)`` — the
+    sketch STATE, exposed separately because it is what distributed
+    and streaming tiers exchange: counters merge by plain addition,
+    so a streaming aggregation with this groupBy holds exactly
+    ``d × w`` rows of state per group, and per-partition counter
+    tables sum to the global sketch. Works unchanged on a streaming
+    DataFrame (explode + groupBy-count are both supported)."""
+    from dish_data_pipeline_spark.ops.portable import perm_coeffs
+
+    coeffs = perm_coeffs(d, seed)
+    base = df.select(
+        F.col(group_col), F.expr(spark_phash(value_col)).alias("_h")
+    )
+    return (
+        base.select(group_col, F.explode(_cms_buckets(coeffs, w)).alias("_s"))
+        .select(group_col, F.col("_s._i").alias("_i"), F.col("_s._b").alias("_b"))
+        .groupBy(group_col, "_i", "_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+
 def count_min_freq(
     df: DataFrame,
     group_col: str,
@@ -361,21 +405,8 @@ def count_min_freq(
         F.col(value_col).alias("_v"),
         F.expr(spark_phash(value_col)).alias("_h"),
     )
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("_i"),
-                F.expr(f"({perm_expr('_h', a, b)}) % {w}").alias("_b"),
-            )
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
-    counters = (
-        base.select(group_col, F.explode(buckets).alias("_s"))
-        .select(group_col, F.col("_s._i").alias("_i"), F.col("_s._b").alias("_b"))
-        .groupBy(group_col, "_i", "_b")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-    )
+    buckets = _cms_buckets(coeffs, w)
+    counters = cms_counters(df, group_col, value_col, d=d, w=w, seed=seed)
     true_counts = base.groupBy(group_col, "_v", "_h").agg(
         F.count(F.lit(1)).alias("true_count")
     )

@@ -38,6 +38,8 @@ _DRIVER_UNCHECKED_HEAD = [
     "sequence_packing",
     # new this round — zero driver history
     "cms_topk",
+    "best_of_cluster",
+    "customer_distribution",
     # last driver row r1/r2 — not re-checked in round 3
     "rollup_events",
     "set_ops",

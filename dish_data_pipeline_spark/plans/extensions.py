@@ -52,6 +52,7 @@ from dish_data_pipeline_spark.plans.oracle_ann import (
     sql_knn_lsh,
 )
 from dish_data_pipeline_spark.plans.oracle_dedup import (
+    sql_best_of_cluster,
     sql_dup_clusters,
     sql_dup_ngram_coverage,
     sql_incremental_neardup,
@@ -1083,6 +1084,28 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_docs(kept, clusters).select("doc_id", "lang", "quality")
 
 
+def q_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax canonicalization: quality gate → near-dup
+    pairs → connected components → keep each cluster's HIGHEST-
+    quality member (min-id tiebreak) with the cluster size. The
+    realistic corpus variant of ``training_corpus``'s min-id keep —
+    when near-duplicates differ, a training pipeline keeps the best
+    copy, not the first one ingested."""
+    from dish_data_pipeline_spark.ops.dedup_cluster import (
+        canonical_best,
+        connected_components,
+    )
+
+    corpus = _docs_with_dupes(spark, sf_dir)
+    kept = corpus.withColumn("quality", quality_score()).filter(
+        F.col("quality") >= 0.75
+    )
+    clusters = connected_components(kept.select("doc_id"), _minhash_pairs(kept))
+    return canonical_best(kept, clusters).select(
+        "doc_id", "lang", "quality", "cluster_size"
+    )
+
+
 # --- Brute-force cosine top-k (exact oracle via decimal dot) ------
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 
@@ -1480,6 +1503,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_dup_clusters, sql_dup_clusters(SQL_DOCS_WITH_DUPES),
         "connected components over MinHash-LSH near-dup pairs",
         ("dedup", "iterative")),
+    "best_of_cluster": QueryDef(
+        q_best_of_cluster, sql_best_of_cluster(SQL_DOCS_WITH_DUPES),
+        "quality-argmax canonical doc per near-dup cluster + size",
+        ("dedup", "quality")),
     "training_corpus": QueryDef(
         q_training_corpus, sql_training_corpus(SQL_DOCS_WITH_DUPES),
         "composed corpus builder: quality gate → near-dup clusters → canonical docs",

@@ -323,3 +323,45 @@ SELECT doc_id,
 FROM hashed JOIN freq USING (h)
 GROUP BY doc_id
 """
+
+
+def sql_best_of_cluster(corpus_sql: str, threshold: float = 0.8) -> str:
+    """Twin of quality gate → MinHash-LSH pairs → connected
+    components → ``canonical_best`` (highest-quality member per
+    cluster, min-id tiebreak, with the cluster size)."""
+    return (
+        f"""
+WITH RECURSIVE
+base AS ({corpus_sql}),
+qstats AS (
+  SELECT doc_id, lang, text,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         CAST(LENGTH(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+')) AS DOUBLE)
+           AS n_tokens,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g'))
+           AS DOUBLE) AS n_punct
+  FROM base),
+kq AS (
+  SELECT doc_id, lang, text,
+         (CASE WHEN n_chars / GREATEST(n_tokens, 1.0) >= 2
+                AND n_chars / GREATEST(n_tokens, 1.0) <= 12 THEN 1.0 ELSE 0.5 END)
+         * (CASE WHEN n_punct / GREATEST(n_chars, 1.0) <= 0.2 THEN 1.0 ELSE 0.5 END)
+         AS quality
+  FROM qstats),
+kept AS (SELECT * FROM kq WHERE quality >= 0.75),
+"""
+        + minhash_pipeline_ctes("SELECT doc_id, text FROM kept").lstrip()
+        + ","
+        + _CC_TAIL.format(threshold=threshold, nodes="kept")
+        + """,
+lab AS (SELECT id, MIN(r) AS cluster_id FROM walk GROUP BY id)
+SELECT doc_id, lang, quality, cluster_size FROM (
+  SELECT k.doc_id, k.lang, k.quality,
+         CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+           AS cluster_size,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY k.quality DESC, k.doc_id ASC) AS rn
+  FROM kept k JOIN lab l ON l.id = k.doc_id) t
+WHERE rn = 1
+"""
+    )

@@ -165,7 +165,45 @@ GROUP BY 1
 """
 
 
+# --- Q13 shape: customer order-count distribution -----------------
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join customers to their
+    non-urgent orders, count orders per customer (keeping the
+    zero-order customers the inner join would drop), then histogram
+    the counts. Double aggregation over one shuffle chain; the
+    second groupBy's key cardinality is tiny (max orders per
+    customer), so the distribution agg is nearly free."""
+    c = read(spark, sf_dir, "customer")
+    o = read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count
+"""
+
+
 TPCH_EXTRA_QUERIES: dict[str, QueryDef] = {
+    "customer_distribution": QueryDef(
+        q_customer_distribution, SQL_CUSTOMER_DISTRIBUTION,
+        "TPC-H Q13-shape left-join order-count histogram", ("join", "agg")),
     "nation_trade": QueryDef(
         q_nation_trade, SQL_NATION_TRADE,
         "TPC-H Q7-shape nation-pair volume by year", ("join", "agg")),

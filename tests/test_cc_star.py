@@ -90,3 +90,32 @@ def test_cc_rejects_unknown_algorithm(spark):
 
     with pytest.raises(ValueError, match="unknown algorithm"):
         _spark_cc(spark, 2, [(0, 1)], algorithm="bogus")
+
+
+# --- canonical_best ------------------------------------------------
+def test_canonical_best_keeps_highest_quality(spark):
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.dedup_cluster import canonical_best
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, quality=0.5),
+            Row(doc_id=2, quality=0.9),  # cluster {1,2,3}: best
+            Row(doc_id=3, quality=0.9),  # tie — 2 wins (smaller id)
+            Row(doc_id=4, quality=0.1),  # singleton survives
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [
+            Row(doc_id=1, cluster_id=1),
+            Row(doc_id=2, cluster_id=1),
+            Row(doc_id=3, cluster_id=1),
+            Row(doc_id=4, cluster_id=4),
+        ]
+    )
+    got = {
+        r.doc_id: (r.quality, r.cluster_size)
+        for r in canonical_best(docs, clusters).collect()
+    }
+    assert got == {2: (0.9, 3), 4: (0.1, 1)}

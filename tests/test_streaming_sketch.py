@@ -73,3 +73,49 @@ def test_windowed_approx_distinct_stream(spark, tmp_path):
     # HLL at this cardinality is within a few % of 40 distinct users
     assert 10 in out
     assert abs(out[10] - 40) <= 4, out
+
+
+def test_streaming_cms_counters_equal_batch(spark, tmp_path):
+    """CMS counters maintained as streaming aggregation state
+    (bounded: d x w rows per group) equal the batch sketch over the
+    same rows — counter addition is the merge, so micro-batch
+    arrival order cannot change the result."""
+    from dish_data_pipeline_spark.ops.sketch import cms_counters
+
+    src = tmp_path / "cms_in"
+    src.mkdir()
+    doc_schema = StructType(
+        [StructField("g", StringType()), StructField("v", StringType())]
+    )
+    batch1 = [{"g": "a", "v": f"tok{i % 7}"} for i in range(50)]
+    batch2 = [{"g": "a", "v": f"tok{i % 5}"} for i in range(30)] + [
+        {"g": "b", "v": "solo"}
+    ]
+    for name, rows in (("b1.jsonl", batch1), ("b2.jsonl", batch2)):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    stream = spark.readStream.schema(doc_schema).json(str(src))
+    q = (
+        cms_counters(stream, "g", "v", d=3, w=16)
+        .writeStream.format("memory")
+        .queryName("cms_state")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(
+        [(r["g"], r["v"]) for r in batch1 + batch2], doc_schema
+    )
+    want = {
+        (r.g, r._i, r._b): r._cnt
+        for r in cms_counters(batch_df, "g", "v", d=3, w=16).collect()
+    }
+    got = {
+        (r.g, r._i, r._b): r._cnt
+        for r in spark.sql("SELECT * FROM cms_state").collect()
+    }
+    assert got == want and len(got) > 0

@@ -163,3 +163,57 @@ def extract_features(
         F.col("meta.n_bytes").alias("n_bytes"),
     )
     return flat.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def _fake_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic environment stub for the resize kernel: emit
+    exactly ``width*height`` bytes by striding/cycling the source
+    blob (no imaging library in this container). Replaced wholesale
+    by a real decoder+resampler via ``kernel=``."""
+    target = width * height
+    if not blob:
+        return b"\x00" * target
+    reps = -(-target // len(blob))
+    return (bytes(blob) * reps)[:target]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    kernel=None,
+) -> DataFrame:
+    """Resize plumbing for image-like binary content via
+    Arrow-batched ``mapInPandas``: binary in, fixed-dimension binary
+    out, one row per input, partition-parallel with no shuffle. The
+    default kernel is the deterministic environment stub (see
+    ``decode_image`` — no imaging library in this container); a real
+    pipeline passes ``kernel=lambda blob, w, h: ...`` wrapping
+    PIL/libvips and the Spark-side contract is unchanged. If PIL is
+    ever present, ``kernel=pil_resize_kernel``-style adapters slot
+    in without touching the plan shape."""
+    resize = kernel or _fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "content": []}
+            for doc_id, blob in zip(pdf[id_col], pdf[content_col]):
+                out["doc_id"].append(doc_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["content"].append(resize(bytes(blob or b""), width, height))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, RESIZE_SCHEMA)

@@ -182,3 +182,36 @@ def test_stream_dedup_exact_suppresses_in_watermark_dupes(spark, tmp_path):
     texts = sorted(r.text for r in out)
     assert texts == ["alpha bravo", "charlie delta", "echo foxtrot"]
     assert len(out) == 3  # doc 3 suppressed as an in-watermark dup
+
+
+def test_resize_plumbing(spark):
+    from dish_data_pipeline_spark.ops.multimodal import (
+        resize_images,
+        text_to_binary_content,
+    )
+
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="ABC", lang="en", source="s", n_chars=3),
+            Row(doc_id=1, text="", lang="en", source="s", n_chars=0),
+        ]
+    )
+    out = {
+        r.doc_id: r
+        for r in resize_images(
+            text_to_binary_content(d), width=4, height=3
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert (r.width, r.height) == (4, 3)
+        assert len(r.content) == 12  # fixed output dims regardless of input
+    assert bytes(out[0].content) == (b"ABC" * 4)  # deterministic stub
+    # custom kernels slot in without changing the plan shape
+    upper = resize_images(
+        text_to_binary_content(d),
+        width=2,
+        height=1,
+        kernel=lambda blob, w, h: (blob or b"x").upper()[: w * h].ljust(w * h, b"_"),
+    ).collect()
+    assert {bytes(r.content) for r in upper} == {b"AB", b"X_"}

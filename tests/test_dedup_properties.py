@@ -165,3 +165,44 @@ def test_winnow_matches_python_twin(spark, texts):
     got = {r.doc_id: (r.n_fingerprints, r.fp_digest) for r in out.collect()}
     expect = {i: _py_winnow(t) for i, t in enumerate(texts)}
     assert got == expect
+
+
+# --- segment_dedup vs Python twin ---------------------------------
+def _py_segment_dedup(texts: list[str], seg_tokens: int = 2, max_docs: int = 1):
+    """Reference semantics: strip segments appearing in more than
+    max_docs distinct docs except from the smallest-id doc."""
+    segs = {}
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[A-Za-z0-9]+", t)
+        segs[i] = [
+            " ".join(toks[p : p + seg_tokens])
+            for p in range(0, len(toks), seg_tokens)
+        ]
+    docs_of = {}
+    for i, ss in segs.items():
+        for s in set(ss):
+            docs_of.setdefault(s, set()).add(i)
+    out = {}
+    for i, ss in segs.items():
+        kept = [
+            s
+            for s in ss
+            if len(docs_of[s]) <= max_docs or i == min(docs_of[s])
+        ]
+        out[i] = (" ".join(kept), len(ss), len(kept))
+    return out
+
+
+@SLOW
+@given(DOCS)
+def test_segment_dedup_matches_python_twin(spark, texts):
+    from dish_data_pipeline_spark.ops.segments import segment_dedup
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (r.text_deduped, r.n_segments, r.n_kept)
+        for r in segment_dedup(df, seg_tokens=2).collect()
+    }
+    assert got == _py_segment_dedup(texts, seg_tokens=2)

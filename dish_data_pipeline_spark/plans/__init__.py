@@ -40,6 +40,7 @@ _DRIVER_UNCHECKED_HEAD = [
     "cms_topk",
     "best_of_cluster",
     "customer_distribution",
+    "zipf_buckets",
     # last driver row r1/r2 — not re-checked in round 3
     "rollup_events",
     "set_ops",

@@ -852,6 +852,53 @@ def _sql_approx_quantiles() -> str:
     )
 
 
+# --- Zipf frequency-of-frequency distribution ---------------------
+def q_zipf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequency per language: how many distinct
+    tokens fall in each power-of-two occurrence bucket (the Zipf
+    curve a healthy corpus follows; a bulge in high buckets means
+    boilerplate). Two map-side-combined aggregation levels; the
+    bucket is integer floor(log2) via binary-string length — no
+    floating log whose libm rounding could differ across engines."""
+    from dish_data_pipeline_spark.ops.text import TOKEN_RE
+
+    d = read(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")
+        ).alias("token"),
+    )
+    counts = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.withColumn(
+            "freq_bucket",
+            (F.length(F.expr("bin(cnt)")) - 1).cast("bigint"),
+        )
+        .groupBy("lang", "freq_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("n_occurrences"),
+        )
+    )
+
+
+SQL_ZIPF_BUCKETS = """
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token
+  FROM documents),
+c AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY lang, token)
+SELECT lang, CAST(LENGTH(bin(cnt)) - 1 AS BIGINT) AS freq_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM c GROUP BY lang, freq_bucket
+"""
+
+
 # --- Count-min frequency sketch -----------------------------------
 CMS_D, CMS_W, CMS_K = 4, 64, 10
 
@@ -1591,6 +1638,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_cms_topk, _sql_cms_topk(),
         "count-min-sketch heavy-hitter counts, bit-identical to oracle",
         ("sketch", "text")),
+    "zipf_buckets": QueryDef(
+        q_zipf_buckets, SQL_ZIPF_BUCKETS,
+        "token frequency-of-frequency (Zipf) distribution per language",
+        ("text", "agg")),
     "approx_quantiles": QueryDef(
         q_approx_quantiles, _sql_approx_quantiles(),
         "histogram-sketch quantiles: bounded mergeable state",

@@ -63,6 +63,7 @@ def segment_dedup(
     text_col: str = "text",
     seg_tokens: int = 10,
     max_docs: int = 1,
+    impl: str = "window",
 ) -> DataFrame:
     """Strip segments that appear in more than ``max_docs`` distinct
     documents, keeping each duplicated segment only in the document
@@ -70,22 +71,24 @@ def segment_dedup(
     ``(id, text_deduped, n_segments, n_kept)`` — a doc whose segments
     were all duplicated elsewhere survives with empty text, so a
     downstream quality gate (not silent data loss) decides its fate.
+
+    Two physical strategies, same results (cross-tested):
+
+    - ``impl="window"`` (default): the census (distinct-doc count +
+      first doc per segment hash) as window functions over the
+      seg_hash partitioning — ONE linear pipeline, tokenize+hash
+      runs once with no persist, one shuffle by hash + one by doc
+      (measured ~1.6× faster than the join strategy at sf0.1).
+      Caveat: a corpus-hot boilerplate hash lands one window
+      partition, and AQE cannot split windows.
+    - ``impl="census"``: groupBy census (map-side-combined, hot keys
+      collapse in the combiners) + equi-join back — AQE's skew-join
+      splitting applies to the rejoin, so this is the strategy for
+      corpora with pathologically hot segments (the same hot-key
+      routing judgement as dup_ngram_coverage's broadcast path).
     """
-    # Single-pass shape: the census (distinct-doc count + first doc
-    # per segment hash) is computed as window functions over the
-    # seg_hash partitioning instead of a groupBy census + rejoin —
-    # that folds 3 consumers of the segment relation (census, rejoin,
-    # totals) into ONE linear pipeline: tokenize+hash runs once with
-    # no persist, and the relation is shuffled once by seg_hash and
-    # once by doc id (round 3's persist+rejoin shape ran 2.6× over
-    # baseline re-scanning the persisted text). dense_rank-max gives
-    # the distinct-doc count without countDistinct (unsupported over
-    # windows). Skew note: a corpus-hot boilerplate hash lands one
-    # window partition (AQE can't split windows the way it splits
-    # joins) — at 60-bit hash granularity a single segment would
-    # need ~billions of repeats before one reducer is at risk, and
-    # the heavy ``seg`` text column rides the same single shuffle the
-    # old rejoin needed anyway.
+    if impl == "census":
+        return _segment_dedup_census(df, id_col, text_col, seg_tokens, max_docs)
     from pyspark.sql import Window
 
     seg = _segments(df, id_col, text_col, seg_tokens)
@@ -110,6 +113,56 @@ def segment_dedup(
         ).alias("text_deduped"),
         F.count(F.when(keep, F.lit(1))).alias("n_kept"),
         F.count(F.lit(1)).alias("n_segments"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def _segment_dedup_census(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int,
+    max_docs: int,
+) -> DataFrame:
+    """The AQE-skew-splittable strategy: groupBy census + rejoin.
+    The segment relation feeds both the census and the rejoin, so it
+    is registered in the cache registry (released by the caller's
+    stage boundary / bench isolation)."""
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    seg = tracked_persist(_segments(df, id_col, text_col, seg_tokens))
+    census = seg.groupBy("seg_hash").agg(
+        F.countDistinct(id_col).alias("_n_docs"),
+        F.min(id_col).alias("_first_doc"),
+    )
+    keep = (F.col("_n_docs") <= max_docs) | (
+        F.col(id_col) == F.col("_first_doc")
+    )
+    per_doc = (
+        seg.join(census, "seg_hash")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "seg")))
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+            F.count(F.when(keep, F.lit(1))).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
     )
     return (
         df.select(id_col)

@@ -196,13 +196,18 @@ def _py_segment_dedup(texts: list[str], seg_tokens: int = 2, max_docs: int = 1):
 @SLOW
 @given(DOCS)
 def test_segment_dedup_matches_python_twin(spark, texts):
+    """Both physical strategies (window census and AQE-splittable
+    groupBy census) must match the reference model — and therefore
+    each other — on random inputs."""
     from dish_data_pipeline_spark.ops.segments import segment_dedup
 
     df = spark.createDataFrame(
         [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
     )
-    got = {
-        r.doc_id: (r.text_deduped, r.n_segments, r.n_kept)
-        for r in segment_dedup(df, seg_tokens=2).collect()
-    }
-    assert got == _py_segment_dedup(texts, seg_tokens=2)
+    want = _py_segment_dedup(texts, seg_tokens=2)
+    for impl in ("window", "census"):
+        got = {
+            r.doc_id: (r.text_deduped, r.n_segments, r.n_kept)
+            for r in segment_dedup(df, seg_tokens=2, impl=impl).collect()
+        }
+        assert got == want, impl

@@ -963,6 +963,12 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep") == 1)
         .select("doc_id", "lang", "text")
     )
+    # the gate's regex stack feeds decontaminate's gram hashing AND
+    # its keep-every-doc rejoin AND the sampler — persist (registry-
+    # released) or the quality regexes run three times
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    gated = tracked_persist(gated)
     clean = decontaminate(gated, bench, n=CONTAM_N)
     return mixture_sample(
         clean, "lang", MIX_WEIGHTS, PIPE_OUT_ROWS,
@@ -1135,9 +1141,15 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
     corpus = _docs_with_dupes(spark, sf_dir)
-    kept = corpus.withColumn("quality", quality_score()).filter(
-        F.col("quality") >= 0.75
+    # consumed by the pair pipeline AND the canonical rejoin —
+    # persist (registry-released) so the gate runs once
+    kept = tracked_persist(
+        corpus.withColumn("quality", quality_score()).filter(
+            F.col("quality") >= 0.75
+        )
     )
     clusters = connected_components(kept.select("doc_id"), _minhash_pairs(kept))
     return canonical_docs(kept, clusters).select("doc_id", "lang", "quality")
@@ -1155,9 +1167,13 @@ def q_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
     corpus = _docs_with_dupes(spark, sf_dir)
-    kept = corpus.withColumn("quality", quality_score()).filter(
-        F.col("quality") >= 0.75
+    kept = tracked_persist(
+        corpus.withColumn("quality", quality_score()).filter(
+            F.col("quality") >= 0.75
+        )
     )
     clusters = connected_components(kept.select("doc_id"), _minhash_pairs(kept))
     return canonical_best(kept, clusters).select(

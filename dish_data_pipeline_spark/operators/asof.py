@@ -1,26 +1,36 @@
 """As-of (time-travel) join — an operator Spark lacks natively.
 
 ``asof_join(left, right, on, by)``: for every left row, attach the
-payload of the latest right row with ``right.on <= left.on`` within
-the same ``by`` key group (direction="backward", the merge_asof
-default).
+payload of one right row within the same ``by`` key group, chosen by
+``direction`` (pandas ``merge_asof`` semantics):
+
+- ``backward`` (default): latest right row with ``right.on <=
+  left.on``;
+- ``forward``: earliest right row with ``right.on >= left.on``;
+- ``nearest``: whichever of the two is closer in ``on``; ties take
+  the backward row (pandas' rule).
+
+``tolerance`` (same units as ``on``) drops a match whose distance
+exceeds it — the payload comes back null, like merge_asof.
 
 Spark-first implementation (no pandas, no per-group loops): union
-both sides tagged, one window sort per key with
-``last(payload_struct, ignorenulls=True)`` carrying the most recent
-right ROW forward — the payload travels as ONE struct so every
-output column comes from the SAME right row (a per-column fill
-would backfill a NULL field from an older row, diverging from
-merge_asof's take-the-row-wholesale semantics). Cost = ONE shuffle
-on ``by`` plus an in-partition sort — the same class as a
-sort-merge join, and it scales to arbitrarily large both sides (no
-broadcast needed, no all-pairs). The alternative (``applyInPandas``
-+ ``pd.merge_asof`` per key) moves data through Python; use it only
+both sides tagged, one shuffle on ``by``, and carry the right
+payload across the in-partition sort — ``last(payload,
+ignorenulls=True)`` over the preceding frame for backward,
+``first(...)`` over the following frame for forward. The payload
+travels as ONE struct so every output column comes from the SAME
+right row (a per-column fill would backfill a NULL field from an
+older row, diverging from merge_asof's take-the-row-wholesale
+semantics). Cost = ONE shuffle plus in-partition sorts — the same
+class as a sort-merge join, scaling to arbitrarily large both sides
+(no broadcast, no all-pairs). The alternative (``applyInPandas`` +
+``pd.merge_asof`` per key) moves data through Python; use it only
 when per-group pandas logic is genuinely required.
 
-Determinism: if multiple right rows share (by, on) the LAST one in
-the (on, tag) sort order wins; pass unique (by, on) right sides for
-fully deterministic output (callers can keep_latest first).
+Determinism: if multiple right rows share (by, on), backward takes
+the LAST in sort order and forward the FIRST; pass unique (by, on)
+right sides for fully deterministic output (callers can keep_latest
+first).
 """
 
 from __future__ import annotations
@@ -39,18 +49,22 @@ def asof_join(
     on: str,
     by: Sequence[str],
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: float | int | None = None,
 ) -> DataFrame:
-    """Backward as-of left join. Right payload columns (everything
-    except ``by``) arrive suffixed; the right's own ``on`` value
-    arrives as ``<on><suffix>``."""
+    """As-of left join (see module docstring). Right payload columns
+    (everything except ``by``) arrive suffixed; the right's own
+    ``on`` value arrives as ``<on><suffix>``."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     by = list(by)
     payload_src = [c for c in right.columns if c not in by]
     payload = [f"{c}{suffix}" for c in payload_src]
 
     # The right payload travels as ONE struct: non-null for every
     # right row (even when all its fields are null), null for left
-    # rows — so last(ignorenulls) picks the latest right row
-    # WHOLESALE and never mixes fields across right rows.
+    # rows — so the ignorenulls carries pick the nearest right row
+    # WHOLESALE and never mix fields across right rows.
     r_tagged = right.select(
         *by,
         F.col(on).alias("_asof_on"),
@@ -73,24 +87,64 @@ def asof_join(
         *by, "_asof_on", _TAG, *left_only, "_asof_p"
     ).unionByName(r_tagged.select(*by, "_asof_on", _TAG, *left_only, "_asof_p"))
 
-    # right rows (tag 0) sort before left rows at equal timestamps →
-    # a right row at exactly left.on is visible (<= semantics).
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("_asof_on").asc(), F.col(_TAG).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        *by,
-        _TAG,
-        *left_only,
-        F.last("_asof_p", ignorenulls=True).over(w).alias("_asof_p"),
-    )
-    return (
-        carried.filter(F.col(_TAG) == 1)
-        .select(
-            *by,
-            *left_only,
-            *[F.col(f"_asof_p.{c}").alias(c) for c in payload],
+    carried_cols = []
+    if direction in ("backward", "nearest"):
+        # right rows (tag 0) sort before left rows at equal on → a
+        # right row at exactly left.on is inside the preceding frame
+        # (<= semantics)
+        w_back = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_asof_on").asc(), F.col(_TAG).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        carried_cols.append(
+            F.last("_asof_p", ignorenulls=True).over(w_back).alias("_p_back")
+        )
+    if direction in ("forward", "nearest"):
+        # tag DESC puts right rows at equal on AFTER left rows → an
+        # exact match is inside the following frame (>= semantics).
+        # Same partitioning as the backward window: one shuffle, a
+        # second in-partition sort only.
+        w_fwd = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_asof_on").asc(), F.col(_TAG).desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried_cols.append(
+            F.first("_asof_p", ignorenulls=True).over(w_fwd).alias("_p_fwd")
+        )
+
+    carried = unioned.select(
+        *by, _TAG, F.col("_asof_on"), *left_only, *carried_cols
+    ).filter(F.col(_TAG) == 1)
+
+    on_field = f"{on}{suffix}"
+
+    def _within(p):
+        if tolerance is None:
+            return p
+        delta = F.abs(F.col("_asof_on") - p[on_field])
+        return F.when(delta <= F.lit(tolerance), p)
+
+    if direction == "backward":
+        chosen = _within(F.col("_p_back"))
+    elif direction == "forward":
+        chosen = _within(F.col("_p_fwd"))
+    else:
+        back = _within(F.col("_p_back"))
+        fwd = _within(F.col("_p_fwd"))
+        d_back = F.col("_asof_on") - back[on_field]
+        d_fwd = fwd[on_field] - F.col("_asof_on")
+        chosen = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            # ties take the backward row (pandas merge_asof rule)
+            .when(d_back <= d_fwd, back)
+            .otherwise(fwd)
+        )
+
+    return carried.select(
+        *by,
+        *left_only,
+        *[chosen[c].alias(c) for c in payload],
     )

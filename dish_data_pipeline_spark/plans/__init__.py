@@ -41,6 +41,7 @@ _DRIVER_UNCHECKED_HEAD = [
     "best_of_cluster",
     "customer_distribution",
     "zipf_buckets",
+    "asof_nearest",
     # last driver row r1/r2 — not re-checked in round 3
     "rollup_events",
     "set_ops",

@@ -52,6 +52,55 @@ ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
 """
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with a tolerance (pandas
+    merge_asof direction="nearest"): each event gets the CLOSEST
+    signup of the same user within a day, ties to the backward row.
+    Epoch-seconds join key so the distance arithmetic is integral
+    in both engines; signups deduped to unique (user, sec) so the
+    choice is deterministic."""
+    e = read(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    signups = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "sec")
+        .agg(F.min("event_id").alias("signup_id"))
+    )
+    joined = asof_join(
+        base.select("event_id", "user_id", "sec"),
+        signups,
+        on="sec",
+        by=["user_id"],
+        direction="nearest",
+        tolerance=86400,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("signup_id_right").alias("signup_id"),
+        F.col("sec_right").alias("signup_sec"),
+    )
+
+
+SQL_ASOF_NEAREST = """
+WITH b AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+s AS (
+  SELECT user_id, sec, CAST(MIN(event_id) AS BIGINT) AS signup_id
+  FROM b WHERE event_type = 'signup' GROUP BY user_id, sec)
+SELECT b.event_id, b.user_id, x.signup_id, x.sec AS signup_sec
+FROM b LEFT JOIN LATERAL (
+  SELECT s.signup_id, s.sec FROM s
+  WHERE s.user_id = b.user_id AND abs(s.sec - b.sec) <= 86400
+  ORDER BY abs(s.sec - b.sec) ASC, (s.sec <= b.sec) DESC
+  LIMIT 1) x ON TRUE
+"""
+
+
 # --- Range join via bucketization ---------------------------------
 def q_range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read(spark, sf_dir, "events")
@@ -490,6 +539,9 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
     "asof_signup": QueryDef(
         q_asof_signup, SQL_ASOF_SIGNUP,
         "as-of join: latest signup before each event", ("join", "asof")),
+    "asof_nearest": QueryDef(
+        q_asof_nearest, SQL_ASOF_NEAREST,
+        "nearest-direction as-of join with tolerance", ("join", "asof")),
     "range_bucket_join": QueryDef(
         q_range_bucket_join, SQL_RANGE_BUCKET_JOIN,
         "range join via fixed-width bucketization", ("join",)),

@@ -109,3 +109,53 @@ def test_with_lineage_records_input_file(spark, tmp_path):
     df = with_lineage(spark.read.parquet(p))
     files = {r.input_file for r in df.collect()}
     assert files and all(f.endswith(".parquet") and p.lstrip("/") in f for f in files)
+
+
+# --- forward / nearest / tolerance vs pandas merge_asof -----------
+def _pd_asof(left, right, direction, tolerance=None):
+    """pandas merge_asof as the reference oracle (sorted inputs)."""
+    import pandas as pd
+
+    lf = pd.DataFrame(
+        {"k": [t[0] for t in left], "ts": [t[1] for t in left]}
+    ).sort_values("ts", kind="mergesort").reset_index()
+    rf = (
+        pd.DataFrame(
+            {
+                "k": [t[0] for t in right],
+                "ts": [t[1] for t in right],
+                "px": [t[2] for t in right],
+            }
+        )
+        .astype({"k": "int64", "ts": "int64", "px": "int64"})
+        .sort_values("ts", kind="mergesort")
+    )
+    kw = {}
+    if tolerance is not None:
+        kw["tolerance"] = tolerance
+    m = pd.merge_asof(
+        lf, rf, on="ts", by="k", direction=direction, **kw
+    )
+    return {
+        int(r["index"]): (None if pd.isna(r["px"]) else int(r["px"]))
+        for _, r in m.iterrows()
+    }
+
+
+@SLOW
+@given(LEFT, RIGHT, st.sampled_from(["backward", "forward", "nearest"]),
+       st.sampled_from([None, 0, 3, 10]))
+def test_asof_directions_match_pandas(spark, left, right, direction, tol):
+    df_l = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "idx long, k long, ts long"
+    )
+    df_r = spark.createDataFrame(
+        [(k, ts, px) for k, ts, px in right], "k long, ts long, px long"
+    )
+    got = {
+        r.idx: r.px_right
+        for r in asof_join(
+            df_l, df_r, on="ts", by=["k"], direction=direction, tolerance=tol
+        ).collect()
+    }
+    assert got == _pd_asof(left, right, direction, tol)

@@ -42,6 +42,8 @@ _DRIVER_UNCHECKED_HEAD = [
     "customer_distribution",
     "zipf_buckets",
     "asof_nearest",
+    "promo_revenue",
+    "top_supplier",
     # last driver row r1/r2 — not re-checked in round 3
     "rollup_events",
     "set_ops",

@@ -200,7 +200,78 @@ GROUP BY c_count
 """
 
 
+# --- Q14 shape: promotion revenue share ---------------------------
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of 1997 revenue from PROMO-type parts.
+    One broadcast dim join + conditional aggregate; the percentage is
+    one IEEE division of two decimal-exact sums (order-independent,
+    so the value hash is partitioning-invariant)."""
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    pt = read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_pct"),
+            dsum(rev).alias("total_revenue"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = f"""
+SELECT 100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}
+       / {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS promo_pct,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+"""
+
+
+# --- Q15 shape: top supplier(s) by period revenue -----------------
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: suppliers whose 1997-H1 revenue equals the
+    maximum (the revenue-view + scalar-max-equality pattern). The
+    per-supplier aggregate shuffles once; the scalar max comes back
+    via a single-row broadcast cross join, not a driver collect."""
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    s = read(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["_mx"])
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+SQL_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {sql_dsum("l_extendedprice * (1 - l_discount)")} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-07-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
 TPCH_EXTRA_QUERIES: dict[str, QueryDef] = {
+    "promo_revenue": QueryDef(
+        q_promo_revenue, SQL_PROMO_REVENUE,
+        "TPC-H Q14-shape promotion revenue share", ("join", "agg")),
+    "top_supplier": QueryDef(
+        q_top_supplier, SQL_TOP_SUPPLIER,
+        "TPC-H Q15-shape max-revenue supplier via scalar subquery", ("join", "agg")),
     "customer_distribution": QueryDef(
         q_customer_distribution, SQL_CUSTOMER_DISTRIBUTION,
         "TPC-H Q13-shape left-join order-count histogram", ("join", "agg")),

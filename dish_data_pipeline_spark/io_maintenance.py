@@ -1,43 +1,79 @@
-"""Table maintenance: small-file compaction for plain-Parquet zones.
+"""Table-maintenance operators: the jobs that keep a 100 TB Parquet
+lake healthy.
 
-A long-lived ingest (the reference runs twice weekly per feed —
-DAG/etl_google_analytics_dag.py:57 — and a streaming sink commits
-every micro-batch) accumulates many small files; at 100 TB the
-scan-planning and footer-reading overhead of millions of kilobyte
-files dominates query latency long before data volume does. BigQuery
-compacts internally; a file-based lakehouse must do it itself (Delta
-``OPTIMIZE``'s plain-Parquet equivalent).
+- ``table_stats``: cheap file-level health report (file count,
+  bytes, min/max file size) to decide WHEN to compact — driver-side
+  filesystem metadata only, no data read.
+- ``compact``: rewrite a table (or chosen partitions) into
+  size-targeted files. Streaming sinks and fine-grained merges leave
+  small files; scans then pay per-file open/footer costs and
+  schedulers drown in splits. Shuffle-free (coalesce concatenates
+  input splits) + atomic swap, so readers never observe a
+  half-compacted table.
+- ``plan_compaction`` / ``compact_parquet``: the idempotent planner
+  tier — computes the target file count from CURRENT on-disk bytes
+  and declines the rewrite when it wouldn't help (already compact,
+  or fewer than ``min_files`` present), so a scheduled maintenance
+  job can run unconditionally without churning bytes.
 
-``compact_parquet`` rewrites a directory to approximately
-``target_file_mb``-sized files and swaps atomically (crash-safe up
-to the final rename pair, single-writer — io.atomic_overwrite's
-documented scope). File count comes from the CURRENT on-disk bytes,
-so compaction is idempotent: re-running on a compacted table is a
-cheap no-op rewrite to the same layout. Coalesce (not repartition)
-keeps it shuffle-free — each output file is a concatenation of
-input splits, and row order within files is irrelevant to Parquet
-consumers. Partitioned layouts should compact per partition
-directory (the helper works on any directory of Parquet files).
+BigQuery compacts internally (the reference never thinks about it);
+a file-based lakehouse must do it itself — this is Delta
+``OPTIMIZE``'s plain-Parquet equivalent. Partitioned layouts compact
+per partition directory (every helper works on any directory of
+Parquet files).
 """
 
 from __future__ import annotations
 
+import glob
 import os
+from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 
-from dish_data_pipeline_spark import io as dio
+from dish_data_pipeline_spark.io import atomic_overwrite
 
 
-def _dir_parquet_stats(path: str) -> tuple[int, int]:
-    """(n_files, total_bytes) of the Parquet data files under path."""
-    n, total = 0, 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                n += 1
-                total += os.path.getsize(os.path.join(root, f))
-    return n, total
+@dataclass
+class TableStats:
+    n_files: int
+    total_bytes: int
+    min_file_bytes: int
+    max_file_bytes: int
+
+    @property
+    def avg_file_bytes(self) -> float:
+        return self.total_bytes / self.n_files if self.n_files else 0.0
+
+
+def table_stats(path: str) -> TableStats:
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    sizes = [os.path.getsize(f) for f in files]
+    return TableStats(
+        n_files=len(files),
+        total_bytes=sum(sizes),
+        min_file_bytes=min(sizes) if sizes else 0,
+        max_file_bytes=max(sizes) if sizes else 0,
+    )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> TableStats:
+    """Rewrite ``path`` with file count sized to
+    ``total_bytes / target_file_bytes`` (min 1). Unconditional — see
+    ``compact_parquet`` for the no-op-when-already-compact tier."""
+    stats = table_stats(path)
+    n_out = max(1, round(stats.total_bytes / target_file_bytes))
+    df = spark.read.parquet(path).coalesce(n_out)
+    atomic_overwrite(df, path)
+    return table_stats(path)
 
 
 def plan_compaction(
@@ -47,12 +83,12 @@ def plan_compaction(
     rewrite (fewer than ``min_files`` present, or the layout already
     averages at least half the target size — rewriting would churn
     bytes for no planning win)."""
-    n_files, total = _dir_parquet_stats(path)
-    if n_files < min_files:
+    stats = table_stats(path)
+    if stats.n_files < min_files:
         return 0
     target_bytes = target_file_mb * 1024 * 1024
-    want = max(1, -(-total // target_bytes))
-    if n_files <= want or total / n_files >= target_bytes / 2:
+    want = max(1, -(-stats.total_bytes // target_bytes))
+    if stats.n_files <= want or stats.avg_file_bytes >= target_bytes / 2:
         return 0
     return int(want)
 
@@ -64,11 +100,11 @@ def compact_parquet(
     min_files: int = 2,
 ) -> int:
     """Compact the Parquet directory at ``path`` toward
-    ``target_file_mb`` files; returns the new file count (0 = no-op).
-    Shuffle-free (coalesce) + atomic swap."""
+    ``target_file_mb`` files; returns the new file count (0 = no-op,
+    making scheduled re-runs idempotent)."""
     want = plan_compaction(path, target_file_mb, min_files)
     if want == 0:
         return 0
-    df = dio.read_parquet(spark, path).coalesce(want)
-    dio.atomic_overwrite(df, path)
-    return _dir_parquet_stats(path)[0]
+    df = spark.read.parquet(path).coalesce(want)
+    atomic_overwrite(df, path)
+    return table_stats(path).n_files

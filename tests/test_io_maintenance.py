@@ -7,9 +7,9 @@ from __future__ import annotations
 from pyspark.sql import Row
 
 from dish_data_pipeline_spark.io_maintenance import (
-    _dir_parquet_stats,
     compact_parquet,
     plan_compaction,
+    table_stats,
 )
 
 
@@ -24,7 +24,7 @@ def _fragmented(spark, path: str, n_parts: int = 24, rows: int = 240):
 def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
     path = str(tmp_path / "tbl")
     _fragmented(spark, path)
-    before_files, _ = _dir_parquet_stats(path)
+    before_files = table_stats(path).n_files
     assert before_files >= 24
     got = compact_parquet(spark, path, target_file_mb=128)
     assert 0 < got < before_files

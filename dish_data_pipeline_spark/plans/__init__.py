@@ -25,61 +25,61 @@ _ALL: dict[str, QueryDef] = {
 
 # The driver checks entries in dict order under a bounded budget
 # (~50 rows per round), so the LEAST-driver-verified queries go
-# FIRST. Round-4 rotation: the two round-3 red rows lead (sessionize
-# crashed on TIMESTAMP_NTZ, sequence_packing's oracle returned an
-# int128 column — both fixed this round and needing fresh driver
-# certification), followed by the 36 queries whose last green driver
-# row is round 1/2 (round 3 spent its 50-row budget on the
-# then-unchecked head, pushing these past the cutoff). The 48
-# queries certified fresh in round 3 rotate to the back.
+# FIRST. Round-5 rotation: new queries (zero driver history) lead,
+# followed by the 43 queries whose last green driver row is round 3
+# (round 4 spent its 50-row budget on the then-unchecked head,
+# pushing these past the cutoff). The 50 queries certified fresh in
+# round 4 (CORRECTNESS_r04.json, all green) rotate to the back.
 _DRIVER_UNCHECKED_HEAD = [
-    # round-3 red rows, fixed this round — certify first
-    "sessionize",
-    "sequence_packing",
     # new this round — zero driver history
-    "cms_topk",
-    "best_of_cluster",
-    "customer_distribution",
-    "zipf_buckets",
-    "asof_nearest",
-    "promo_revenue",
-    "top_supplier",
-    # last driver row r1/r2 — not re-checked in round 3
-    "rollup_events",
-    "set_ops",
-    "asof_signup",
-    "range_bucket_join",
-    "pivot_events",
-    "unpivot_lineitem",
-    "json_fields",
-    "string_funcs",
-    "date_funcs",
-    "forecast_revenue",
-    "small_qty_revenue",
-    "cube_events",
-    "raw_zone_roundtrip",
-    "enrich_metadata",
-    "partitioned_merge",
-    "scd2_orders",
-    "value_quantiles",
-    "large_orders",
-    "max_order_per_customer",
-    "rank_suite",
-    "sql_interface",
-    "profile_events",
-    "nation_trade",
-    "returned_items",
-    "disjunctive_revenue",
-    "idle_rich_customers",
-    "text_stats",
-    "token_stats",
-    "embedding_neardup",
-    "language_id",
-    "quality_score",
-    "doc_fingerprint",
-    "exact_dedup",
-    "knn_bruteforce",
-    "embedding_norms",
+    "order_priority_check",  # TPC-H Q4 (EXISTS)
+    "shipmode_priority",  # TPC-H Q12 (2-branch conditional agg)
+    "small_qty_avg_gate",  # TPC-H Q17 (correlated scalar avg)
+    "waiting_suppliers",  # TPC-H Q21 (EXISTS + NOT EXISTS)
+    # last driver row r3 — not re-checked in round 4
+    "scalar_casts",
+    "upsert_orders",
+    "upsert_keep_latest",
+    "semi_anti_join",
+    "pricing_summary",
+    "topk_revenue",
+    "region_revenue",
+    "window_running",
+    "rolling_window",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "winnow_fingerprint",
+    "minhash_neardup",
+    "simhash_neardup",
+    "ngram_jaccard",
+    "knn_quantized",
+    "knn_lsh",
+    "knn_ivf",
+    "multimodal_meta",
+    "multimodal_features",
+    "dup_clusters",
+    "training_corpus",
+    "doc_sample",
+    "text_clean",
+    "repetition_stats",
+    "gopher_quality",
+    "contamination",
+    "corpus_mix",
+    "corpus_mix_tokens",
+    "incremental_dedup",
+    "segment_dedup",
+    "lsh_quality",
+    "pii_redaction",
+    "distinct_sketch",
+    "corpus_pipeline",
+    "sketch_merge",
+    "approx_quantiles",
+    "dup_ngram_coverage",
+    "vocab_topk",
+    "tfidf_topterms",
+    "doc_chunks",
+    "embedding_dedup",
 ]
 
 QUERIES: dict[str, QueryDef] = {name: _ALL[name] for name in _DRIVER_UNCHECKED_HEAD}

@@ -265,7 +265,210 @@ WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
 """
 
 
+# --- Q4 shape: EXISTS-gated order priority counts -----------------
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: count orders per priority where EXISTS a
+    lineitem of the order shipped after the order date (the testdata
+    lacks l_commitdate/l_receiptdate, so "late" is l_shipdate >
+    o_orderdate — the correlated-EXISTS decorrelation shape is what
+    matters). The EXISTS becomes a LEFT SEMI join whose condition
+    references both sides; the equi key (orderkey) keeps it a hash
+    semi-join, never a nested loop. Adapted from the reference's
+    declared join surface (SURVEY §2.4)."""
+    o = read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    gated = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return gated.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q12 shape: two-branch conditional aggregate over a join ------
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per group (l_returnflag standing in for the
+    absent l_shipmode), count high-priority vs other-priority orders
+    among 1997 shipments that left after the order date. The
+    join + CASE-sum pair is the 2-branch conditional-agg pattern;
+    counts are BIGINT-cast in the oracle (DuckDB SUM(int) is
+    HUGEINT)."""
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_SHIPMODE_PRIORITY = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_shipdate > o_orderdate
+GROUP BY l_returnflag
+"""
+
+
+# --- Q17 shape: correlated scalar average gate --------------------
+def q_small_qty_avg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from Brand#23 lineitems whose
+    quantity is below half that part's average quantity. The
+    correlated scalar subquery decorrelates to a per-part aggregate
+    joined back on partkey — both sides of the comparison use the
+    dsum/count deterministic mean so the boundary predicate is
+    bit-identical across engines. The brand part list and the
+    per-part averages are both broadcast (dim-sized), so the big
+    lineitem side never shuffles."""
+    p = (
+        read(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = read(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    avg_q = branded.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        branded.join(F.broadcast(avg_q), branded["l_partkey"] == avg_q["ap_partkey"])
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg((dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+SQL_SMALL_QTY_AVG_GATE = f"""
+SELECT {sql_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+    SELECT 0.5 * ({sql_dsum('l2.l_quantity')} / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+# --- Q21 shape: EXISTS + NOT EXISTS multi-way anti-join -----------
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers in one nation who were the SOLE
+    returning supplier on a multi-supplier finalized order ("late" is
+    l_returnflag = 'R' — the testdata lacks receipt/commit dates; the
+    EXISTS / NOT EXISTS pair is the shape under test). EXISTS →
+    LEFT SEMI on (same order, different supplier); NOT EXISTS →
+    LEFT ANTI on (same order, different supplier, also returned).
+    Both carry the orderkey equi-key so they plan as hash joins with
+    residual conditions, never BNLJ. Supplier and nation are
+    broadcast dims; the nation filter is applied before the
+    self-joins so the probe side is small."""
+    li = read(spark, sf_dir, "lineitem")
+    o = (
+        read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    n = (
+        read(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    s = read(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == o["o_orderkey"], "left_semi")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_okey"), F.col("l_suppkey").alias("l2_skey")
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("l3_okey"), F.col("l_suppkey").alias("l3_skey"))
+    )
+    sole = (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == l2["l2_okey"]) & (l1["l_suppkey"] != l2["l2_skey"]),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == l3["l3_okey"])
+            & (F.col("l_suppkey") != l3["l3_skey"]),
+            "left_anti",
+        )
+    )
+    return (
+        sole.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l1.l_orderkey
+              AND o.o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 TPCH_EXTRA_QUERIES: dict[str, QueryDef] = {
+    "order_priority_check": QueryDef(
+        q_order_priority_check, SQL_ORDER_PRIORITY_CHECK,
+        "TPC-H Q4-shape correlated EXISTS via semi-join", ("join", "agg")),
+    "shipmode_priority": QueryDef(
+        q_shipmode_priority, SQL_SHIPMODE_PRIORITY,
+        "TPC-H Q12-shape two-branch conditional aggregate", ("join", "agg")),
+    "small_qty_avg_gate": QueryDef(
+        q_small_qty_avg_gate, SQL_SMALL_QTY_AVG_GATE,
+        "TPC-H Q17-shape correlated scalar avg gate", ("join", "agg")),
+    "waiting_suppliers": QueryDef(
+        q_waiting_suppliers, SQL_WAITING_SUPPLIERS,
+        "TPC-H Q21-shape EXISTS + NOT EXISTS anti-join", ("join", "agg", "topk")),
     "promo_revenue": QueryDef(
         q_promo_revenue, SQL_PROMO_REVENUE,
         "TPC-H Q14-shape promotion revenue share", ("join", "agg")),

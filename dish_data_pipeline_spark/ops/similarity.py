@@ -81,6 +81,48 @@ def cosine_topk(
     )
 
 
+# Per-centroid scores over a `_cents` column of
+# array<struct<cid BIGINT, cv ARRAY<DOUBLE>>>: one struct per
+# centroid with the deterministic fold dot product (same shape as
+# DOT_EXPR — IEEE multiply is commutative, so zip order is free).
+_CENTS_SCORED = (
+    "transform(_cents, c -> named_struct("
+    "'sim', aggregate(zip_with(c.cv, {v}, (x, y) -> "
+    "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+    "(acc, p) -> acc + p), "
+    "'cid', c.cid))"
+)
+
+
+def _argmax_cid(vec: str) -> F.Column:
+    """Map-side nearest-centroid id: a left fold keeping the best
+    (max sim, ties → lowest cid) — no window, no exchange. Same
+    selection semantics as ROW_NUMBER() OVER (ORDER BY sim DESC,
+    cid ASC) = 1, computed per-row inside the scan stage."""
+    scored = _CENTS_SCORED.format(v=vec)
+    return F.expr(
+        f"aggregate({scored}, "
+        "named_struct('sim', CAST('-Infinity' AS DOUBLE), "
+        "'cid', CAST(9223372036854775807 AS BIGINT)), "
+        "(best, cur) -> IF(cur.sim > best.sim "
+        "OR (cur.sim = best.sim AND cur.cid < best.cid), cur, best)"
+        ").cid"
+    )
+
+
+def _top_probe_structs(vec: str, n_probe: int) -> F.Column:
+    """Map-side top-``n_probe`` centroids (sim DESC, cid ASC): sort
+    the scored array with an explicit comparator and slice — the
+    per-query probe-list window, without the window."""
+    scored = _CENTS_SCORED.format(v=vec)
+    return F.expr(
+        f"slice(array_sort({scored}, (l, r) -> "
+        "CASE WHEN l.sim > r.sim THEN -1 WHEN l.sim < r.sim THEN 1 "
+        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 "
+        f"ELSE 0 END), 1, {int(n_probe)})"
+    )
+
+
 def _plane_component(seed: int, p: int, d: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1) —
     splitmix-style integer hash, no RNG state, reproducible across
@@ -104,10 +146,13 @@ def kmeans_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Offline IVF centroid training: Lloyd's k-means as DataFrame
-    ops. Per iteration: assignment is a broadcast cross-score
-    (corpus × n_centroids, map-side) + argmax window; new means are
-    one posexplode/groupBy shuffle with order-independent decimal
-    sums (deterministic centroids across runs and cluster sizes).
+    ops. Per iteration: assignment is a map-side fold-argmax over the
+    centroid array literal — the corpus touches NO exchange to get
+    its labels (no crossJoin row explosion, no window shuffle); new
+    means are one posexplode/groupBy whose map-side partial
+    aggregation reduces each partition to ≤ k × dim groups before the
+    (tiny) exchange. Order-independent decimal sums keep centroids
+    deterministic across runs and cluster sizes.
 
     Centroids are MODEL STATE, not data: they ride the driver
     between iterations (n_centroids × dim doubles — the same class
@@ -127,16 +172,19 @@ def kmeans_centroids(
         (i, list(r._v))
         for i, r in enumerate(corpus.orderBy("_id").limit(n_centroids).collect())
     ]
-    w = Window.partitionBy("_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
     for _ in range(n_iters):
-        cent_df = spark.createDataFrame(
-            cents, "centroid_id bigint, cent_vec array<double>"
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("bigint").alias("cid"),
+                    F.lit(vec).cast("array<double>").alias("cv"),
+                )
+                for cid, vec in cents
+            ]
         )
         assigned = (
-            corpus.crossJoin(F.broadcast(cent_df))
-            .withColumn("sim", dot("_v", "cent_vec"))
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
+            corpus.withColumn("_cents", cent_lit)
+            .withColumn("centroid_id", _argmax_cid("_v"))
             .select("centroid_id", "_v")
         )
         means = (
@@ -182,13 +230,13 @@ def ivf_topk(
     the default picks the lowest-id vectors (deterministic, zero
     training cost — fine for plumbing verification since exhaustive
     probing equals brute force under ANY corpus partition). The
-    corpus→centroid assignment is a broadcast cross-score (corpus ×
-    n_centroids, map-side only), so the only shuffle is the final
-    top-k window — the IVF recall/cost dial is ``n_probe``.
+    centroid set rides a one-row broadcast as a single array column;
+    both the corpus→centroid assignment (fold-argmax) and the query
+    probe lists (sort+slice) are computed map-side inside the scan
+    stage — no assignment window, no probe window. The only
+    corpus-sized shuffle is the final top-k window; the IVF
+    recall/cost dial is ``n_probe``.
     """
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("c_sim"), F.asc("centroid_id")
-    )
     if centroids is None:
         # Deterministic centroid pick: lowest n_centroids vec ids.
         centroids = (
@@ -199,29 +247,34 @@ def ivf_topk(
             )
         )
 
+    # Collapse the centroid relation to ONE row holding the whole
+    # set as a cid-sorted array — n_centroids × dim doubles, the same
+    # scale as a broadcast dim table. Downstream it rides a 1-row
+    # broadcast crossJoin, so per-row centroid math is map-side.
+    cent_arr = centroids.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct("
+            "'cid', CAST(centroid_id AS BIGINT), "
+            "'cv', CAST(cent_vec AS ARRAY<DOUBLE>))))"
+        ).alias("_cents")
+    )
+
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     assigned = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("c_sim", dot("c_vec", "cent_vec"))
-        .withColumn("_arank", F.row_number().over(w_assign))
-        .filter(F.col("_arank") == 1)
-        .select("neighbor_id", "c_vec", F.col("centroid_id").alias("list_id"))
+        corpus.crossJoin(F.broadcast(cent_arr))
+        .withColumn("list_id", _argmax_cid("c_vec"))
+        .select("neighbor_id", "c_vec", "list_id")
     )
 
     queries = embeddings.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).filter(F.col("query_id").isin(query_ids))
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("c_sim"), F.asc("centroid_id")
-    )
     probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("c_sim", dot("q_vec", "cent_vec"))
-        .withColumn("_prank", F.row_number().over(w_probe))
-        .filter(F.col("_prank") <= n_probe)
-        .select("query_id", "q_vec", F.col("centroid_id").alias("list_id"))
+        queries.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_probe", F.explode(_top_probe_structs("q_vec", n_probe)))
+        .select("query_id", "q_vec", F.col("_probe.cid").alias("list_id"))
     )
 
     pairs = (

@@ -25,6 +25,8 @@ created stay warm.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
@@ -45,6 +47,15 @@ def release_caches() -> int:
         try:
             df.unpersist()
             released += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
+        except Exception as exc:
+            # Expected when the owning session already stopped
+            # (py4j connection/JVM gone); log rather than swallow so
+            # a genuine unpersist failure on a live session is
+            # visible in stderr and the released-count mismatch has
+            # an explanation.
+            print(
+                f"cache_registry: unpersist failed ({exc!r}) — "
+                "handle dropped without freeing",
+                file=sys.stderr,
+            )
     return released

@@ -10,8 +10,12 @@ payload of one right row within the same ``by`` key group, chosen by
 - ``nearest``: whichever of the two is closer in ``on``; ties take
   the backward row (pandas' rule).
 
-``tolerance`` (same units as ``on``) drops a match whose distance
-exceeds it — the payload comes back null, like merge_asof.
+``tolerance`` drops a match whose distance exceeds it — the payload
+comes back null, like merge_asof. Units: the ``on`` column's own
+units for numeric columns; SECONDS when ``on`` is a
+date/timestamp/timestamp_ntz column (distances are computed on epoch
+seconds as doubles, so sub-second timestamps compare at full
+precision).
 
 Spark-first implementation (no pandas, no per-group loops): union
 both sides tagged, one shuffle on ``by``, and carry the right
@@ -120,10 +124,27 @@ def asof_join(
 
     on_field = f"{on}{suffix}"
 
+    # Distance operands: temporal `on` columns become epoch-second
+    # doubles (timestamp - timestamp is an INTERVAL, which doesn't
+    # compare against a numeric tolerance and TIMESTAMP_NTZ doesn't
+    # cast to double directly — route NTZ/date through a timestamp
+    # cast first; the session tz is pinned UTC so the detour is
+    # lossless). Numeric columns pass through untouched.
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    _on_temporal = isinstance(
+        left.schema[on].dataType, (DateType, TimestampType, TimestampNTZType)
+    )
+
+    def _dist_operand(c: F.Column) -> F.Column:
+        return c.cast("timestamp").cast("double") if _on_temporal else c
+
     def _within(p):
         if tolerance is None:
             return p
-        delta = F.abs(F.col("_asof_on") - p[on_field])
+        delta = F.abs(
+            _dist_operand(F.col("_asof_on")) - _dist_operand(p[on_field])
+        )
         return F.when(delta <= F.lit(tolerance), p)
 
     if direction == "backward":
@@ -133,8 +154,8 @@ def asof_join(
     else:
         back = _within(F.col("_p_back"))
         fwd = _within(F.col("_p_fwd"))
-        d_back = F.col("_asof_on") - back[on_field]
-        d_fwd = fwd[on_field] - F.col("_asof_on")
+        d_back = _dist_operand(F.col("_asof_on")) - _dist_operand(back[on_field])
+        d_fwd = _dist_operand(fwd[on_field]) - _dist_operand(F.col("_asof_on"))
         chosen = (
             F.when(back.isNull(), fwd)
             .when(fwd.isNull(), back)

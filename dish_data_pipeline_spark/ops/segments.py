@@ -87,6 +87,8 @@ def segment_dedup(
       corpora with pathologically hot segments (the same hot-key
       routing judgement as dup_ngram_coverage's broadcast path).
     """
+    if impl not in ("window", "census"):
+        raise ValueError(f"unknown impl {impl!r} (expected 'window' or 'census')")
     if impl == "census":
         return _segment_dedup_census(df, id_col, text_col, seg_tokens, max_docs)
     from pyspark.sql import Window

@@ -373,6 +373,13 @@ def cms_counters(
     base = df.select(
         F.col(group_col), F.expr(spark_phash(value_col)).alias("_h")
     )
+    return _counters_from_base(base, group_col, coeffs, w)
+
+
+def _counters_from_base(base: DataFrame, group_col: str, coeffs, w: int) -> DataFrame:
+    """Counter relation from a pre-hashed base ``(group, ..., _h)`` —
+    shared by :func:`cms_counters` and :func:`count_min_freq` so a
+    caller that also needs true counts hashes the input ONCE."""
     return (
         base.select(group_col, F.explode(_cms_buckets(coeffs, w)).alias("_s"))
         .select(group_col, F.col("_s._i").alias("_i"), F.col("_s._b").alias("_b"))
@@ -397,16 +404,22 @@ def count_min_freq(
     row per value OCCURRENCE; returns
     ``(group, value, true_count, cms_count)`` with ``cms_count >=
     true_count`` by construction."""
-    from dish_data_pipeline_spark.ops.portable import perm_coeffs, perm_expr
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+    from dish_data_pipeline_spark.ops.portable import perm_coeffs
 
     coeffs = perm_coeffs(d, seed)
-    base = df.select(
-        F.col(group_col),
-        F.col(value_col).alias("_v"),
-        F.expr(spark_phash(value_col)).alias("_h"),
+    # Tokenize-and-hash ONCE: both the counter relation and the true
+    # counts derive from this persisted base (md5 over the full input
+    # is the dominant map cost — recomputing it per branch doubled it).
+    base = tracked_persist(
+        df.select(
+            F.col(group_col),
+            F.col(value_col).alias("_v"),
+            F.expr(spark_phash(value_col)).alias("_h"),
+        )
     )
     buckets = _cms_buckets(coeffs, w)
-    counters = cms_counters(df, group_col, value_col, d=d, w=w, seed=seed)
+    counters = _counters_from_base(base, group_col, coeffs, w)
     true_counts = base.groupBy(group_col, "_v", "_h").agg(
         F.count(F.lit(1)).alias("true_count")
     )

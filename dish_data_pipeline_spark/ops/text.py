@@ -179,7 +179,17 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     regex cost (11× over baseline at sf0.1) for byte-identical
     results on any corpus that doesn't already contain the literal
     placeholder tokens. Map-side, codegen'd, 0 shuffles. NULL text
-    is treated as '' (zero counts, empty redaction)."""
+    is treated as '' (zero counts, empty redaction).
+
+    CAVEAT (count semantics, not redaction): a document that ALREADY
+    contains a literal ``<EMAIL>``/``<IP>``/``<PHONE>`` token
+    over-reports that counter by the pre-existing occurrences —
+    placeholders the redaction wrote and placeholders that were
+    already there are indistinguishable in the final text. The
+    redacted TEXT is unaffected. If exact counts matter on such
+    corpora, pre-escape the literal tokens upstream (the DuckDB
+    oracle mirrors this placeholder-derived counting, so the two
+    engines agree either way)."""
     t0 = F.coalesce(F.col(text_col), F.lit(""))
     t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
     t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")

@@ -4,6 +4,7 @@ nulls, per-key isolation."""
 import datetime as dt
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from dish_data_pipeline_spark.operators.asof import asof_join
 
@@ -47,3 +48,36 @@ def test_asof_keys_isolated(spark):
     out = {r.ev: r for r in asof_join(left, right, on="ts", by=["k"]).collect()}
     assert out["x"].px_right == 7.0
     assert out["y"].px_right is None  # other key's rows invisible
+
+
+def test_asof_tolerance_on_timestamp_column(spark):
+    # tolerance on a temporal `on` is in SECONDS (distance computed
+    # on epoch doubles — a plain timestamp difference is an INTERVAL
+    # that can't compare against a numeric tolerance)
+    left = spark.createDataFrame(
+        [Row(k=1, ts=_t(10), ev="near"), Row(k=1, ts=_t(30), ev="far")]
+    )
+    right = spark.createDataFrame([Row(k=1, ts=_t(9), px=5.0)])
+    out = {
+        r.ev: r
+        for r in asof_join(
+            left, right, on="ts", by=["k"], tolerance=120
+        ).collect()
+    }
+    assert out["near"].px_right == 5.0  # 60 s away, inside 120 s
+    assert out["far"].px_right is None  # 21 min away, outside
+
+
+def test_asof_tolerance_on_timestamp_ntz(spark):
+    # TIMESTAMP_NTZ can't cast straight to double; the operator must
+    # route it through a timestamp cast (guards the events.ts case)
+    left = spark.createDataFrame(
+        [Row(k=1, ts=_t(10), ev="near")]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [Row(k=1, ts=_t(9), px=5.0)]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rows = asof_join(
+        left, right, on="ts", by=["k"], direction="nearest", tolerance=30
+    ).collect()
+    assert rows[0].px_right is None  # 60 s away, outside 30 s

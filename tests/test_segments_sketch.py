@@ -251,3 +251,11 @@ def test_cms_matches_python_twin(spark):
         for r in count_min_freq(df, "g", "v", d=d, w=w, k=1, seed=9).collect()
     }
     assert got == {"hot": expected}
+
+
+def test_segment_dedup_rejects_unknown_impl(spark):
+    df = spark.createDataFrame([("d1", "a b c d")], "doc_id string, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown impl"):
+        segment_dedup(df, impl="windw")

@@ -57,16 +57,63 @@ def text_to_binary_content(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(content: bytes) -> object:
-    """Real image decode requires PIL/opencv — not in this container.
+def _find_pil():
+    """PIL detection, cached at first use (not import time, so a
+    test can monkeypatch ``importlib`` behavior deterministically)."""
+    import importlib.util
 
-    The Spark-side contract is: bytes in → decoded array out. Swap
-    this stub for a real decoder on a cluster with the libs baked in.
+    return importlib.util.find_spec("PIL") is not None
+
+
+_HAS_PIL: bool | None = None
+
+
+def has_pil() -> bool:
+    global _HAS_PIL
+    if _HAS_PIL is None:
+        _HAS_PIL = _find_pil()
+    return _HAS_PIL
+
+
+def decode_image(content: bytes) -> object:
+    """Decode image bytes to an ``ndarray`` (H × W [× C], uint8).
+
+    Auto-detects PIL: when it is importable (a real cluster with
+    imaging libs baked in) the decode is real; otherwise this raises
+    ``NotImplementedError`` — deliberately loud, so a pipeline that
+    NEEDS decoding fails fast instead of producing fake features.
+    The Spark-side contract either way: bytes in → decoded array
+    out; plumbing tests use ``fake_feature_extract``, which never
+    decodes.
     """
+    if has_pil():
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        with Image.open(io.BytesIO(content)) as img:
+            return np.asarray(img)
     raise NotImplementedError(
         "image decode requires an imaging library not present in this "
         "environment; use fake_feature_extract for plumbing tests"
     )
+
+
+def pil_resize_kernel(blob: bytes, width: int, height: int) -> bytes:
+    """Real resize kernel for :func:`resize_images` (``kernel=``):
+    decode → grayscale → bilinear resize → raw bytes, exactly
+    ``width*height`` per image (same output contract as the
+    environment stub). Requires PIL — opt-in by passing it
+    explicitly; the default stays the stub because the stub accepts
+    ARBITRARY bytes (the test corpus is text-as-binary) while a real
+    decoder rightly rejects non-images."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(blob)) as img:
+        return img.convert("L").resize((width, height)).tobytes()
 
 
 def fake_feature_extract(content: bytes, n_features: int = 4) -> list[float]:

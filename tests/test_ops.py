@@ -249,3 +249,39 @@ def test_clean_text_strips_artifacts(spark):
     assert out[0].n_chars_removed == len(raw) - len(out[0].clean_text)
     assert out[1].clean_text == "plain text"
     assert out[1].had_url == 0 and out[1].had_email == 0
+
+
+def test_decode_image_routes_by_pil_presence():
+    """decode_image auto-detects PIL: real decode when the lib is
+    importable, loud NotImplementedError otherwise — both branches
+    covered, whichever environment this runs in."""
+    import pytest as _pytest
+
+    from dish_data_pipeline_spark.ops import multimodal as mm
+
+    if mm.has_pil():
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (3, 2), color=7).save(buf, format="PNG")
+        arr = mm.decode_image(buf.getvalue())
+        assert arr.shape == (2, 3) and int(arr[0][0]) == 7
+        # the opt-in real resize kernel honors the w*h byte contract
+        assert len(mm.pil_resize_kernel(buf.getvalue(), 4, 4)) == 16
+    else:
+        with _pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG\r\n")
+
+
+def test_decode_image_real_kernel_when_forced(monkeypatch):
+    """When detection says PIL is absent, the stub path must raise
+    even for well-formed input (no silent fake decode)."""
+    from dish_data_pipeline_spark.ops import multimodal as mm
+
+    monkeypatch.setattr(mm, "_HAS_PIL", False)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"anything")

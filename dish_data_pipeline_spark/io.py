@@ -15,6 +15,8 @@ readers get pushdown + pruning from the DataSource v2 path.
 
 from __future__ import annotations
 
+import contextlib
+import glob
 import os
 import shutil
 import uuid
@@ -129,26 +131,145 @@ def write_append(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds the target's swap lock.
+
+    The parquet swap path is read-modify-write: a second concurrent
+    writer would silently base its merge on a snapshot the first
+    writer is about to replace (lost update). The advisory lock turns
+    that silent corruption into this loud, retryable error — the
+    single-writer scope of ``atomic_overwrite`` is ENFORCED, not just
+    documented. For genuine multi-writer MERGE use the
+    transaction-logged ``DeltaBackend`` (io_backends)."""
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+@contextlib.contextmanager
+def _swap_lock(base: str):
+    """Single-host advisory lock for the swap critical section
+    (O_EXCL lock file holding the owner pid). A lock whose owner pid
+    is gone — a crashed writer — is stolen; a live owner raises
+    ``ConcurrentWriteError``. Pid liveness is a same-host judgement,
+    which matches the rename-pair swap itself (atomic only on one
+    filesystem); a shared lakehouse needs the Delta tier anyway."""
+    lock = base + ".lock"
+    parent = os.path.dirname(base)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        owner: int | None = None
+        with contextlib.suppress(OSError, ValueError):
+            with open(lock) as f:
+                owner = int(f.read().strip() or "0") or None
+        if owner is not None and _pid_alive(owner):
+            raise ConcurrentWriteError(
+                f"target {base!r} is being rewritten by live pid {owner} "
+                f"(lock {lock}); retry after it finishes — concurrent "
+                "swap-writers would lose updates"
+            ) from None
+        # Stale lock from a crashed/unreadable owner: take it over.
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, str(os.getpid()).encode())
+    os.close(fd)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
+
+
 def atomic_overwrite(df: DataFrame, path: str) -> None:
     """Overwrite ``path`` with ``df`` safely even when ``df`` reads
     from ``path`` (the upsert read-modify-write cycle).
 
     Plain ``mode("overwrite")`` on the source path would delete the
     files mid-read. Strategy: materialize to a temp sibling, then
-    swap directories. This gives crash-safety up to the final rename
-    pair; for true multi-writer atomicity use a table format with a
-    transaction log (Delta/Iceberg ``MERGE INTO``) — the operator
-    composition in operators/upsert.py is format-agnostic, so only
-    this writer changes.
+    swap directories, all inside an advisory single-writer lock — a
+    concurrent writer on the same target fails fast with
+    ``ConcurrentWriteError`` instead of silently losing an update
+    (the lazy plan's READ of the old target executes during the
+    write, so the whole read-modify-write cycle is inside the lock).
+    Crash-safety: every intermediate state is healable by
+    ``recover_interrupted_swap`` (the completed-write marker is
+    Spark's ``_SUCCESS``); a crashed writer's stale lock is stolen by
+    the next writer. For true multi-writer atomicity use a table
+    format with a transaction log (Delta/Iceberg ``MERGE INTO``) —
+    the operator composition in operators/upsert.py is
+    format-agnostic, so only this writer changes.
     """
     base = path.rstrip("/")
-    tmp = os.path.join(
-        os.path.dirname(base), f".tmp-{uuid.uuid4().hex}-{os.path.basename(base)}"
+    with _swap_lock(base):
+        tmp = os.path.join(
+            os.path.dirname(base), f".tmp-{uuid.uuid4().hex}-{os.path.basename(base)}"
+        )
+        df.write.mode("overwrite").parquet(tmp)
+        old = tmp + ".old"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+
+def recover_interrupted_swap(path: str) -> str:
+    """Heal a target directory after a writer crashed anywhere inside
+    ``atomic_overwrite``. Returns the action taken:
+
+    - ``"clean"`` — target present, no debris.
+    - ``"cleaned"`` — target present; stale tmp/old siblings removed.
+    - ``"completed"`` — target missing but a FULLY WRITTEN tmp
+      (Spark's ``_SUCCESS`` marker) existed: the interrupted swap is
+      finished by promoting it (the merge result is not lost).
+    - ``"rolled_back"`` — target missing, no complete tmp, but the
+      pre-swap snapshot (``.old``) existed: restored; re-running the
+      (idempotent, keyed) merge reproduces the lost update.
+    - ``"missing"`` — nothing restorable (partial tmps removed).
+
+    Call at writer startup, after taking over a stale lock, or from
+    an orchestrator's recovery path.
+    """
+    base = path.rstrip("/")
+    parent, name = os.path.dirname(base) or ".", os.path.basename(base)
+    olds = glob.glob(os.path.join(parent, f".tmp-*-{name}.old"))
+    tmps = [
+        p
+        for p in glob.glob(os.path.join(parent, f".tmp-*-{name}"))
+        if not p.endswith(".old")
+    ]
+    if os.path.exists(base):
+        for p in olds + tmps:
+            shutil.rmtree(p, ignore_errors=True)
+        return "cleaned" if (olds or tmps) else "clean"
+    complete = sorted(
+        (p for p in tmps if os.path.exists(os.path.join(p, "_SUCCESS"))),
+        key=os.path.getmtime,
     )
-    df.write.mode("overwrite").parquet(tmp)
-    old = tmp + ".old"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    if complete:
+        os.rename(complete[-1], base)
+        for p in olds + tmps:
+            if p != complete[-1]:
+                shutil.rmtree(p, ignore_errors=True)
+        return "completed"
+    if olds:
+        newest = max(olds, key=os.path.getmtime)
+        os.rename(newest, base)
+        for p in olds + tmps:
+            if p != newest:
+                shutil.rmtree(p, ignore_errors=True)
+        return "rolled_back"
+    for p in tmps:
+        shutil.rmtree(p, ignore_errors=True)
+    return "missing"

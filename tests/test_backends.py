@@ -130,3 +130,141 @@ def test_delta_backend_merge(spark, tmp_path):
     be.merge_keep_latest(spark, path, stg, ["k"], "ts")
     got = sorted(map(tuple, be.read(spark, path).select("k", "v").collect()))
     assert got == [("a", 10), ("b", 2)]
+
+
+# --- single-writer enforcement + crash recovery (round 5) ---------
+# The reference's MERGE is atomic inside BigQuery; the parquet tier
+# can't be multi-writer, but its single-writer scope is now ENFORCED
+# (advisory lock) and every crash point inside the swap is healable.
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame([Row(k=k, v=v, ts=t) for k, v, t in rows])
+
+
+def test_concurrent_writer_fails_fast_not_lost_update(spark, tmp_path):
+    from dish_data_pipeline_spark import io as dio
+
+    path = str(tmp_path / "tgt")
+    be = ParquetSwapBackend()
+    be.create(_mk(spark, [("a", 1, 1)]), path)
+
+    # writer A holds the lock (live pid = this process)
+    lock = path + ".lock"
+    with open(lock, "w") as f:
+        f.write(str(__import__("os").getpid()))
+    with pytest.raises(dio.ConcurrentWriteError, match="live pid"):
+        be.merge_keep_latest(spark, path, _mk(spark, [("a", 99, 2)]), ["k"], "ts")
+    # target untouched by the refused writer
+    assert sorted(map(tuple, be.read(spark, path).collect())) == [("a", 1, 1)]
+
+    __import__("os").remove(lock)
+    be.merge_keep_latest(spark, path, _mk(spark, [("a", 99, 2)]), ["k"], "ts")
+    assert sorted(map(tuple, be.read(spark, path).collect())) == [("a", 99, 2)]
+
+
+def test_stale_lock_from_dead_writer_is_stolen(spark, tmp_path):
+    import subprocess
+
+    from dish_data_pipeline_spark import io as dio
+
+    path = str(tmp_path / "tgt")
+    be = ParquetSwapBackend()
+    be.create(_mk(spark, [("a", 1, 1)]), path)
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()  # pid now dead
+    with open(path + ".lock", "w") as f:
+        f.write(str(proc.pid))
+    be.merge_keep_latest(spark, path, _mk(spark, [("b", 2, 2)]), ["k"], "ts")
+    assert sorted(map(tuple, be.read(spark, path).collect())) == [
+        ("a", 1, 1),
+        ("b", 2, 2),
+    ]
+    # garbage lock content is also treated as stale
+    with open(path + ".lock", "w") as f:
+        f.write("not-a-pid")
+    be.merge_keep_latest(spark, path, _mk(spark, [("c", 3, 3)]), ["k"], "ts")
+    assert len(be.read(spark, path).collect()) == 3
+
+
+def test_crash_between_renames_recovers_completed_merge(spark, tmp_path, monkeypatch):
+    import os as _os
+
+    from dish_data_pipeline_spark import io as dio
+
+    path = str(tmp_path / "tgt")
+    be = ParquetSwapBackend()
+    be.create(_mk(spark, [("a", 1, 1)]), path)
+
+    # crash AFTER path->old, BEFORE tmp->path: target dir is missing
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        real_rename(src, dst)
+        if not _os.path.basename(dst).startswith(".tmp-"):
+            return
+        if dst.endswith(".old"):
+            calls["n"] += 1
+            raise OSError("simulated crash between the rename pair")
+
+    monkeypatch.setattr(dio.os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        be.merge_keep_latest(spark, path, _mk(spark, [("a", 9, 2)]), ["k"], "ts")
+    monkeypatch.undo()
+    assert calls["n"] == 1 and not _os.path.exists(path)
+
+    # the tmp was fully written (_SUCCESS) -> recovery COMPLETES the
+    # interrupted swap; the merge result is not lost
+    assert dio.recover_interrupted_swap(path) == "completed"
+    assert sorted(map(tuple, be.read(spark, path).collect())) == [("a", 9, 2)]
+    assert dio.recover_interrupted_swap(path) == "clean"
+    # stale lock from the "crashed" writer must not block the next one
+    be.merge_keep_latest(spark, path, _mk(spark, [("b", 2, 3)]), ["k"], "ts")
+    assert len(be.read(spark, path).collect()) == 2
+
+
+def test_crash_during_write_rolls_back_cleanly(spark, tmp_path):
+    import os as _os
+    import shutil as _shutil
+
+    from dish_data_pipeline_spark import io as dio
+
+    path = str(tmp_path / "tgt")
+    be = ParquetSwapBackend()
+    be.create(_mk(spark, [("a", 1, 1)]), path)
+
+    # a partial tmp (no _SUCCESS) from a writer that died mid-write
+    partial = str(tmp_path / f".tmp-deadbeef-{_os.path.basename(path)}")
+    _os.makedirs(partial)
+    with open(_os.path.join(partial, "part-0.parquet"), "wb") as f:
+        f.write(b"torn")
+    assert dio.recover_interrupted_swap(path) == "cleaned"
+    assert not _os.path.exists(partial)
+    assert sorted(map(tuple, be.read(spark, path).collect())) == [("a", 1, 1)]
+
+    # target missing + only a partial tmp -> nothing restorable
+    _os.makedirs(partial)
+    _shutil.rmtree(path)
+    assert dio.recover_interrupted_swap(path) == "missing"
+    assert not _os.path.exists(partial)
+
+
+def test_rollback_when_only_old_snapshot_survives(spark, tmp_path):
+    import os as _os
+    import shutil as _shutil
+
+    from dish_data_pipeline_spark import io as dio
+
+    path = str(tmp_path / "tgt")
+    be = ParquetSwapBackend()
+    be.create(_mk(spark, [("a", 1, 1)]), path)
+    # simulate: path->old done, tmp lost/partial, writer died
+    old = str(tmp_path / f".tmp-cafe-{_os.path.basename(path)}.old")
+    _os.rename(path, old)
+    partial = str(tmp_path / f".tmp-cafe-{_os.path.basename(path)}")
+    _os.makedirs(partial)  # no _SUCCESS -> not promotable
+    assert dio.recover_interrupted_swap(path) == "rolled_back"
+    assert not _os.path.exists(partial)
+    assert sorted(map(tuple, be.read(spark, path).collect())) == [("a", 1, 1)]

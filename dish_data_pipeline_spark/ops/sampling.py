@@ -155,6 +155,40 @@ def mixture_sample_tokens(
     )
 
 
+def domain_quota(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    order_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap documents per domain/source, keeping the top-``cap`` by
+    ``order_col`` (descending, ``id_col`` ascending tiebreak) — the
+    domain-balancing stage web-corpus pipelines run so a handful of
+    giant domains can't dominate the training mixture.
+
+    Plan shape: rank-within-group + ``rank <= cap`` filter. Catalyst
+    rewrites this pair into WindowGroupLimit (Spark >= 3.5), which
+    keeps only ``cap`` rows per key map-side BEFORE the exchange —
+    so a 100× hot domain ships ``cap`` rows per input partition, not
+    its whole row set, and the post-shuffle window touches at most
+    ``cap × n_partitions`` rows per domain. For domains hot enough
+    that even that matters, pre-thin with
+    :func:`deterministic_sample` composed upstream (approximate but
+    exchange-free), then apply the exact quota."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .withColumn("rank_in_domain", F.col("_rk").cast("int"))
+        .drop("_rk")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

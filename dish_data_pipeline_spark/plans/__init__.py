@@ -32,6 +32,11 @@ _ALL: dict[str, QueryDef] = {
 # round 4 (CORRECTNESS_r04.json, all green) rotate to the back.
 _DRIVER_UNCHECKED_HEAD = [
     # new this round — zero driver history
+    "min_cost_supplier",  # TPC-H Q2 (correlated MIN)
+    "important_parts",  # TPC-H Q11 (HAVING vs global scalar)
+    "supplier_part_counts",  # TPC-H Q16 (NOT IN + count-distinct)
+    "excess_ship_suppliers",  # TPC-H Q20 (nested IN chain)
+    "domain_quota",  # per-domain cap (WindowGroupLimit)
     "order_priority_check",  # TPC-H Q4 (EXISTS)
     "shipmode_priority",  # TPC-H Q12 (2-branch conditional agg)
     "small_qty_avg_gate",  # TPC-H Q17 (correlated scalar avg)

@@ -1067,6 +1067,36 @@ WHERE ({h}) % {SAMPLE_DENOM} < CASE lang {cases} ELSE {int(0.1 * SAMPLE_DENOM)} 
 """
 
 
+# --- Per-domain quota (domain balancing) --------------------------
+DOMAIN_CAP = 10
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most 10 documents per source,
+    preferring the longest (n_chars desc, doc_id tiebreak) — the
+    stage that stops a few giant domains dominating a web-corpus
+    mixture. The rank<=cap pair plans as WindowGroupLimit
+    (map-side partial top-k per key before the exchange), so hot
+    domains never ship their full row set."""
+    from dish_data_pipeline_spark.ops.sampling import domain_quota
+
+    d = read(spark, sf_dir, "documents")
+    return domain_quota(
+        d, "source", DOMAIN_CAP, order_col="n_chars"
+    ).select("source", "doc_id", "n_chars", "rank_in_domain")
+
+
+SQL_DOMAIN_QUOTA = f"""
+SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rank_in_domain
+FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents) t
+WHERE rk <= {DOMAIN_CAP}
+"""
+
+
 # --- Sequence packing (token-budget binning) ----------------------
 PACK_BUDGET = 512
 
@@ -1594,6 +1624,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_sequence_packing, _sql_sequence_packing(),
         "token-budget sequence packing (bucketed, no global sort)",
         ("sampling", "text")),
+    "domain_quota": QueryDef(
+        q_domain_quota, SQL_DOMAIN_QUOTA,
+        "per-domain document cap (WindowGroupLimit domain balancing)",
+        ("sampling", "text", "window")),
     "text_clean": QueryDef(
         q_text_clean, _sql_text_clean(),
         "text normalization: strip URLs/e-mails/control chars, collapse whitespace",

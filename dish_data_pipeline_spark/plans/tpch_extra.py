@@ -456,7 +456,220 @@ LIMIT 20
 """
 
 
+# --- Q2 shape: min-cost supplier per part -------------------------
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each STANDARD-type size-15 part, the
+    supplier(s) achieving the minimum unit price (the testdata lacks
+    partsupp, so unit price is derived from lineitem: exact-decimal
+    sum of extendedprice over exact-decimal sum of quantity per
+    (part, supplier) — one IEEE division, bit-identical in DuckDB).
+    The correlated MIN subquery decorrelates to a per-part window
+    min + equality filter: one shuffle on partkey, then broadcast
+    dim joins (supplier, nation). Output is top-20 by account
+    balance with full tiebreak. Shape cited from the reference's
+    declared join surface (SURVEY §2.4); Q2's partsupp min-cost
+    semantics re-expressed on the available star schema."""
+    from pyspark.sql.window import Window
+
+    p = (
+        read(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size").isin(5, 15, 25, 35, 45)))
+        .select("p_partkey")
+    )
+    li = read(spark, sf_dir, "lineitem")
+    s = read(spark, sf_dir, "supplier")
+    n = read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity"))).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        cost.withColumn("_min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("_min_cost"))
+        .drop("_min_cost")
+    )
+    return (
+        best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_acctbal", "s_name", "n_name", F.col("l_partkey").alias("p_partkey"), "unit_cost")
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+SQL_MIN_COST_SUPPLIER = f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         {sql_dsum('l_extendedprice')} / {sql_dsum('l_quantity')} AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size IN (5, 15, 25, 35, 45)
+  GROUP BY l_partkey, l_suppkey),
+best AS (
+  SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS _min_cost
+  FROM cost)
+SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_cost
+FROM best
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE unit_cost = _min_cost
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 20
+"""
+
+
+# --- Q11 shape: important parts by value share --------------------
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value (from suppliers in
+    the low-key nation group) exceeds a fixed fraction of the global
+    total. The HAVING-over-global-scalar decorrelates to a 1-row
+    aggregate broadcast back via cross join — the big side
+    aggregates once on partkey and is filtered map-side against the
+    broadcast scalar; no driver collect, no second shuffle."""
+    li = read(spark, sf_dir, "lineitem")
+    s = (
+        read(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 10)
+        .select("s_suppkey")
+    )
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(dsum(value).alias("part_value"))
+    )
+    total = per_part.agg(dsum(F.col("part_value")).alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("_total"))
+        .select("l_partkey", "part_value")
+    )
+
+
+SQL_IMPORTANT_PARTS = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         {sql_dsum('l_extendedprice * (1 - l_discount)')} AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey < 10
+  GROUP BY l_partkey)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > 0.001 * (SELECT {sql_dsum('part_value')} FROM per_part)
+"""
+
+
+# --- Q16 shape: supplier counts with NOT-IN exclusion -------------
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per (brand, type,
+    size) for parts outside one brand/type family, excluding
+    suppliers from a blocklist (negative account balance stands in
+    for Q16's complaint-comment NOT IN subquery). The part-supplier
+    relation comes from lineitem; the NOT IN becomes a broadcast
+    LEFT ANTI join (100-row blocklist). Both dim joins are broadcast
+    and applied BEFORE any exchange, and pair-dedup is left to the
+    count-distinct aggregate itself — so the only wide exchange is
+    the final group-by over the part-family-pruned rows (a separate
+    upstream ``distinct()`` would shuffle the FULL lineitem pair set
+    first). Top-20 with full tiebreak for a stable driver hash."""
+    li = read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad_s = (
+        read(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad_s), li["l_suppkey"] == bad_s["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size"))
+        .limit(20)
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON ps.l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 20
+"""
+
+
+# --- Q20 shape: nested-IN excess-shipment suppliers ---------------
+def q_excess_ship_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in the low-key nation group who
+    shipped more than 150 units of 'small *' parts during 1997 (the
+    partsupp availqty > half-shipped threshold becomes a shipped-
+    quantity threshold — the nested IN (parts) -> agg -> IN
+    (suppliers) chain is the shape under test). Chain plans as: part
+    prefix filter broadcast into lineitem, one groupBy(suppkey)
+    aggregate, threshold filter, then LEFT SEMI into the supplier
+    dim — the semi probe side is the 1-row-per-supplier aggregate,
+    never the raw lineitem."""
+    p = (
+        read(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("qty_shipped"))
+        .filter(F.col("qty_shipped") > 150.0)
+    )
+    s = read(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 10)
+    return (
+        s.join(shipped, s["s_suppkey"] == shipped["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy(F.asc("s_name"))
+    )
+
+
+SQL_EXCESS_SHIP_SUPPLIERS = f"""
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_nationkey < 10
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_suppkey
+    HAVING {sql_dsum('l_quantity')} > 150.0)
+ORDER BY s_name ASC
+"""
+
+
 TPCH_EXTRA_QUERIES: dict[str, QueryDef] = {
+    "min_cost_supplier": QueryDef(
+        q_min_cost_supplier, SQL_MIN_COST_SUPPLIER,
+        "TPC-H Q2-shape per-part min-cost supplier", ("join", "window", "topk")),
+    "important_parts": QueryDef(
+        q_important_parts, SQL_IMPORTANT_PARTS,
+        "TPC-H Q11-shape value share vs global scalar", ("join", "agg")),
+    "supplier_part_counts": QueryDef(
+        q_supplier_part_counts, SQL_SUPPLIER_PART_COUNTS,
+        "TPC-H Q16-shape distinct-supplier counts with NOT IN", ("join", "agg", "topk")),
+    "excess_ship_suppliers": QueryDef(
+        q_excess_ship_suppliers, SQL_EXCESS_SHIP_SUPPLIERS,
+        "TPC-H Q20-shape nested-IN shipment threshold", ("join", "agg")),
     "order_priority_check": QueryDef(
         q_order_priority_check, SQL_ORDER_PRIORITY_CHECK,
         "TPC-H Q4-shape correlated EXISTS via semi-join", ("join", "agg")),

@@ -93,3 +93,37 @@ def test_pack_sequences_invariants(spark):
     # every doc has the regex token count
     d = {r.doc_id: r.n_tokens for r in out}
     assert d[0] == len(re.findall(r"[A-Za-z0-9]+", " ".join(f"w{j}" for j in range(5))))
+
+
+def test_domain_quota_keeps_topk_per_domain(spark):
+    from dish_data_pipeline_spark.ops.sampling import domain_quota
+
+    rows = [
+        Row(doc_id=i, text="t", lang="en", source=f"d{i % 3}", n_chars=(i * 7) % 50)
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(rows)
+    out = domain_quota(d, "source", 5, order_col="n_chars").collect()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r.source, []).append(r)
+    assert set(by_dom) == {"d0", "d1", "d2"}
+    for dom, kept in by_dom.items():
+        assert len(kept) == 5
+        assert sorted(r.rank_in_domain for r in kept) == [1, 2, 3, 4, 5]
+        # python twin: top-5 by (n_chars desc, doc_id asc)
+        truth = sorted(
+            (r for r in rows if r.source == dom),
+            key=lambda r: (-r.n_chars, r.doc_id),
+        )[:5]
+        assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in truth)
+
+
+def test_domain_quota_rejects_bad_cap(spark):
+    import pytest
+
+    from dish_data_pipeline_spark.ops.sampling import domain_quota
+
+    d = spark.createDataFrame([Row(doc_id=1, source="a", n_chars=1)])
+    with pytest.raises(ValueError, match="cap"):
+        domain_quota(d, "source", 0, order_col="n_chars")

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -178,17 +179,111 @@ STAGES: tuple[Callable[[StageContext], bool], ...] = (
 )
 
 
-def run_stages(ctx: StageContext) -> PipelineResult:
+@dataclass(frozen=True)
+class TaskPolicy:
+    """Per-task retry/timeout policy mirroring the reference DAG's
+    default_args (DAG/etl_google_analytics_dag.py:46-52: retries=2,
+    retry_delay=5 min, execution_timeout=3 min).
+
+    Only raised exceptions are retried — a stage returning False is
+    a short-circuit VERDICT, not a failure, and re-running it would
+    re-evaluate a decision already made (Airflow likewise does not
+    retry a ShortCircuitOperator's False). The FAILED audit row is
+    written once, after retries are exhausted, matching Airflow's
+    terminal-state semantics rather than one row per attempt.
+
+    ``execution_timeout_sec=None`` disables the timeout. A timed-out
+    stage has its Spark jobs cancelled via the stage's job group; the
+    worker thread then unblocks as its action raises."""
+
+    retries: int = 2
+    retry_delay_sec: float = 300.0
+    execution_timeout_sec: float | None = 180.0
+
+
+#: Policy-off default keeps run_stages() behavior identical for
+#: existing callers; pass AIRFLOW_PARITY_POLICY for the reference's
+#: declared task guards.
+AIRFLOW_PARITY_POLICY = TaskPolicy()
+
+
+def _call_with_timeout(
+    stage: Callable[[StageContext], bool],
+    ctx: StageContext,
+    timeout_sec: float | None,
+) -> bool:
+    if timeout_sec is None:
+        return stage(ctx)
+    import concurrent.futures as cf
+
+    sc = ctx.spark.sparkContext
+    group = f"orchestration-{ctx.feed.name}-{stage.__name__}"
+
+    def _target() -> bool:
+        # Job groups are thread-local: set it inside the worker so
+        # cancelJobGroup kills exactly this stage's Spark jobs.
+        sc.setJobGroup(group, f"{stage.__name__} (timeout {timeout_sec}s)")
+        try:
+            return stage(ctx)
+        finally:
+            sc.setJobGroup("", "")
+
+    ex = cf.ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(_target)
+        try:
+            return fut.result(timeout=timeout_sec)
+        except cf.TimeoutError:
+            sc.cancelJobGroup(group)
+            raise TimeoutError(
+                f"{stage.__name__} exceeded execution_timeout "
+                f"{timeout_sec}s (job group {group} cancelled)"
+            ) from None
+    finally:
+        # Don't join a possibly-hung worker; the cancelled Spark
+        # action raises inside it and the thread exits on its own.
+        ex.shutdown(wait=False)
+
+
+def _run_with_policy(
+    stage: Callable[[StageContext], bool],
+    ctx: StageContext,
+    policy: TaskPolicy | None,
+    sleep: Callable[[float], None],
+) -> bool:
+    if policy is None:
+        return stage(ctx)
+    attempts = policy.retries + 1
+    for attempt in range(1, attempts + 1):
+        try:
+            return _call_with_timeout(stage, ctx, policy.execution_timeout_sec)
+        except Exception:
+            if attempt == attempts:
+                raise
+            sleep(policy.retry_delay_sec)
+    raise AssertionError("unreachable")
+
+
+def run_stages(
+    ctx: StageContext,
+    policy: TaskPolicy | None = None,
+    sleep: Callable[[float], None] | None = None,
+) -> PipelineResult:
     """Drive the six stages with ShortCircuit + ALL_DONE semantics —
     a scheduler-free twin of the reference DAG's dependency wiring
-    (and of what Airflow's executor would do with these callables)."""
+    (and of what Airflow's executor would do with these callables).
+
+    ``policy`` adds the reference DAG's per-task guards (retries +
+    delay + execution timeout); ``sleep`` is injectable for tests.
+    """
+    do_sleep = sleep if sleep is not None else time.sleep
     short_circuited = False
     failed_exc: Exception | None = None
     for stage in STAGES[:-1]:
         if short_circuited or failed_exc is not None:
             continue  # downstream compute stages are skipped
         try:
-            if stage(ctx) is False:
+            if _run_with_policy(stage, ctx, policy, do_sleep) is False:
                 short_circuited = True
         except Exception as exc:  # noqa: BLE001 — audit must still fire
             failed_exc = exc

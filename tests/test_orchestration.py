@@ -95,3 +95,117 @@ def test_stages_are_individually_drivable(spark, tmp_path):
     assert stage_transform(ctx) is True
     assert stage_dq_check(ctx) is True  # dup is recoverable → dedup
     assert ctx.xcom["df"].count() == 8
+
+
+def test_policy_retries_flaky_stage(spark, tmp_path, monkeypatch):
+    """A stage that raises twice succeeds on the third attempt under
+    retries=2 (reference DAG default_args), with the retry delay
+    routed through the injectable sleep."""
+    import dish_data_pipeline_spark.orchestration as orch
+
+    calls = {"n": 0}
+    real_extract = orch.stage_extract
+
+    def flaky_extract(ctx):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient fetch error")
+        return real_extract(ctx)
+
+    flaky_extract.__name__ = "stage_extract"
+    monkeypatch.setattr(orch, "STAGES", (flaky_extract,) + orch.STAGES[1:])
+    slept: list[float] = []
+    ctx = _ctx(spark, tmp_path, visits_server())
+    res = orch.run_stages(
+        ctx,
+        policy=orch.TaskPolicy(retries=2, retry_delay_sec=7.0,
+                               execution_timeout_sec=None),
+        sleep=slept.append,
+    )
+    assert res.status == "SUCCESS" and calls["n"] == 3
+    assert slept == [7.0, 7.0]
+
+
+def test_policy_exhausted_retries_audit_once(spark, tmp_path, monkeypatch):
+    """After retries are exhausted the run FAILs and exactly ONE
+    FAILED audit row is written (terminal state, not per attempt)."""
+    import dish_data_pipeline_spark.orchestration as orch
+
+    calls = {"n": 0}
+
+    def always_fails(ctx):
+        calls["n"] += 1
+        raise RuntimeError("permanent error")
+
+    always_fails.__name__ = "stage_extract"
+    monkeypatch.setattr(orch, "STAGES", (always_fails,) + orch.STAGES[1:])
+    ctx = _ctx(spark, tmp_path, visits_server())
+    res = orch.run_stages(
+        ctx,
+        policy=orch.TaskPolicy(retries=2, retry_delay_sec=0.0,
+                               execution_timeout_sec=None),
+        sleep=lambda s: None,
+    )
+    assert res.status == "FAILED" and calls["n"] == 3
+    audit = spark.read.parquet(f"{ctx.warehouse_dir}/load_audit").collect()
+    assert len(audit) == 1 and audit[0].status.startswith("FAILED")
+
+
+def test_policy_does_not_retry_short_circuit(spark, tmp_path):
+    """A False return is a DQ verdict, not a failure — it must not be
+    re-attempted (Airflow does not retry ShortCircuit False)."""
+    import dish_data_pipeline_spark.orchestration as orch
+
+    def empty(url):
+        return 200, {"records": []}
+
+    calls = {"dq": 0}
+    real_dq = orch.stage_dq_check
+
+    def counting_dq(ctx):
+        calls["dq"] += 1
+        return real_dq(ctx)
+
+    counting_dq.__name__ = "stage_dq_check"
+    stages = tuple(counting_dq if s is real_dq else s for s in orch.STAGES)
+    ctx = _ctx(spark, tmp_path, empty)
+    import unittest.mock as mock
+
+    with mock.patch.object(orch, "STAGES", stages):
+        res = orch.run_stages(
+            ctx,
+            policy=orch.TaskPolicy(retries=2, retry_delay_sec=0.0,
+                                   execution_timeout_sec=None),
+            sleep=lambda s: None,
+        )
+    assert res.status == "FAILED"  # empty feed fails DQ
+    assert calls["dq"] == 1  # verdict evaluated exactly once
+
+
+def test_policy_execution_timeout(spark, tmp_path, monkeypatch):
+    """A stage exceeding execution_timeout raises TimeoutError into
+    the failure path (reference DAG's 3-min execution_timeout); the
+    audit still fires (ALL_DONE)."""
+    import time as _time
+
+    import dish_data_pipeline_spark.orchestration as orch
+
+    def hangs(ctx):
+        _time.sleep(5.0)
+        return True
+
+    hangs.__name__ = "stage_extract"
+    monkeypatch.setattr(orch, "STAGES", (hangs,) + orch.STAGES[1:])
+    ctx = _ctx(spark, tmp_path, visits_server())
+    t0 = _time.time()
+    res = orch.run_stages(
+        ctx,
+        policy=orch.TaskPolicy(retries=0, retry_delay_sec=0.0,
+                               execution_timeout_sec=0.3),
+        sleep=lambda s: None,
+    )
+    assert _time.time() - t0 < 4.0  # did not wait out the hang
+    assert res.status == "FAILED"
+    assert any("execution_timeout" in i for i in res.issues)
+    audit = spark.read.parquet(f"{ctx.warehouse_dir}/load_audit").collect()
+    assert len(audit) == 1 and "execution_timeout" in audit[0].status

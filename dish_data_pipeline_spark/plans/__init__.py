@@ -37,6 +37,8 @@ _DRIVER_UNCHECKED_HEAD = [
     "supplier_part_counts",  # TPC-H Q16 (NOT IN + count-distinct)
     "excess_ship_suppliers",  # TPC-H Q20 (nested IN chain)
     "domain_quota",  # per-domain cap (WindowGroupLimit)
+    "gap_fill_events",  # hourly resample + forward fill
+    "corpus_drift",  # per-source distribution divergence
     "order_priority_check",  # TPC-H Q4 (EXISTS)
     "shipmode_priority",  # TPC-H Q12 (2-branch conditional agg)
     "small_qty_avg_gate",  # TPC-H Q17 (correlated scalar avg)

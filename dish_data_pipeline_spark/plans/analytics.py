@@ -14,6 +14,7 @@ from dish_data_pipeline_spark.plans.common import (
     QueryDef,
     dsum,
     read,
+    sql_davg,
     sql_dsum,
 )
 
@@ -430,7 +431,54 @@ GROUP BY 1, 2
 """
 
 
+# --- Time-series resample + gap fill ------------------------------
+GAP_STEP_SEC = 3600
+
+
+def q_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style downsample + regularize: hourly mean value
+    per event type, each type's grid completed between its first and
+    last hour, holes forward-filled and flagged. Resample is one
+    partial-combined groupBy; the grid explode is map-side from the
+    tiny per-key span relation; grid join and fill window share the
+    event_type hash — the raw events are read exactly once."""
+    from dish_data_pipeline_spark.ops.timeseries import gap_fill, resample
+
+    e = read(spark, sf_dir, "events")
+    r = resample(e, "ts", "event_type", "value", GAP_STEP_SEC)
+    return gap_fill(r, "event_type", GAP_STEP_SEC)
+
+
+SQL_GAP_FILL_EVENTS = f"""
+WITH b AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {GAP_STEP_SEC}) * {GAP_STEP_SEC}
+           AS bucket,
+         {sql_davg('value')} AS avg_value
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, {GAP_STEP_SEC})) AS bucket
+  FROM spans),
+j AS (
+  SELECT g.event_type, g.bucket, b.avg_value
+  FROM grid g LEFT JOIN b ON b.event_type = g.event_type
+                         AND b.bucket = g.bucket)
+SELECT event_type, bucket,
+       LAST_VALUE(avg_value IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING) AS value,
+       avg_value IS NULL AS is_filled
+FROM j
+"""
+
+
 ANALYTICS_QUERIES: dict[str, QueryDef] = {
+    "gap_fill_events": QueryDef(
+        q_gap_fill_events, SQL_GAP_FILL_EVENTS,
+        "hourly resample + grid completion + forward fill per event type",
+        ("window", "timeseries")),
     "large_orders": QueryDef(
         q_large_orders, SQL_LARGE_ORDERS,
         "TPC-H Q18-shape IN-subquery with HAVING", ("join", "agg")),

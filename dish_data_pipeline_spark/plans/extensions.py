@@ -1067,6 +1067,48 @@ WHERE ({h}) % {SAMPLE_DENOM} < CASE lang {cases} ELSE {int(0.1 * SAMPLE_DENOM)} 
 """
 
 
+# --- Corpus drift (per-source distribution divergence) ------------
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution divergence vs the whole corpus
+    (chi-square form with a closed-form absent-token tail — no
+    source×vocab grid). The drift gate a mixing pipeline runs before
+    admitting a new source/snapshot."""
+    from dish_data_pipeline_spark.ops.drift import token_divergence
+
+    d = read(spark, sf_dir, "documents")
+    return token_divergence(d, "source", "text")
+
+
+SQL_CORPUS_DRIFT = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+  FROM documents),
+st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tok GROUP BY 1, 2),
+gt AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cg FROM st GROUP BY 1),
+ts AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM st GROUP BY 1),
+tg AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM st),
+terms AS (
+  SELECT st.source, st.c,
+         CAST(floor((CAST(st.c AS DOUBLE) / CAST(ts.t AS DOUBLE)
+                     - CAST(gt.cg AS DOUBLE) / CAST(tg.tt AS DOUBLE))
+                    * (CAST(st.c AS DOUBLE) / CAST(ts.t AS DOUBLE)
+                       - CAST(gt.cg AS DOUBLE) / CAST(tg.tt AS DOUBLE))
+                    / (CAST(gt.cg AS DOUBLE) / CAST(tg.tt AS DOUBLE))
+                    * 1000000000.0) AS BIGINT) AS term_q,
+         CAST(floor(CAST(gt.cg AS DOUBLE) / CAST(tg.tt AS DOUBLE)
+                    * 1000000000.0) AS BIGINT) AS pg_q
+  FROM st JOIN gt USING (token) JOIN ts USING (source) CROSS JOIN tg)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(term_q) AS DOUBLE) / 1000000000.0 + 1.0
+         - CAST(SUM(pg_q) AS DOUBLE) / 1000000000.0 AS chi2
+FROM terms GROUP BY source
+"""
+
+
 # --- Per-domain quota (domain balancing) --------------------------
 DOMAIN_CAP = 10
 
@@ -1628,6 +1670,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_domain_quota, SQL_DOMAIN_QUOTA,
         "per-domain document cap (WindowGroupLimit domain balancing)",
         ("sampling", "text", "window")),
+    "corpus_drift": QueryDef(
+        q_corpus_drift, SQL_CORPUS_DRIFT,
+        "per-source token-distribution chi-square drift vs the corpus",
+        ("text", "quality", "agg")),
     "text_clean": QueryDef(
         q_text_clean, _sql_text_clean(),
         "text normalization: strip URLs/e-mails/control chars, collapse whitespace",

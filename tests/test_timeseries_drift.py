@@ -1,0 +1,83 @@
+"""Time-series resample/gap-fill and corpus-drift semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from dish_data_pipeline_spark.ops.drift import token_divergence
+from dish_data_pipeline_spark.ops.timeseries import gap_fill, resample
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # key "a": observations in hours 0, 1, 4 (holes at 2, 3)
+    for h, vals in [(0, [2.0, 4.0]), (1, [6.0]), (4, [10.0])]:
+        for i, v in enumerate(vals):
+            rows.append(
+                Row(ts=base + dt.timedelta(hours=h, minutes=i), k="a", v=v)
+            )
+    # key "b": single hour — no holes
+    rows.append(Row(ts=base + dt.timedelta(hours=2), k="b", v=1.0))
+    return spark.createDataFrame(rows)
+
+
+def test_resample_buckets_and_means(spark):
+    out = resample(_events(spark), "ts", "k", "v", 3600).collect()
+    got = {(r.k, r.bucket): (r.avg_value, r.n_obs) for r in out}
+    epoch = int(dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got[("a", epoch)] == (3.0, 2)
+    assert got[("a", epoch + 3600)] == (6.0, 1)
+    assert got[("a", epoch + 4 * 3600)] == (10.0, 1)
+    assert got[("b", epoch + 2 * 3600)] == (1.0, 1)
+
+
+def test_gap_fill_completes_and_forward_fills(spark):
+    r = resample(_events(spark), "ts", "k", "v", 3600)
+    out = gap_fill(r, "k", 3600).collect()
+    a = sorted((r for r in out if r.k == "a"), key=lambda r: r.bucket)
+    # grid spans hours 0..4 inclusive — 5 buckets, holes filled
+    assert len(a) == 5
+    assert [r.value for r in a] == [3.0, 6.0, 6.0, 6.0, 10.0]
+    assert [r.is_filled for r in a] == [False, False, True, True, False]
+    b = [r for r in out if r.k == "b"]
+    assert len(b) == 1 and b[0].value == 1.0 and not b[0].is_filled
+
+
+def test_resample_and_gap_fill_validate_step(spark):
+    d = _events(spark)
+    with pytest.raises(ValueError, match="step_sec"):
+        resample(d, "ts", "k", "v", 0)
+    with pytest.raises(ValueError, match="step_sec"):
+        gap_fill(d, "k", 0)
+
+
+def test_token_divergence_identical_groups_near_zero(spark):
+    """Two groups with the same token distribution diverge ~0; a
+    group with disjoint vocabulary diverges strongly."""
+    rows = (
+        [Row(src="x", text="alpha beta gamma") for _ in range(10)]
+        + [Row(src="y", text="alpha beta gamma") for _ in range(10)]
+        + [Row(src="z", text="zeta zeta eta") for _ in range(10)]
+    )
+    out = {
+        r.src: r
+        for r in token_divergence(
+            spark.createDataFrame(rows), "src", "text"
+        ).collect()
+    }
+    assert out["x"].n_tokens == 30 and out["x"].n_distinct == 3
+    # x and y match each other but not the corpus (z skews it), yet
+    # they must be symmetric with each other
+    assert abs(out["x"].chi2 - out["y"].chi2) < 1e-9
+    assert out["z"].chi2 > out["x"].chi2
+    # a group equal to the full corpus distribution has chi2 ~ 0
+    uni = [Row(src=s, text="one two three") for s in ("p", "q") for _ in range(5)]
+    o2 = {
+        r.src: r.chi2
+        for r in token_divergence(spark.createDataFrame(uni), "src", "text").collect()
+    }
+    assert all(abs(v) < 1e-6 for v in o2.values())

@@ -6,7 +6,13 @@ consumer keeps only a tail window of stdout, so the last line must
 be small enough to always survive and parse):
 
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-    {"metric": ..., "value": N, "unit": "sec", "sf": ..., "n_queries": ..., "n_errors": ..., "regressions": {...}}
+    {"metric": ..., "value": N, "unit": "sec", "sf": ..., "n_queries": ..., "n_errors": ..., "median_vs_baseline": ..., "regressions": {...}}
+
+``median_vs_baseline`` is the median per-query ratio vs the pinned
+baseline — the suite-wide machine-speed drift (this box swings up to
+~30% with ambient load). Each flagged regression carries both the
+raw ``ratio`` and ``adj_ratio`` (ratio ÷ drift): adj_ratio ≈ 1 means
+the machine was slow, not the query.
 
 Each query is fully executed JVM-side via the ``noop`` sink (no
 driver-side collect — measures the engine, not pandas transfer).
@@ -48,16 +54,46 @@ def load_baseline(sf: float) -> dict[str, float]:
     return {k: float(v) for k, v in base.get("queries", {}).items()}
 
 
+def median_ratio(
+    timings: dict[str, float], baseline: dict[str, float]
+) -> float | None:
+    """Suite-wide machine-speed drift: the MEDIAN per-query ratio vs
+    baseline. This box swings up to ~30% with ambient load (measured
+    across rounds 3-5); a uniform 1.25× drift would otherwise read
+    as a handful of spurious per-query 'regressions'. The median is
+    robust to genuine single-query regressions, so reporting it lets
+    a consumer separate 'the machine is slow today' (median ≫ 1,
+    adj_ratio ≈ 1) from 'this query got slower' (adj_ratio ≫ 1)."""
+    ratios = sorted(
+        t / baseline[q]
+        for q, t in timings.items()
+        if q in baseline and baseline[q] > 0 and t > 0
+    )
+    if not ratios:
+        return None
+    n = len(ratios)
+    mid = ratios[n // 2] if n % 2 else (ratios[n // 2 - 1] + ratios[n // 2]) / 2
+    return round(mid, 3)
+
+
 def find_regressions(
     timings: dict[str, float], baseline: dict[str, float]
 ) -> dict[str, dict[str, float]]:
     out: dict[str, dict[str, float]] = {}
+    drift = median_ratio(timings, baseline) or 1.0
     for name, t in timings.items():
         ref = baseline.get(name)
         if ref is None or ref <= 0 or t < 0:
             continue
         if t > REGRESSION_FACTOR * ref and t - ref > REGRESSION_ABS_FLOOR_SEC:
-            out[name] = {"sec": t, "baseline_sec": ref, "ratio": round(t / ref, 2)}
+            out[name] = {
+                "sec": t,
+                "baseline_sec": ref,
+                "ratio": round(t / ref, 2),
+                # ratio with suite-wide drift divided out — the
+                # query-attributable part of the slowdown
+                "adj_ratio": round(t / ref / drift, 2),
+            }
     return out
 
 
@@ -130,7 +166,9 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_from_dir(sf_dir)
-    regressions = find_regressions(timings, load_baseline(sf))
+    baseline = load_baseline(sf)
+    regressions = find_regressions(timings, baseline)
+    drift = median_ratio(timings, baseline)
     # Two JSON lines, full first and minimal LAST: the driver stores
     # only a tail window of stdout, and round 3's single ~2.5 KB line
     # lost its head ("parsed: null" — 86 compact timings overflow the
@@ -159,6 +197,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "n_errors": sum(1 for t in timings.values() if t < 0),
+                "median_vs_baseline": drift,
                 "regressions": regressions,
             },
             separators=(",", ":"),

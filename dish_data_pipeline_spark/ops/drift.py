@@ -52,7 +52,14 @@ def token_divergence(
 
     Output: (group_col, n_tokens BIGINT, n_distinct BIGINT,
     chi2 DOUBLE) — higher chi2 = further from the corpus mix."""
-    st = (
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    # The (group, token) count relation feeds FOUR branches (terms,
+    # global counts, group totals, corpus total); persisting it keeps
+    # the tokenize → explode → count pass over the corpus to exactly
+    # one execution (the broadcast branches materialize as separate
+    # jobs where exchange reuse does not apply).
+    st = tracked_persist(
         df.select(
             F.col(group_col),
             F.explode(

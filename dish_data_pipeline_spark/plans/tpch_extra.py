@@ -527,7 +527,14 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total. The HAVING-over-global-scalar decorrelates to a 1-row
     aggregate broadcast back via cross join — the big side
     aggregates once on partkey and is filtered map-side against the
-    broadcast scalar; no driver collect, no second shuffle."""
+    broadcast scalar; no driver collect. The per-part aggregate is
+    tracked_persist'd: it feeds BOTH the output branch and the
+    global-total branch, and the scalar branch materializes under a
+    separate broadcast job where exchange reuse does not apply —
+    without the persist the full lineitem join+aggregate executes
+    twice (observed in the executed plan)."""
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
     li = read(spark, sf_dir, "lineitem")
     s = (
         read(spark, sf_dir, "supplier")
@@ -535,7 +542,7 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    per_part = (
+    per_part = tracked_persist(
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .groupBy("l_partkey")
         .agg(dsum(value).alias("part_value"))

@@ -339,3 +339,72 @@ def quality_score(text_col: str = "text") -> Column:
     ) / F.greatest(n_chars, F.lit(1.0))
     punct_sane = F.when(punct <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
     return tok_sane * punct_sane
+
+
+def char_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus character-pair frequencies — the first iteration of BPE
+    tokenizer training (count adjacent symbol pairs within words,
+    weighted by word occurrence; the argmax pair is the first merge).
+
+    Words come from the lowercase ``TOKEN_RE`` tokenizer; pairs are
+    2-char substrings at every offset. Pure map-side higher-order
+    expressions (tokenize → explode → windowed substring → explode),
+    so the only exchange is the final count groupBy with map-side
+    combine — pair cardinality is bounded by the alphabet squared,
+    making the aggregate essentially free at any corpus size.
+
+    Output: (pair, n) for words of length >= 2."""
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+
+
+def bigram_lm_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram language-model counts with Kneser-Ney continuation
+    counts: per bigram (w1, w2) the raw count, and per w2 the number
+    of DISTINCT left contexts (the continuation count KN smoothing
+    needs — "how many ways does w2 complete a bigram", not "how
+    often").
+
+    Plan: tokenize once, pair each token with its successor via a
+    map-side windowed zip (arrays_zip on the token array and its
+    slice — no self-join, no window shuffle over the corpus), then
+    one groupBy(w1, w2) count; the continuation count reaggregates
+    the bigram relation (vocab²-bounded, already tiny) by w2 with a
+    distinct count and broadcasts back.
+
+    Output: (w1, w2, n, continuation_w2)."""
+    toks = df.select(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0).alias("_t")
+    ).filter(F.size("_t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> struct(element_at(_t, i) AS w1, element_at(_t, i + 1) AS w2))"
+            )
+        ).alias("_b")
+    ).select("_b.w1", "_b.w2")
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    # counts feeds both the output join and the broadcast
+    # continuation branch; without the persist the tokenize + count
+    # pass over the corpus executes twice (exchange reuse does not
+    # fire under a broadcast subtree).
+    counts = tracked_persist(
+        bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    )
+    cont = counts.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("continuation_w2")
+    )
+    return counts.join(F.broadcast(cont), "w2").select(
+        "w1", "w2", "n", "continuation_w2"
+    )

@@ -39,6 +39,8 @@ _DRIVER_UNCHECKED_HEAD = [
     "domain_quota",  # per-domain cap (WindowGroupLimit)
     "gap_fill_events",  # hourly resample + forward fill
     "corpus_drift",  # per-source distribution divergence
+    "bpe_pairs",  # BPE pair counting (tokenizer induction)
+    "bigram_lm",  # bigram + continuation counts
     "order_priority_check",  # TPC-H Q4 (EXISTS)
     "shipmode_priority",  # TPC-H Q12 (2-branch conditional agg)
     "small_qty_avg_gate",  # TPC-H Q17 (correlated scalar avg)

@@ -1067,6 +1067,66 @@ WHERE ({h}) % {SAMPLE_DENOM} < CASE lang {cases} ELSE {int(0.1 * SAMPLE_DENOM)} 
 """
 
 
+# --- Tokenizer induction / LM counts ------------------------------
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE tokenizer-training iteration: corpus-wide adjacent
+    character-pair counts within words (the argmax pair is the first
+    merge). Map-side explode chain; the only exchange is the final
+    alphabet²-bounded count."""
+    from dish_data_pipeline_spark.ops.text import char_pair_counts
+
+    d = read(spark, sf_dir, "documents")
+    return char_pair_counts(d, "text")
+
+
+SQL_BPE_PAIRS = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+  FROM documents),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair
+  FROM words, UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+  WHERE length(w) >= 2)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+"""
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigrams with raw and Kneser-Ney continuation counts
+    (distinct left contexts per right word) — the count relation an
+    n-gram LM / data-quality scorer trains from. Bigrams come from a
+    map-side windowed transform of the token array (no self-join, no
+    corpus-wide window); continuation counts reaggregate the
+    vocab²-bounded bigram relation."""
+    from dish_data_pipeline_spark.ops.text import bigram_lm_counts
+
+    d = read(spark, sf_dir, "documents")
+    return (
+        bigram_lm_counts(d, "text")
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(100)
+    )
+
+
+SQL_BIGRAM_LM = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t FROM documents),
+bg AS (
+  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2),
+counts AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS continuation_w2
+  FROM counts GROUP BY 1)
+SELECT c.w1, c.w2, c.n, k.continuation_w2
+FROM counts c JOIN cont k USING (w2)
+ORDER BY n DESC, w1 ASC, w2 ASC
+LIMIT 100
+"""
+
+
 # --- Corpus drift (per-source distribution divergence) ------------
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution divergence vs the whole corpus
@@ -1674,6 +1734,14 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_corpus_drift, SQL_CORPUS_DRIFT,
         "per-source token-distribution chi-square drift vs the corpus",
         ("text", "quality", "agg")),
+    "bpe_pairs": QueryDef(
+        q_bpe_pairs, SQL_BPE_PAIRS,
+        "BPE tokenizer induction: corpus character-pair counts",
+        ("text", "agg")),
+    "bigram_lm": QueryDef(
+        q_bigram_lm, SQL_BIGRAM_LM,
+        "bigram LM counts with Kneser-Ney continuation counts",
+        ("text", "agg", "topk")),
     "text_clean": QueryDef(
         q_text_clean, _sql_text_clean(),
         "text normalization: strip URLs/e-mails/control chars, collapse whitespace",

@@ -131,3 +131,40 @@ def test_incremental_filter_drops_copies_keeps_fresh(spark):
     )
     kept = {r.doc_id for r in incremental_neardup_filter(new, existing).collect()}
     assert kept == {11}
+
+
+def test_char_pair_counts_python_twin(spark):
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.text import char_pair_counts
+
+    rows = [Row(text="Banana anna"), Row(text="ab")]
+    out = {r.pair: r.n for r in char_pair_counts(spark.createDataFrame(rows)).collect()}
+    # python twin over lowercase words: banana, anna, ab
+    import collections
+    truth = collections.Counter()
+    for w in ["banana", "anna", "ab"]:
+        for i in range(len(w) - 1):
+            truth[w[i:i + 2]] += 1
+    assert out == dict(truth)
+    assert out["an"] == 3  # banana: an×2, anna: an×1 — every offset counted
+
+
+def test_bigram_lm_counts_continuations(spark):
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.text import bigram_lm_counts
+
+    rows = [
+        Row(text="the cat sat"),
+        Row(text="a cat ran"),
+        Row(text="single"),  # < 2 tokens: contributes nothing
+    ]
+    out = bigram_lm_counts(spark.createDataFrame(rows)).collect()
+    got = {(r.w1, r.w2): (r.n, r.continuation_w2) for r in out}
+    # bigrams: (the,cat) (cat,sat) (a,cat) (cat,ran)
+    assert got[("the", "cat")] == (1, 2)  # cat completes after {the, a}
+    assert got[("a", "cat")] == (1, 2)
+    assert got[("cat", "sat")] == (1, 1)
+    assert got[("cat", "ran")] == (1, 1)
+    assert len(got) == 4

@@ -69,6 +69,44 @@ def upsert_keep_latest(
     return upsert(target, deduped, keys)
 
 
+def upsert_evolve(
+    target: DataFrame,
+    staging: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Schema-evolving MERGE: like :func:`upsert`, but the staging
+    feed may carry columns the target lacks (they are added; retained
+    target rows get NULL) and may omit target columns (staging rows
+    get NULL) — the additive schema-drift case a long-lived feed hits
+    when the upstream API gains fields (the reference's BigQuery
+    ``autodetect=True`` absorbed this silently; here it is explicit).
+
+    Shared columns must agree on type exactly — a drifted TYPE is
+    data corruption, not evolution, and raises with the offending
+    columns named rather than letting union coercion guess.
+
+    Output column order: target columns, then new staging columns in
+    staging order."""
+    t_types = {f.name: f.dataType for f in target.schema.fields}
+    s_types = {f.name: f.dataType for f in staging.schema.fields}
+    missing_keys = [k for k in keys if k not in t_types or k not in s_types]
+    if missing_keys:
+        raise ValueError(f"keys absent from target or staging: {missing_keys}")
+    conflicts = [
+        f"{name}: target {t_types[name].simpleString()} "
+        f"vs staging {s_types[name].simpleString()}"
+        for name in sorted(set(t_types) & set(s_types))
+        if t_types[name] != s_types[name]
+    ]
+    if conflicts:
+        raise ValueError(
+            "type drift on shared columns (evolution is additive only): "
+            + "; ".join(conflicts)
+        )
+    retained = target.join(staging, list(keys), "left_anti")
+    return retained.unionByName(staging, allowMissingColumns=True)
+
+
 def split_matched(
     staging: DataFrame, target: DataFrame, keys: Sequence[str]
 ) -> tuple[DataFrame, DataFrame]:

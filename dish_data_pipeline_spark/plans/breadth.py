@@ -535,7 +535,71 @@ FROM events GROUP BY event_type
 """
 
 
+# --- Snapshot diff (reconciliation / CDC extraction) --------------
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed reconciliation of two snapshot versions of ``orders``
+    derived deterministically from the base table (every 97th key
+    absent from old = inserts, every 101st absent from new = deletes,
+    every 7th repriced = updates); emits the non-unchanged delta
+    rows. One full-outer key join; change classification is map-side
+    null-safe comparison with injected presence markers."""
+    from dish_data_pipeline_spark.operators.diff import snapshot_diff
+
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * F.lit(1.1)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    d = snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    return d.filter(F.col("change_type") != "unchanged").select(
+        "o_orderkey",
+        "change_type",
+        F.col("old_o_totalprice").alias("old_price"),
+        F.col("new_o_totalprice").alias("new_price"),
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old_s AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 97 <> 0),
+new_s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 101 <> 0),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+         o.o_orderstatus AS old_status, n.o_orderstatus AS new_status
+  FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey),
+c AS (
+  SELECT o_orderkey,
+         CASE WHEN NOT in_old THEN 'insert'
+              WHEN NOT in_new THEN 'delete'
+              WHEN old_price IS DISTINCT FROM new_price
+                OR old_status IS DISTINCT FROM new_status THEN 'update'
+              ELSE 'unchanged' END AS change_type,
+         old_price, new_price
+  FROM j)
+SELECT o_orderkey, change_type, old_price, new_price
+FROM c WHERE change_type <> 'unchanged'
+"""
+
+
 BREADTH_QUERIES: dict[str, QueryDef] = {
+    "snapshot_diff_orders": QueryDef(
+        q_snapshot_diff, SQL_SNAPSHOT_DIFF,
+        "keyed snapshot reconciliation: insert/delete/update delta",
+        ("join", "cdc")),
     "asof_signup": QueryDef(
         q_asof_signup, SQL_ASOF_SIGNUP,
         "as-of join: latest signup before each event", ("join", "asof")),

@@ -77,3 +77,42 @@ def test_upsert_evolve_rejects_missing_keys(spark):
     staging = spark.createDataFrame([Row(other=2, a=20)])
     with pytest.raises(ValueError, match="keys absent"):
         upsert_evolve(target, staging, ["k"])
+
+
+def test_snapshot_diff_classifies_all_types(spark):
+    from dish_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v=10, s="x"), Row(k=2, v=20, s="y"), Row(k=3, v=30, s="z"),
+         Row(k=4, v=None, s="w")]
+    )
+    new = spark.createDataFrame(
+        [Row(k=2, v=21, s="y"),    # update (value)
+         Row(k=3, v=30, s="z"),    # unchanged
+         Row(k=4, v=None, s="w"),  # unchanged (null == null, null-safe)
+         Row(k=5, v=50, s="q")]    # insert; k=1 deleted
+    )
+    out = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out[1].change_type == "delete" and out[1].new_v is None
+    assert out[2].change_type == "update" and (out[2].old_v, out[2].new_v) == (20, 21)
+    assert out[3].change_type == "unchanged"
+    assert out[4].change_type == "unchanged"  # null vs null is not a change
+    assert out[5].change_type == "insert" and out[5].old_v is None
+
+
+def test_snapshot_diff_ignores_one_sided_columns(spark):
+    from dish_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([Row(k=1, v=10)])
+    new = spark.createDataFrame([Row(k=1, v=10, extra="added-by-evolution")])
+    out = snapshot_diff(old, new, ["k"]).collect()
+    assert len(out) == 1 and out[0].change_type == "unchanged"
+
+
+def test_snapshot_diff_rejects_missing_keys(spark):
+    from dish_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([Row(k=1, v=10)])
+    new = spark.createDataFrame([Row(other=1, v=10)])
+    with pytest.raises(ValueError, match="keys absent"):
+        snapshot_diff(old, new, ["k"])

@@ -42,6 +42,8 @@ _DRIVER_UNCHECKED_HEAD = [
     "bpe_pairs",  # BPE pair counting (tokenizer induction)
     "bigram_lm",  # bigram + continuation counts
     "snapshot_diff_orders",  # keyed reconciliation delta
+    "funnel_conversion",  # ordered-step funnel counts
+    "cohort_retention",  # cohort × month retention matrix
     "order_priority_check",  # TPC-H Q4 (EXISTS)
     "shipmode_priority",  # TPC-H Q12 (2-branch conditional agg)
     "small_qty_avg_gate",  # TPC-H Q17 (correlated scalar avg)

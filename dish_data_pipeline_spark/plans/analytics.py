@@ -431,6 +431,100 @@ GROUP BY 1, 2
 """
 
 
+# --- Funnel conversion --------------------------------------------
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel over the event stream: users who signed
+    up, then clicked AFTER the signup, then purchased AFTER that
+    click — each stage anchored to the previous stage's first
+    qualifying time (not mere co-occurrence). Three per-user
+    aggregates chained by user-key joins; every join and groupBy
+    hashes on user_id, so AQE plans one partitioning chain, and
+    stage relations shrink monotonically (each is a subset of the
+    previous stage's users)."""
+    e = read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    click = (
+        e.filter(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        signup.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(click.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(purchase.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+click AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.s_ts
+  GROUP BY e.user_id),
+purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN click c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM signup) AS n_signup,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM click) AS n_click_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM purchase) AS n_purchase_after
+"""
+
+
+# --- Cohort retention ---------------------------------------------
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen
+    week, counted as active in each later week. Cohorts come from a
+    per-user min aggregate joined back onto the distinct
+    (user, week) activity relation; weeks are integer epoch-day
+    division (floor-exact in both engines — no calendar/interval
+    arithmetic to drift). Two shuffles (per-user min, distinct
+    activity; the join reuses the user hash) — the matrix itself is
+    weeks²-bounded."""
+    e = read(spark, sf_dir, "events")
+    week = F.expr("(unix_timestamp(ts) div 86400) div 7").cast("bigint")
+    activity = e.select("user_id", week.alias("w")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("w").alias("w0"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.col("w0").alias("cohort_week"),
+            (F.col("w") - F.col("w0")).alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS w
+  FROM events),
+cohort AS (SELECT user_id, MIN(w) AS w0 FROM activity GROUP BY user_id)
+SELECT c.w0 AS cohort_week, a.w - c.w0 AS weeks_since,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 # --- Time-series resample + gap fill ------------------------------
 GAP_STEP_SEC = 3600
 
@@ -479,6 +573,14 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         q_gap_fill_events, SQL_GAP_FILL_EVENTS,
         "hourly resample + grid completion + forward fill per event type",
         ("window", "timeseries")),
+    "funnel_conversion": QueryDef(
+        q_funnel_conversion, SQL_FUNNEL_CONVERSION,
+        "ordered-step funnel (signup → click → purchase, time-anchored)",
+        ("agg", "join", "timeseries")),
+    "cohort_retention": QueryDef(
+        q_cohort_retention, SQL_COHORT_RETENTION,
+        "weekly cohort retention matrix (first-seen week × activity)",
+        ("agg", "join", "timeseries")),
     "large_orders": QueryDef(
         q_large_orders, SQL_LARGE_ORDERS,
         "TPC-H Q18-shape IN-subquery with HAVING", ("join", "agg")),

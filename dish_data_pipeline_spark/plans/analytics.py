@@ -436,55 +436,77 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel over the event stream: users who signed
     up, then clicked AFTER the signup, then purchased AFTER that
     click — each stage anchored to the previous stage's first
-    qualifying time (not mere co-occurrence). Three per-user
-    aggregates chained by user-key joins; every join and groupBy
-    hashes on user_id, so AQE plans one partitioning chain, and
-    stage relations shrink monotonically (each is a subset of the
-    previous stage's users)."""
+    qualifying time (not mere co-occurrence).
+
+    Single-pass plan: events are exchanged ONCE on user_id, then the
+    three stage timestamps are chained per-user window minima (each
+    conditional on the previous stage's column — Catalyst stacks the
+    three Window nodes on the one partitioning, no further
+    exchange), collapsed to one row per user by a groupBy that
+    reuses the same hash, and reduced to the three funnel counts.
+    The first cut of this query joined three per-stage aggregates
+    back onto events: 8 shuffles and 5 scans of the stream vs 1
+    scan + 2 exchanges here."""
     e = read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    signup = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "s_ts",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    click = (
-        e.filter(F.col("event_type") == "click")
-        .join(signup, "user_id")
-        .filter(F.col("ts") > F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("s_ts").alias("s_ts"),
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
     )
-    purchase = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(click, "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-    return (
-        signup.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(click.agg(F.count(F.lit(1)).alias("n_click_after")))
-        .crossJoin(purchase.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    return per_user.agg(
+        F.count("s_ts").alias("n_signup"),
+        F.count("c_ts").alias("n_click_after"),
+        F.count("p_ts").alias("n_purchase_after"),
     )
 
 
 SQL_FUNNEL_CONVERSION = """
-WITH signup AS (
-  SELECT user_id, MIN(ts) AS s_ts FROM events
-  WHERE event_type = 'signup' GROUP BY user_id),
-click AS (
-  SELECT e.user_id, MIN(e.ts) AS c_ts
-  FROM events e JOIN signup s ON e.user_id = s.user_id
-  WHERE e.event_type = 'click' AND e.ts > s.s_ts
-  GROUP BY e.user_id),
-purchase AS (
-  SELECT e.user_id, MIN(e.ts) AS p_ts
-  FROM events e JOIN click c ON e.user_id = c.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
-  GROUP BY e.user_id)
-SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM signup) AS n_signup,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM click) AS n_click_after,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM purchase) AS n_purchase_after
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS s_ts
+  FROM events),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > s_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS c_ts
+  FROM s1),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS p_ts
+  FROM s2),
+per_user AS (
+  SELECT user_id, MAX(s_ts) AS s_ts, MAX(c_ts) AS c_ts, MAX(p_ts) AS p_ts
+  FROM s3 GROUP BY user_id)
+SELECT CAST(COUNT(s_ts) AS BIGINT) AS n_signup,
+       CAST(COUNT(c_ts) AS BIGINT) AS n_click_after,
+       CAST(COUNT(p_ts) AS BIGINT) AS n_purchase_after
+FROM per_user
 """
 
 

@@ -34,6 +34,92 @@ from pyspark.sql import functions as F
 from dish_data_pipeline_spark.plans.common import davg
 
 
+def debounce(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    min_gap_sec: int,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Collapse bursts of events per key to the burst's first event —
+    sensor/click debouncing. A burst is a chain of events whose
+    consecutive gaps are all below ``min_gap_sec`` (sessionize-style
+    gap-detection chaining: an unbroken slow drip longer than the
+    gap still collapses to one event; re-emitting relative to the
+    last KEPT row would need stateful iteration, which is the
+    streaming `applyInPandasWithState` tier's job, not a batch
+    window's).
+
+    Mechanics: flag rows whose distance to the previous row reaches
+    the gap, running-sum the flags into chain ids, keep each chain's
+    first row. Two stacked windows + the rank filter on one key
+    partitioning — a single exchange. ``tiebreakers`` order
+    equal-timestamp rows deterministically."""
+    if min_gap_sec < 1:
+        raise ValueError(f"min_gap_sec must be >= 1, got {min_gap_sec}")
+    tb = [F.col(c).asc() for c in (tiebreakers or [])]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc(), *tb)
+    sec = F.unix_timestamp(F.col(ts_col)).cast("bigint")
+    prev = F.lag(sec).over(w)
+    new_chain = (prev.isNull() | (sec - prev >= F.lit(min_gap_sec))).cast("bigint")
+    grouped = df.withColumn("_chain", F.sum(new_chain).over(w)).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(*key_cols, "_chain").orderBy(
+                F.col(ts_col).asc(), *tb
+            )
+        ),
+    )
+    return grouped.filter(F.col("_rn") == 1).drop("_chain", "_rn")
+
+
+def rolling_zscore(
+    resampled: DataFrame,
+    key_col: str,
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    window_rows: int = 24,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Flag buckets whose value deviates more than ``threshold``
+    standard deviations from the trailing ``window_rows``-bucket
+    statistics (the bucket itself excluded) — the streaming-friendly
+    anomaly gate monitoring pipelines run over a regularized series
+    (compose after :func:`gap_fill`, whose output is exactly
+    row-per-step, making the ROWS frame a true time window).
+
+    Determinism contract: trailing mean and variance come from
+    decimal-exact windowed sums of x and x² divided once by the
+    window count; sqrt is IEEE-correctly-rounded in every engine, so
+    the z-score is bit-identical cross-engine. Buckets with fewer
+    than 2 trailing rows or zero variance get NULL z. One window
+    exchange on the key (reused from gap_fill's when composed)."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(-window_rows, -1)
+    )
+    x = F.col(value_col).cast("double")
+    n = F.count(value_col).over(w).cast("double")
+    s1 = F.sum(x.cast("decimal(38,6)")).over(w).cast("double")
+    s2 = F.sum((x * x).cast("decimal(38,6)")).over(w).cast("double")
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    z = F.when(
+        (n >= 2) & (var > 0), (x - mean) / F.sqrt(var)
+    )
+    return resampled.select(
+        F.col(key_col),
+        F.col(bucket_col),
+        x.alias(value_col),
+        z.alias("zscore"),
+        # insufficient history / zero variance → not anomalous (a
+        # non-null flag also keeps the boolean column dtype-stable
+        # across engines)
+        F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def resample(
     df: DataFrame,
     ts_col: str,

@@ -44,6 +44,8 @@ _DRIVER_UNCHECKED_HEAD = [
     "snapshot_diff_orders",  # keyed reconciliation delta
     "funnel_conversion",  # ordered-step funnel counts
     "cohort_retention",  # cohort × month retention matrix
+    "debounce_events",  # burst collapse (gap-chain first event)
+    "anomaly_events",  # gap-filled trailing z-score flags
     "order_priority_check",  # TPC-H Q4 (EXISTS)
     "shipmode_priority",  # TPC-H Q12 (2-branch conditional agg)
     "small_qty_avg_gate",  # TPC-H Q17 (correlated scalar avg)

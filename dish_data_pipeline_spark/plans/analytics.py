@@ -431,6 +431,115 @@ GROUP BY 1, 2
 """
 
 
+# --- Event debounce -----------------------------------------------
+DEBOUNCE_GAP_SEC = 600
+
+
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse per-(user, type) event bursts chained by <10-min gaps
+    to their first event — click/sensor debouncing via the
+    gap-detection cumsum (one exchange, stacked windows)."""
+    from dish_data_pipeline_spark.ops.timeseries import debounce
+
+    e = read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return debounce(
+        e, "ts", ["user_id", "event_type"], DEBOUNCE_GAP_SEC,
+        tiebreakers=["event_id"],
+    )
+
+
+SQL_DEBOUNCE_EVENTS = f"""
+WITH s AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+l AS (
+  SELECT *, LAG(sec) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev
+  FROM s),
+c AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL OR sec - prev >= {DEBOUNCE_GAP_SEC}
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS chain
+  FROM l),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type, chain
+                               ORDER BY ts, event_id) AS rn
+  FROM c)
+SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1
+"""
+
+
+# --- Rolling z-score anomaly gate ---------------------------------
+GAP_STEP_SEC = 3600  # shared with the gap-fill query below
+ZSCORE_WINDOW = 24
+ZSCORE_THRESHOLD = 2.0
+
+
+def q_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed monitoring pipeline: hourly resample → gap fill →
+    trailing-24-bucket z-score per event type (bucket itself
+    excluded), anomaly flag at |z| > 2. The regularized grid makes
+    the ROWS frame a true time window; the z-score arithmetic is
+    decimal-exact sums + one division chain + IEEE sqrt, so values
+    hash-match DuckDB bit-for-bit."""
+    from dish_data_pipeline_spark.ops.timeseries import (
+        gap_fill,
+        resample,
+        rolling_zscore,
+    )
+
+    e = read(spark, sf_dir, "events")
+    r = resample(e, "ts", "event_type", "value", GAP_STEP_SEC)
+    g = gap_fill(r, "event_type", GAP_STEP_SEC)
+    return rolling_zscore(
+        g, "event_type", window_rows=ZSCORE_WINDOW, threshold=ZSCORE_THRESHOLD
+    )
+
+
+SQL_ANOMALY_EVENTS = f"""
+WITH b AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {GAP_STEP_SEC}) * {GAP_STEP_SEC}
+           AS bucket,
+         {sql_davg('value')} AS avg_value
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, {GAP_STEP_SEC})) AS bucket
+  FROM spans),
+g AS (
+  SELECT j.event_type, j.bucket,
+         LAST_VALUE(j.avg_value IGNORE NULLS)
+           OVER (PARTITION BY j.event_type ORDER BY j.bucket
+                 ROWS UNBOUNDED PRECEDING) AS value
+  FROM (SELECT grid.event_type, grid.bucket, b.avg_value
+        FROM grid LEFT JOIN b ON b.event_type = grid.event_type
+                             AND b.bucket = grid.bucket) j),
+stats AS (
+  SELECT event_type, bucket, value,
+         CAST(COUNT(value) OVER w AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT event_type, bucket, value,
+         CASE WHEN n >= 2 AND (s2 / n - (s1 / n) * (s1 / n)) > 0
+              THEN (value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) END
+           AS zscore
+  FROM stats)
+SELECT event_type, bucket, value, zscore,
+       COALESCE(abs(zscore) > {ZSCORE_THRESHOLD!r}, FALSE) AS is_anomaly
+FROM z
+"""
+
+
 # --- Funnel conversion --------------------------------------------
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel over the event stream: users who signed
@@ -548,9 +657,6 @@ GROUP BY 1, 2
 
 
 # --- Time-series resample + gap fill ------------------------------
-GAP_STEP_SEC = 3600
-
-
 def q_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style downsample + regularize: hourly mean value
     per event type, each type's grid completed between its first and
@@ -595,6 +701,14 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         q_gap_fill_events, SQL_GAP_FILL_EVENTS,
         "hourly resample + grid completion + forward fill per event type",
         ("window", "timeseries")),
+    "debounce_events": QueryDef(
+        q_debounce_events, SQL_DEBOUNCE_EVENTS,
+        "per-key burst collapse (10-min chain gap, first event kept)",
+        ("window", "timeseries", "dedup")),
+    "anomaly_events": QueryDef(
+        q_anomaly_events, SQL_ANOMALY_EVENTS,
+        "resample → gap fill → trailing z-score anomaly flags",
+        ("window", "timeseries", "quality")),
     "funnel_conversion": QueryDef(
         q_funnel_conversion, SQL_FUNNEL_CONVERSION,
         "ordered-step funnel (signup → click → purchase, time-anchored)",

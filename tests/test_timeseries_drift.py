@@ -81,3 +81,63 @@ def test_token_divergence_identical_groups_near_zero(spark):
         for r in token_divergence(spark.createDataFrame(uni), "src", "text").collect()
     }
     assert all(abs(v) < 1e-6 for v in o2.values())
+
+
+def test_debounce_collapses_chained_bursts(spark):
+    from dish_data_pipeline_spark.ops.timeseries import debounce
+
+    base = dt.datetime(2024, 1, 1)
+    secs = [0, 2, 4, 30, 31, 100]  # chains at gap 10: {0,2,4}, {30,31}, {100}
+    rows = [
+        Row(event_id=i, k="u", ts=base + dt.timedelta(seconds=s))
+        for i, s in enumerate(secs)
+    ]
+    out = debounce(
+        spark.createDataFrame(rows), "ts", ["k"], 10, tiebreakers=["event_id"]
+    ).collect()
+    kept = sorted(r.event_id for r in out)
+    assert kept == [0, 3, 5]
+    # slow drip: consecutive gaps below threshold chain together even
+    # past the gap from the chain head (sessionize-style semantics)
+    drip = [Row(event_id=i, k="u", ts=base + dt.timedelta(seconds=i * 5))
+            for i in range(6)]
+    out2 = debounce(
+        spark.createDataFrame(drip), "ts", ["k"], 10, tiebreakers=["event_id"]
+    ).collect()
+    assert [r.event_id for r in out2] == [0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_gap_sec"):
+        debounce(spark.createDataFrame(drip), "ts", ["k"], 0)
+
+
+def test_rolling_zscore_known_values(spark):
+    import math
+
+    from dish_data_pipeline_spark.ops.timeseries import rolling_zscore
+
+    rows = [Row(k="a", bucket=i, value=float(v))
+            for i, v in enumerate([10.0, 10.0, 10.0, 16.0])]
+    out = {r.bucket: r for r in rolling_zscore(
+        spark.createDataFrame(rows), "k", window_rows=3, threshold=2.0
+    ).collect()}
+    # first bucket: no history -> null z, flag false
+    assert out[0].zscore is None and out[0].is_anomaly is False
+    # second: n=1 < 2 -> null
+    assert out[1].zscore is None
+    # third: trailing values equal -> zero variance -> null
+    assert out[2].zscore is None
+    # fourth: trailing {10,10,10} has zero variance -> still null
+    assert out[3].zscore is None
+    # a genuinely varying series: z = (x - mean) / std over trailing 3
+    vals = [1.0, 2.0, 3.0, 10.0]
+    rows2 = [Row(k="a", bucket=i, value=v) for i, v in enumerate(vals)]
+    out2 = {r.bucket: r for r in rolling_zscore(
+        spark.createDataFrame(rows2), "k", window_rows=3, threshold=2.0
+    ).collect()}
+    mean = 2.0
+    var = (1 + 4 + 9) / 3 - mean * mean
+    expect = (10.0 - mean) / math.sqrt(var)
+    assert abs(out2[3].zscore - expect) < 1e-12
+    assert out2[3].is_anomaly is True

@@ -51,3 +51,68 @@ def stateful_user_stats(events: DataFrame, key: str = "user_id") -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+DEBOUNCE_OUT_SCHEMA = (
+    "user_id bigint, event_type string, event_id bigint, ts timestamp"
+)
+DEBOUNCE_STATE_SCHEMA = "last_kept_sec double"
+
+
+def stream_debounce(
+    events: DataFrame,
+    min_gap_sec: int,
+    key_cols: tuple[str, str] = ("user_id", "event_type"),
+) -> DataFrame:
+    """KEPT-anchored streaming debounce: emit an event iff it is at
+    least ``min_gap_sec`` after the last EMITTED event of its key,
+    with the last-kept timestamp carried in the state store across
+    micro-batches.
+
+    This is the semantics the batch :func:`ops.timeseries.debounce`
+    documents as needing stateful iteration: a slow drip spaced just
+    under the gap re-emits every time the distance from the last
+    kept event reaches the gap, where the batch chain version
+    collapses the whole drip to one event. Rows are processed in
+    (ts, event_id) order within each micro-batch; cross-batch order
+    is the stream's arrival order, so pair with a watermark-bounded
+    source if heavy reordering is possible.
+
+    Output mode: append (only kept events are ever emitted)."""
+    if min_gap_sec < 1:
+        raise ValueError(f"min_gap_sec must be >= 1, got {min_gap_sec}")
+
+    def _debounce(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            keep = []
+            for ts, event_id in zip(pdf["ts"], pdf["event_id"]):
+                sec = float(ts.timestamp())
+                if last is None or sec - last >= min_gap_sec:
+                    keep.append(event_id)
+                    last = sec
+            if keep:
+                out = pdf[pdf["event_id"].isin(keep)]
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(out),
+                        "event_type": [key[1]] * len(out),
+                        "event_id": out["event_id"].to_list(),
+                        "ts": out["ts"].to_list(),
+                    }
+                )
+        if last is not None:
+            state.update((last,))
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        _debounce,
+        DEBOUNCE_OUT_SCHEMA,
+        DEBOUNCE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -143,3 +143,61 @@ def test_stateful_user_stats_across_batches(spark, tmp_path):
     assert float(last.loc[1, "sum_value"]) == 35.0
     assert float(last.loc[1, "max_value"]) == 20.0
     assert int(last.loc[2, "n_events"]) == 1
+
+
+def test_stream_debounce_kept_anchored_across_batches(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from dish_data_pipeline_spark.streaming.stateful import stream_debounce
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def ev(i, sec):
+        return json.dumps(
+            {"user_id": 1, "event_type": "click", "event_id": i,
+             "ts": f"2024-01-01T00:00:{sec:02d}Z"}
+        )
+
+    # batch 1: a slow drip spaced 5s with a 10s gap — KEPT-anchored
+    # semantics re-emit at 0 and 10 (the batch chain version keeps
+    # only 0)
+    with open(indir / "b1.json", "w") as f:
+        f.write("\n".join([ev(0, 0), ev(1, 5), ev(2, 10), ev(3, 14)]) + "\n")
+    # batch 2: 16s is only 6s after the last KEPT (10) — suppressed
+    # across the batch boundary; 21s clears it
+    with open(indir / "b2.json", "w") as f:
+        f.write("\n".join([ev(4, 16), ev(5, 21)]) + "\n")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q = (
+        stream_debounce(stream, 10)
+        .writeStream.format("memory")
+        .queryName("debounced")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(
+        r.event_id for r in spark.sql("SELECT * FROM debounced").collect()
+    )
+    assert kept == [0, 2, 5]

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dish_data_pipeline_spark.plans.common import davg
+from dish_data_pipeline_spark.plans.common import ZSCORE_SCALE, davg
 
 
 def debounce(
@@ -54,15 +54,26 @@ def debounce(
     the gap, running-sum the flags into chain ids, keep each chain's
     first row. Two stacked windows + the rank filter on one key
     partitioning — a single exchange. ``tiebreakers`` order
-    equal-timestamp rows deterministically."""
+    equal-timestamp rows deterministically; the chain sum uses an
+    explicit ROWS frame so duplicate (key, ts) rows without
+    tiebreakers still accumulate row-by-row instead of sharing a
+    RANGE peer frame (which would diverge from the SQL twin's ROWS
+    UNBOUNDED PRECEDING nondeterministically).
+
+    Granularity contract: gaps compare WHOLE-SECOND floors of the
+    timestamps (``unix_timestamp`` truncation) — sub-second spacing
+    rounds down, matching the streaming twin
+    :func:`streaming.stateful.stream_debounce`, which floors
+    fractional seconds the same way."""
     if min_gap_sec < 1:
         raise ValueError(f"min_gap_sec must be >= 1, got {min_gap_sec}")
     tb = [F.col(c).asc() for c in (tiebreakers or [])]
     w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc(), *tb)
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sec = F.unix_timestamp(F.col(ts_col)).cast("bigint")
     prev = F.lag(sec).over(w)
     new_chain = (prev.isNull() | (sec - prev >= F.lit(min_gap_sec))).cast("bigint")
-    grouped = df.withColumn("_chain", F.sum(new_chain).over(w)).withColumn(
+    grouped = df.withColumn("_chain", F.sum(new_chain).over(w_sum)).withColumn(
         "_rn",
         F.row_number().over(
             Window.partitionBy(*key_cols, "_chain").orderBy(
@@ -88,10 +99,17 @@ def rolling_zscore(
     (compose after :func:`gap_fill`, whose output is exactly
     row-per-step, making the ROWS frame a true time window).
 
-    Determinism contract: trailing mean and variance come from
-    decimal-exact windowed sums of x and x² divided once by the
-    window count; sqrt is IEEE-correctly-rounded in every engine, so
-    the z-score is bit-identical cross-engine. Buckets with fewer
+    Determinism contract: the trailing sums of x and x² accumulate
+    ``floor(term · ZSCORE_SCALE)`` as exact BIGINTs (the
+    floor-quantization device from ``ops.drift`` — floor has no
+    rounding ties, unlike a decimal(38,6) cast, which ROUNDS and so
+    splits cross-engine on exact half-way doubles: Spark rounds
+    HALF_UP, DuckDB half-even). The BIGINT sums are order-exact, the
+    mean/variance are a fixed division chain on identical doubles,
+    and sqrt is IEEE-correctly-rounded in every engine — so the
+    z-score is bit-identical cross-engine by construction. The
+    ~1e-6 per-term truncation is part of the statistic's definition,
+    far below any anomaly-decision threshold. Buckets with fewer
     than 2 trailing rows or zero variance get NULL z. One window
     exchange on the key (reused from gap_fill's when composed)."""
     w = (
@@ -100,9 +118,10 @@ def rolling_zscore(
         .rowsBetween(-window_rows, -1)
     )
     x = F.col(value_col).cast("double")
+    scale = F.lit(float(ZSCORE_SCALE))
     n = F.count(value_col).over(w).cast("double")
-    s1 = F.sum(x.cast("decimal(38,6)")).over(w).cast("double")
-    s2 = F.sum((x * x).cast("decimal(38,6)")).over(w).cast("double")
+    s1 = F.sum(F.floor(x * scale)).over(w).cast("double") / scale
+    s2 = F.sum(F.floor(x * x * scale)).over(w).cast("double") / scale
     mean = s1 / n
     var = s2 / n - mean * mean
     z = F.when(

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from dish_data_pipeline_spark.plans.common import (
     DEC,
+    ZSCORE_SCALE,
     QueryDef,
     dsum,
     read,
@@ -523,8 +524,10 @@ g AS (
 stats AS (
   SELECT event_type, bucket, value,
          CAST(COUNT(value) OVER w AS DOUBLE) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
-         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2
+         CAST(SUM(CAST(floor(value * {ZSCORE_SCALE}.0) AS BIGINT)) OVER w
+              AS DOUBLE) / {ZSCORE_SCALE}.0 AS s1,
+         CAST(SUM(CAST(floor(value * value * {ZSCORE_SCALE}.0) AS BIGINT)) OVER w
+              AS DOUBLE) / {ZSCORE_SCALE}.0 AS s2
   FROM g
   WINDOW w AS (PARTITION BY event_type ORDER BY bucket
                ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING)),

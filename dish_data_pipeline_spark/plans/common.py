@@ -21,6 +21,15 @@ from dish_data_pipeline_spark.io import read_table
 
 DEC = "decimal(38,6)"
 
+#: Quantization denominator for tie-free floor-quantized windowed
+#: sums (``ops.timeseries.rolling_zscore`` and its SQL twin — the
+#: same device as ``ops.drift.CHI2_SCALE``): floor has no rounding
+#: ties, unlike a decimal cast, which rounds HALF_UP in Spark but
+#: half-even in DuckDB. BIGINT sums of the quantized terms are exact
+#: in any order. Safe domain: |value| up to ~1e5 with a 24-row
+#: window keeps value²·SCALE·window below BIGINT max.
+ZSCORE_SCALE = 1_000_000
+
 
 @dataclass
 class QueryDef:

@@ -53,16 +53,13 @@ def stateful_user_stats(events: DataFrame, key: str = "user_id") -> DataFrame:
     )
 
 
-DEBOUNCE_OUT_SCHEMA = (
-    "user_id bigint, event_type string, event_id bigint, ts timestamp"
-)
-DEBOUNCE_STATE_SCHEMA = "last_kept_sec double"
+DEBOUNCE_STATE_SCHEMA = "last_kept_sec bigint"
 
 
 def stream_debounce(
     events: DataFrame,
     min_gap_sec: int,
-    key_cols: tuple[str, str] = ("user_id", "event_type"),
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
 ) -> DataFrame:
     """KEPT-anchored streaming debounce: emit an event iff it is at
     least ``min_gap_sec`` after the last EMITTED event of its key,
@@ -78,13 +75,34 @@ def stream_debounce(
     is the stream's arrival order, so pair with a watermark-bounded
     source if heavy reordering is possible.
 
-    Output mode: append (only kept events are ever emitted)."""
+    Granularity contract: gaps compare WHOLE-SECOND floors of the
+    event time — the same truncation the batch twin's
+    ``unix_timestamp`` applies — so sub-second spacing classifies
+    identically in both tiers.
+
+    ``key_cols`` may be any columns of ``events``; the output schema
+    (key columns + ``event_id`` + ``ts``) and the emitted column
+    names/types are derived from ``events.schema``, so non-default
+    keys are labeled correctly instead of being forced into the
+    default key names. Output mode: append (only kept events are
+    ever emitted)."""
     if min_gap_sec < 1:
         raise ValueError(f"min_gap_sec must be >= 1, got {min_gap_sec}")
+    missing = [c for c in (*key_cols, "event_id", "ts") if c not in events.columns]
+    if missing:
+        raise ValueError(f"columns absent from events: {missing}")
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        [events.schema[c] for c in (*key_cols, "event_id", "ts")]
+    )
+    key_names = list(key_cols)
 
     def _debounce(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import math
+
         last = state.get[0] if state.exists else None
         for pdf in pdfs:
             if not len(pdf):
@@ -92,26 +110,22 @@ def stream_debounce(
             pdf = pdf.sort_values(["ts", "event_id"])
             keep = []
             for ts, event_id in zip(pdf["ts"], pdf["event_id"]):
-                sec = float(ts.timestamp())
+                sec = math.floor(ts.timestamp())
                 if last is None or sec - last >= min_gap_sec:
                     keep.append(event_id)
                     last = sec
             if keep:
                 out = pdf[pdf["event_id"].isin(keep)]
-                yield pd.DataFrame(
-                    {
-                        "user_id": [key[0]] * len(out),
-                        "event_type": [key[1]] * len(out),
-                        "event_id": out["event_id"].to_list(),
-                        "ts": out["ts"].to_list(),
-                    }
-                )
+                cols = {k: [v] * len(out) for k, v in zip(key_names, key)}
+                cols["event_id"] = out["event_id"].to_list()
+                cols["ts"] = out["ts"].to_list()
+                yield pd.DataFrame(cols)
         if last is not None:
             state.update((last,))
 
     return events.groupBy(*key_cols).applyInPandasWithState(
         _debounce,
-        DEBOUNCE_OUT_SCHEMA,
+        out_schema,
         DEBOUNCE_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,

@@ -378,8 +378,12 @@ def bigram_lm_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     map-side windowed zip (arrays_zip on the token array and its
     slice — no self-join, no window shuffle over the corpus), then
     one groupBy(w1, w2) count; the continuation count reaggregates
-    the bigram relation (vocab²-bounded, already tiny) by w2 with a
-    distinct count and broadcasts back.
+    the bigram relation (vocab²-bounded relative to the corpus) by
+    w2 and joins back on w2. No broadcast HINT on the continuation
+    side: it has one row per distinct w2 — the vocabulary — which a
+    web-scale corpus pushes to 10⁷-10⁸ rows, beyond any sane
+    broadcast threshold; left unhinted, AQE broadcasts it when it is
+    actually small and falls back to a shuffled hash join when not.
 
     Output: (w1, w2, n, continuation_w2)."""
     toks = df.select(
@@ -405,6 +409,103 @@ def bigram_lm_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     cont = counts.groupBy("w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("continuation_w2")
     )
-    return counts.join(F.broadcast(cont), "w2").select(
+    return counts.join(cont, "w2").select(
         "w1", "w2", "n", "continuation_w2"
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Train a byte-pair-encoding merge table: ``n_merges`` rounds of
+    (count adjacent symbol pairs → merge the most frequent pair
+    everywhere) — full tokenizer induction, extending
+    :func:`char_pair_counts` (which is exactly iteration 1) to the
+    merge loop of Sennrich et al. 2016.
+
+    Algorithm (the classic word-frequency formulation): the corpus
+    is read ONCE into the distinct-word relation ``(syms
+    ARRAY<STRING>, n)`` — words from the lowercase ``TOKEN_RE``
+    tokenizer, symbols initially characters, ``n`` the word's corpus
+    frequency. Every iteration then touches only this vocab-bounded
+    relation, never the corpus again:
+
+    1. pair counts: map-side adjacent-pair explode weighted by ``n``
+       + one vocab-bounded groupBy (map-side combine);
+    2. argmax pair via sort + ``limit(1).collect()`` — one row of
+       model state to the driver per round (the ``kmeans_centroids``
+       pattern), tie-broken (count DESC, left ASC, right ASC) so
+       training is deterministic;
+    3. merge: a map-side ``F.aggregate`` fold rewrites each word's
+       symbol array greedily left-to-right (``aaa`` + merge (a,a) →
+       ``[aa, a]``), all executors, no shuffle;
+    4. ``localCheckpoint`` truncates the growing lineage (iterative-
+       operator discipline shared with connected components /
+       k-means), keeping plan depth O(1) across rounds.
+
+    Stops early when no pair reaches ``min_pair_count``. Returns
+    ``(merges, vocab)``: the ordered merge table as ``(step, left,
+    right, pair_count)`` tuples, and the final re-segmented vocab
+    DataFrame ``(syms, n)``.
+
+    Scale shape: O(corpus) once, then O(n_merges × vocab). The vocab
+    relation is distinct-word-bounded (≪ corpus at web scale), each
+    round is one exchange over it, and the driver holds only the
+    merge table — n_merges rows."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    vocab = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+            ).alias("w")
+        )
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.split("w", "").alias("syms"), "n")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i -> "
+                        "struct(element_at(syms, i) AS l, "
+                        "element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").cast("bigint").alias("c"))
+        )
+        best = (
+            pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
+        )
+        if not best or int(best[0]["c"]) < min_pair_count:
+            break
+        left, right = str(best[0]["l"]), str(best[0]["r"])
+        merges.append((step, left, right, int(best[0]["c"])))
+        l_lit, r_lit = F.lit(left), F.lit(right)
+        folded = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            # F.get (not element_at(-1)): null-safe on the empty
+            # accumulator even under ANSI mode.
+            lambda acc, s: F.when(
+                (F.get(acc, F.size(acc) - 1) == l_lit) & (s == r_lit),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(l_lit, r_lit)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select(folded.alias("syms"), "n").localCheckpoint()
+    return merges, vocab

@@ -211,38 +211,51 @@ def _call_with_timeout(
     stage: Callable[[StageContext], bool],
     ctx: StageContext,
     timeout_sec: float | None,
+    attempt: int = 1,
 ) -> bool:
     if timeout_sec is None:
         return stage(ctx)
-    import concurrent.futures as cf
+    import threading
 
     sc = ctx.spark.sparkContext
-    group = f"orchestration-{ctx.feed.name}-{stage.__name__}"
+    # The attempt number is part of the job-group name: a timed-out
+    # worker may still be running when the retry starts (we never
+    # join a possibly-hung thread), and a shared name would let a
+    # later cancelJobGroup kill the RETRY's jobs along with the
+    # stale attempt's.
+    group = f"orchestration-{ctx.feed.name}-{stage.__name__}-a{attempt}"
+    result: list[object] = []
 
-    def _target() -> bool:
+    def _target() -> None:
         # Job groups are thread-local: set it inside the worker so
-        # cancelJobGroup kills exactly this stage's Spark jobs.
+        # cancelJobGroup kills exactly this attempt's Spark jobs.
         sc.setJobGroup(group, f"{stage.__name__} (timeout {timeout_sec}s)")
         try:
-            return stage(ctx)
+            result.append(stage(ctx))
+        except BaseException as exc:  # noqa: BLE001 — re-raised in caller
+            result.append(exc)
         finally:
             sc.setJobGroup("", "")
 
-    ex = cf.ThreadPoolExecutor(max_workers=1)
-    try:
-        fut = ex.submit(_target)
-        try:
-            return fut.result(timeout=timeout_sec)
-        except cf.TimeoutError:
-            sc.cancelJobGroup(group)
-            raise TimeoutError(
-                f"{stage.__name__} exceeded execution_timeout "
-                f"{timeout_sec}s (job group {group} cancelled)"
-            ) from None
-    finally:
-        # Don't join a possibly-hung worker; the cancelled Spark
-        # action raises inside it and the thread exits on its own.
-        ex.shutdown(wait=False)
+    # A daemon thread (not ThreadPoolExecutor, whose workers are
+    # non-daemon and joined at interpreter exit) so a stage whose
+    # Spark action never raises after cancelJobGroup cannot hang
+    # process shutdown.
+    t = threading.Thread(
+        target=_target, name=group, daemon=True
+    )
+    t.start()
+    t.join(timeout=timeout_sec)
+    if t.is_alive():
+        sc.cancelJobGroup(group)
+        raise TimeoutError(
+            f"{stage.__name__} exceeded execution_timeout "
+            f"{timeout_sec}s (job group {group} cancelled)"
+        )
+    out = result[0]
+    if isinstance(out, BaseException):
+        raise out
+    return bool(out)
 
 
 def _run_with_policy(
@@ -256,7 +269,9 @@ def _run_with_policy(
     attempts = policy.retries + 1
     for attempt in range(1, attempts + 1):
         try:
-            return _call_with_timeout(stage, ctx, policy.execution_timeout_sec)
+            return _call_with_timeout(
+                stage, ctx, policy.execution_timeout_sec, attempt
+            )
         except Exception:
             if attempt == attempts:
                 raise

@@ -1127,6 +1127,29 @@ LIMIT 100
 """
 
 
+BPE_N_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer induction (Sennrich 2016 merge loop): 8
+    rounds of count-adjacent-pairs → merge-the-argmax over the
+    distinct-word relation — the corpus is scanned once, every
+    iteration is vocab-bounded, model state on the driver is one row
+    per round. Output is the ordered merge table. Iterative +
+    data-dependent argmax per round, so no single-statement SQL twin
+    exists (rows-only driver check); the merge procedure is twinned
+    step-for-step by a pure-Python property test
+    (tests/test_round6_properties.py)."""
+    from dish_data_pipeline_spark.ops.text import bpe_train
+
+    d = read(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, "text", n_merges=BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(s, l, r, c) for s, l, r, c in merges],
+        "step int, left string, right string, pair_count bigint",
+    )
+
+
 # --- Corpus drift (per-source distribution divergence) ------------
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution divergence vs the whole corpus
@@ -1742,6 +1765,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_bigram_lm, SQL_BIGRAM_LM,
         "bigram LM counts with Kneser-Ney continuation counts",
         ("text", "agg", "topk")),
+    "bpe_merges": QueryDef(
+        q_bpe_merges, None,
+        "BPE merge loop: 8 iterative argmax-pair merges (rows-only; "
+        "Python-twin property test)",
+        ("text", "iterative")),
     "text_clean": QueryDef(
         q_text_clean, _sql_text_clean(),
         "text normalization: strip URLs/e-mails/control chars, collapse whitespace",

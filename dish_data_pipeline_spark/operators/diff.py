@@ -32,13 +32,21 @@ def snapshot_diff(
     new: DataFrame,
     keys: Sequence[str],
     compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = True,
 ) -> DataFrame:
     """Full-outer keyed diff of ``old`` vs ``new``.
 
     ``compare_cols`` defaults to every shared non-key column; columns
     present in only one snapshot are ignored for change detection
     (pair with ``upsert_evolve`` semantics: additive evolution is not
-    an UPDATE of existing rows)."""
+    an UPDATE of existing rows).
+
+    ``include_unchanged=False`` drops the unchanged majority BEFORE
+    the output is materialized — at 100 TB the reconciliation
+    consumer almost always wants only the delta, and the filter sits
+    directly on the join output so nothing downstream ever writes or
+    shuffles the unchanged rows (pair with :func:`diff_summary` for
+    the per-type counts the full output would have provided)."""
     missing = [k for k in keys if k not in old.columns or k not in new.columns]
     if missing:
         raise ValueError(f"keys absent from old or new: {missing}")
@@ -65,9 +73,31 @@ def snapshot_diff(
         .when(differs, F.lit("update"))
         .otherwise(F.lit("unchanged"))
     )
-    return j.select(
+    out = j.select(
         *keys,
         change.alias("change_type"),
         *[F.col(f"old_{c}") for c in compare_cols],
         *[F.col(f"new_{c}") for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out
+
+
+def diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Per-``change_type`` row counts of the keyed diff — the
+    reconciliation health check ("today's load inserted X, updated
+    Y, deleted Z, left W alone") without materializing the wide
+    old/new columns. Same single full-outer join as
+    :func:`snapshot_diff`; the classification collapses straight
+    into a 4-row-bounded aggregate with map-side combine, so the
+    unchanged majority is never carried past the join."""
+    classified = snapshot_diff(old, new, keys, compare_cols)
+    return classified.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )

@@ -207,3 +207,98 @@ def gap_fill(
         F.last(F.col(value_col), ignorenulls=True).over(w).alias("value"),
         F.col(value_col).isNull().alias("is_filled"),
     )
+
+
+def funnel_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: list[tuple[str, "F.Column"]],
+) -> DataFrame:
+    """Per-user chained funnel stage times for an ARBITRARY ordered
+    step list: ``steps`` is ``[(name, condition), ...]`` and stage
+    k's time is the user's first ``ts`` satisfying condition k
+    STRICTLY AFTER stage k-1's time (time-anchored ordering, not
+    mere co-occurrence).
+
+    Output: one row per user, ``<name>_ts`` per step (NULL where the
+    chain broke). Single-pass plan for any step count: the input is
+    exchanged ONCE on the user hash, the per-step conditional window
+    minima stack as chained Window nodes on that one partitioning,
+    and the per-user collapse reuses the same hash — 1 scan +
+    2 exchanges total, independent of ``len(steps)``."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    w = Window.partitionBy(user_col)
+    out = df
+    prev: str | None = None
+    names: list[str] = []
+    for name, cond in steps:
+        col = f"{name}_ts"
+        if col in names or col in df.columns:
+            raise ValueError(f"duplicate or clashing step column {col}")
+        qual = cond if prev is None else cond & (F.col(ts_col) > F.col(prev))
+        out = out.withColumn(col, F.min(F.when(qual, F.col(ts_col))).over(w))
+        prev = col
+        names.append(col)
+    return out.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in names]
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: list[tuple[str, "F.Column"]],
+) -> DataFrame:
+    """One-row funnel: per step, the number of users whose chain
+    reached it (monotonically non-increasing down the list). Columns
+    are ``n_<name>`` in step order. Same single-pass plan as
+    :func:`funnel_times` plus one final scalar reduce."""
+    per_user = funnel_times(df, user_col, ts_col, steps)
+    return per_user.agg(
+        *[F.count(f"{name}_ts").alias(f"n_{name}") for name, _ in steps]
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap_sec: int,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: group each key's events into
+    sessions separated by silences of at least ``gap_sec`` whole
+    seconds, and emit one row per session — ``session_seq`` (1-based
+    per key, in time order), ``session_start`` / ``session_end``,
+    ``n_events``, and whole-second ``duration_sec``.
+
+    Same gap-chain device as :func:`debounce` (lag + flag +
+    running-sum on ONE key partitioning, explicit ROWS frame,
+    whole-second granularity contract), then a (key, chain) groupBy.
+    The window's key exchange does the heavy lifting; the groupBy's
+    partial aggregation collapses each session map-side, so the
+    second exchange carries only session-count-bounded partials —
+    at 100 TB that is the per-key session count, not the event
+    volume."""
+    if gap_sec < 1:
+        raise ValueError(f"gap_sec must be >= 1, got {gap_sec}")
+    tb = [F.col(c).asc() for c in (tiebreakers or [])]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc(), *tb)
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sec = F.unix_timestamp(F.col(ts_col)).cast("bigint")
+    prev = F.lag(sec).over(w)
+    new_chain = (prev.isNull() | (sec - prev >= F.lit(gap_sec))).cast("bigint")
+    chained = df.withColumn("_chain", F.sum(new_chain).over(w_sum))
+    return (
+        chained.groupBy(*key_cols, "_chain")
+        .agg(
+            F.min(F.col(ts_col)).alias("session_start"),
+            F.max(F.col(ts_col)).alias("session_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.max(sec) - F.min(sec)).cast("bigint").alias("duration_sec"),
+        )
+        .withColumnRenamed("_chain", "session_seq")
+    )

@@ -474,6 +474,48 @@ SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1
 """
 
 
+SESSION_GAP_SEC = 1800
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream: per-user
+    sessions split at 30-minute silences, one row per session with
+    start/end/count/duration — the standard web-analytics session
+    rollup (the reference's domain is GA session data;
+    README.md:19). One key exchange for the gap-chain windows; the
+    per-session collapse exchanges only map-side-combined session
+    partials."""
+    from dish_data_pipeline_spark.ops.timeseries import sessionize
+
+    e = read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(
+        e, "ts", ["user_id"], SESSION_GAP_SEC, tiebreakers=["event_id"]
+    )
+
+
+SQL_SESSION_STATS = f"""
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events),
+l AS (
+  SELECT *, LAG(sec) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+  FROM s),
+c AS (
+  SELECT *, SUM(CASE WHEN prev IS NULL OR sec - prev >= {SESSION_GAP_SEC}
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM l)
+SELECT user_id, session_seq, MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec
+FROM c GROUP BY user_id, session_seq
+"""
+
+
 # --- Rolling z-score anomaly gate ---------------------------------
 GAP_STEP_SEC = 3600  # shared with the gap-fill query below
 ZSCORE_WINDOW = 24
@@ -548,53 +590,23 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel over the event stream: users who signed
     up, then clicked AFTER the signup, then purchased AFTER that
     click — each stage anchored to the previous stage's first
-    qualifying time (not mere co-occurrence).
+    qualifying time (not mere co-occurrence). Expressed through the
+    reusable N-step :func:`ops.timeseries.funnel_counts` operator —
+    the chained-window single-pass plan (1 scan + 2 exchanges,
+    independent of step count; the first cut of this query joined
+    per-stage aggregates back onto events: 8 shuffles and 5 scans)."""
+    from dish_data_pipeline_spark.ops.timeseries import funnel_counts
 
-    Single-pass plan: events are exchanged ONCE on user_id, then the
-    three stage timestamps are chained per-user window minima (each
-    conditional on the previous stage's column — Catalyst stacks the
-    three Window nodes on the one partitioning, no further
-    exchange), collapsed to one row per user by a groupBy that
-    reuses the same hash, and reduced to the three funnel counts.
-    The first cut of this query joined three per-stage aggregates
-    back onto events: 8 shuffles and 5 scans of the stream vs 1
-    scan + 2 exchanges here."""
     e = read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    w = Window.partitionBy("user_id")
-    staged = (
-        e.withColumn(
-            "s_ts",
-            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
-        )
-        .withColumn(
-            "c_ts",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-        .withColumn(
-            "p_ts",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("c_ts")),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-    )
-    per_user = staged.groupBy("user_id").agg(
-        F.max("s_ts").alias("s_ts"),
-        F.max("c_ts").alias("c_ts"),
-        F.max("p_ts").alias("p_ts"),
-    )
-    return per_user.agg(
-        F.count("s_ts").alias("n_signup"),
-        F.count("c_ts").alias("n_click_after"),
-        F.count("p_ts").alias("n_purchase_after"),
+    return funnel_counts(
+        e,
+        "user_id",
+        "ts",
+        [
+            ("signup", F.col("event_type") == "signup"),
+            ("click_after", F.col("event_type") == "click"),
+            ("purchase_after", F.col("event_type") == "purchase"),
+        ],
     )
 
 
@@ -618,6 +630,57 @@ per_user AS (
 SELECT CAST(COUNT(s_ts) AS BIGINT) AS n_signup,
        CAST(COUNT(c_ts) AS BIGINT) AS n_click_after,
        CAST(COUNT(p_ts) AS BIGINT) AS n_purchase_after
+FROM per_user
+"""
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-stage funnel (signup → view → click → purchase) through
+    the same parameterized :func:`ops.timeseries.funnel_counts`
+    operator — the step list is data, not code, and the plan stays
+    1 scan + 2 exchanges at any depth (the four conditional window
+    minima stack on one user_id partitioning)."""
+    from dish_data_pipeline_spark.ops.timeseries import funnel_counts
+
+    e = read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel_counts(
+        e,
+        "user_id",
+        "ts",
+        [
+            ("signup", F.col("event_type") == "signup"),
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2),
+s4 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+              OVER (PARTITION BY user_id) AS t4
+  FROM s3),
+per_user AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3, MAX(t4) AS t4
+  FROM s4 GROUP BY user_id)
+SELECT CAST(COUNT(t1) AS BIGINT) AS n_signup,
+       CAST(COUNT(t2) AS BIGINT) AS n_view,
+       CAST(COUNT(t3) AS BIGINT) AS n_click,
+       CAST(COUNT(t4) AS BIGINT) AS n_purchase
 FROM per_user
 """
 
@@ -712,6 +775,14 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         q_anomaly_events, SQL_ANOMALY_EVENTS,
         "resample → gap fill → trailing z-score anomaly flags",
         ("window", "timeseries", "quality")),
+    "session_stats": QueryDef(
+        q_session_stats, SQL_SESSION_STATS,
+        "gap-based sessionization: per-user 30-min-silence session rollup",
+        ("window", "agg", "timeseries")),
+    "funnel_steps": QueryDef(
+        q_funnel_steps, SQL_FUNNEL_STEPS,
+        "parameterized 4-stage funnel (signup → view → click → purchase)",
+        ("window", "agg")),
     "funnel_conversion": QueryDef(
         q_funnel_conversion, SQL_FUNNEL_CONVERSION,
         "ordered-step funnel (signup → click → purchase, time-anchored)",

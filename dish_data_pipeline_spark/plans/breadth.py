@@ -555,8 +555,14 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * F.lit(1.1)
         ).otherwise(F.col("o_totalprice")),
     )
-    d = snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
-    return d.filter(F.col("change_type") != "unchanged").select(
+    d = snapshot_diff(
+        old,
+        new,
+        ["o_orderkey"],
+        ["o_totalprice", "o_orderstatus"],
+        include_unchanged=False,
+    )
+    return d.select(
         "o_orderkey",
         "change_type",
         F.col("old_o_totalprice").alias("old_price"),
@@ -595,11 +601,64 @@ FROM c WHERE change_type <> 'unchanged'
 """
 
 
+def q_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation health check for the same derived snapshot
+    pair: per-change_type row counts via
+    :func:`operators.diff.diff_summary` — the common 100 TB path
+    that needs insert/update/delete/unchanged totals WITHOUT ever
+    materializing the wide full-outer output (Catalyst prunes the
+    old_/new_ value columns down to the two compared ones; the
+    aggregate is 4-row-bounded with map-side combine)."""
+    from dish_data_pipeline_spark.operators.diff import diff_summary
+
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * F.lit(1.1)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return diff_summary(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+SQL_DIFF_SUMMARY = """
+WITH old_s AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+  WHERE o_orderkey % 97 <> 0),
+new_s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 101 <> 0),
+j AS (
+  SELECT o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+         o.o_orderstatus AS old_status, n.o_orderstatus AS new_status
+  FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey)
+SELECT CASE WHEN NOT in_old THEN 'insert'
+            WHEN NOT in_new THEN 'delete'
+            WHEN old_price IS DISTINCT FROM new_price
+              OR old_status IS DISTINCT FROM new_status THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM j GROUP BY 1
+"""
+
+
 BREADTH_QUERIES: dict[str, QueryDef] = {
     "snapshot_diff_orders": QueryDef(
         q_snapshot_diff, SQL_SNAPSHOT_DIFF,
         "keyed snapshot reconciliation: insert/delete/update delta",
         ("join", "cdc")),
+    "diff_summary_orders": QueryDef(
+        q_diff_summary, SQL_DIFF_SUMMARY,
+        "reconciliation per-change-type counts (unchanged never materialized)",
+        ("join", "cdc", "agg")),
     "asof_signup": QueryDef(
         q_asof_signup, SQL_ASOF_SIGNUP,
         "as-of join: latest signup before each event", ("join", "asof")),

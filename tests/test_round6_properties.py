@@ -84,3 +84,109 @@ def test_bpe_train_greedy_overlap_and_early_stop(spark):
 
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(df, "text", n_merges=0)
+
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # user
+        st.sampled_from(["s", "v", "c", "p"]),
+        st.integers(min_value=0, max_value=3000),  # seconds offset
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SLOW
+@given(EVENTS)
+def test_funnel_counts_matches_python_twin(spark, events):
+    from dish_data_pipeline_spark.ops.timeseries import funnel_counts
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        Row(user_id=u, event_type=t, ts=base + dt.timedelta(seconds=s))
+        for u, t, s in events
+    ]
+    steps = [(n, F.col("event_type") == n[0]) for n in ("sstep", "vstep", "cstep")]
+    got = funnel_counts(
+        spark.createDataFrame(rows), "user_id", "ts", steps
+    ).collect()[0]
+
+    counts = {"sstep": 0, "vstep": 0, "cstep": 0}
+    for u in {e[0] for e in events}:
+        mine = [(t, s) for uu, t, s in events if uu == u]
+        prev = None
+        for idx, name in enumerate(("sstep", "vstep", "cstep")):
+            qual = [
+                s for t, s in mine
+                if t == name[0] and (idx == 0 or s > prev)
+            ]
+            if not qual:
+                break
+            prev = min(qual)
+            counts[name] += 1
+    assert (got["n_sstep"], got["n_vstep"], got["n_cstep"]) == (
+        counts["sstep"], counts["vstep"], counts["cstep"]
+    )
+
+
+@SLOW
+@given(EVENTS)
+def test_sessionize_matches_python_twin(spark, events):
+    from dish_data_pipeline_spark.ops.timeseries import sessionize
+
+    GAP = 600
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        Row(event_id=i, user_id=u, ts=base + dt.timedelta(seconds=s))
+        for i, (u, _t, s) in enumerate(events)
+    ]
+    got = sorted(
+        (r.user_id, r.session_seq, r.n_events, r.duration_sec)
+        for r in sessionize(
+            spark.createDataFrame(rows), "ts", ["user_id"], GAP,
+            tiebreakers=["event_id"],
+        ).collect()
+    )
+    twin = []
+    for u in {e[0] for e in events}:
+        secs = sorted(
+            (s, i) for i, (uu, _t, s) in enumerate(events) if uu == u
+        )
+        sessions: list[list[int]] = []
+        prev = None
+        for s, _i in secs:
+            if prev is None or s - prev >= GAP:
+                sessions.append([s])
+            else:
+                sessions[-1].append(s)
+            prev = s
+        for seq, sess in enumerate(sessions, start=1):
+            twin.append((u, seq, len(sess), max(sess) - min(sess)))
+    assert got == sorted(twin)
+
+
+def test_snapshot_diff_changed_only_and_summary(spark):
+    from dish_data_pipeline_spark.operators.diff import diff_summary, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k int, v string"
+    )
+    full = snapshot_diff(old, new, ["k"])
+    assert {r.k: r.change_type for r in full.collect()} == {
+        1: "unchanged", 2: "update", 3: "delete", 4: "insert"
+    }
+    delta = snapshot_diff(old, new, ["k"], include_unchanged=False)
+    assert sorted(r.k for r in delta.collect()) == [2, 3, 4]
+    summary = {
+        r.change_type: r.n_rows for r in diff_summary(old, new, ["k"]).collect()
+    }
+    assert summary == {"unchanged": 1, "update": 1, "delete": 1, "insert": 1}

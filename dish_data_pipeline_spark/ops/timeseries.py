@@ -268,12 +268,15 @@ def sessionize(
     key_cols: list[str],
     gap_sec: int,
     tiebreakers: list[str] | None = None,
+    extra_aggs: dict[str, "F.Column"] | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: group each key's events into
     sessions separated by silences of at least ``gap_sec`` whole
     seconds, and emit one row per session — ``session_seq`` (1-based
     per key, in time order), ``session_start`` / ``session_end``,
-    ``n_events``, and whole-second ``duration_sec``.
+    ``n_events``, whole-second ``duration_sec``, plus any
+    ``extra_aggs`` (name → aggregate Column over the session's
+    rows, e.g. a value sum).
 
     Same gap-chain device as :func:`debounce` (lag + flag +
     running-sum on ONE key partitioning, explicit ROWS frame,
@@ -292,6 +295,7 @@ def sessionize(
     prev = F.lag(sec).over(w)
     new_chain = (prev.isNull() | (sec - prev >= F.lit(gap_sec))).cast("bigint")
     chained = df.withColumn("_chain", F.sum(new_chain).over(w_sum))
+    extras = [col.alias(name) for name, col in (extra_aggs or {}).items()]
     return (
         chained.groupBy(*key_cols, "_chain")
         .agg(
@@ -299,6 +303,7 @@ def sessionize(
             F.max(F.col(ts_col)).alias("session_end"),
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             (F.max(sec) - F.min(sec)).cast("bigint").alias("duration_sec"),
+            *extras,
         )
         .withColumnRenamed("_chain", "session_seq")
     )

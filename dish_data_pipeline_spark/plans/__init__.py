@@ -25,64 +25,17 @@ _ALL: dict[str, QueryDef] = {
 
 # The driver checks entries in dict order under a bounded budget
 # (~50 rows per round), so the LEAST-driver-verified queries go
-# FIRST. Round-5 rotation: new queries (zero driver history) lead,
-# followed by the 43 queries whose last green driver row is round 3
-# (round 4 spent its 50-row budget on the then-unchecked head,
-# pushing these past the cutoff). The 50 queries certified fresh in
-# round 4 (CORRECTNESS_r04.json, all green) rotate to the back.
+# FIRST. Round-6 rotation: new queries (zero driver history) lead,
+# then the 11 queries whose last green driver row is round 3
+# (positions 51-61 of the round-5 head, past the 50-row budget),
+# then the 50 certified in round 4 (CORRECTNESS_r04.json order); the
+# 50 certified fresh in round 5 rotate to the back.
 _DRIVER_UNCHECKED_HEAD = [
     # new this round — zero driver history
-    "min_cost_supplier",  # TPC-H Q2 (correlated MIN)
-    "important_parts",  # TPC-H Q11 (HAVING vs global scalar)
-    "supplier_part_counts",  # TPC-H Q16 (NOT IN + count-distinct)
-    "excess_ship_suppliers",  # TPC-H Q20 (nested IN chain)
-    "domain_quota",  # per-domain cap (WindowGroupLimit)
-    "gap_fill_events",  # hourly resample + forward fill
-    "corpus_drift",  # per-source distribution divergence
-    "bpe_pairs",  # BPE pair counting (tokenizer induction)
-    "bigram_lm",  # bigram + continuation counts
-    "snapshot_diff_orders",  # keyed reconciliation delta
-    "funnel_conversion",  # ordered-step funnel counts
-    "cohort_retention",  # cohort × month retention matrix
-    "debounce_events",  # burst collapse (gap-chain first event)
-    "anomaly_events",  # gap-filled trailing z-score flags
-    "order_priority_check",  # TPC-H Q4 (EXISTS)
-    "shipmode_priority",  # TPC-H Q12 (2-branch conditional agg)
-    "small_qty_avg_gate",  # TPC-H Q17 (correlated scalar avg)
-    "waiting_suppliers",  # TPC-H Q21 (EXISTS + NOT EXISTS)
-    # last driver row r3 — not re-checked in round 4
-    "scalar_casts",
-    "upsert_orders",
-    "upsert_keep_latest",
-    "semi_anti_join",
-    "pricing_summary",
-    "topk_revenue",
-    "region_revenue",
-    "window_running",
-    "rolling_window",
-    "volume_shipping",
-    "market_share",
-    "product_profit",
-    "winnow_fingerprint",
-    "minhash_neardup",
-    "simhash_neardup",
-    "ngram_jaccard",
-    "knn_quantized",
-    "knn_lsh",
-    "knn_ivf",
-    "multimodal_meta",
-    "multimodal_features",
-    "dup_clusters",
-    "training_corpus",
-    "doc_sample",
-    "text_clean",
-    "repetition_stats",
-    "gopher_quality",
-    "contamination",
-    "corpus_mix",
-    "corpus_mix_tokens",
-    "incremental_dedup",
-    "segment_dedup",
+    "bpe_merges",  # iterative BPE merge loop (rows-only)
+    "funnel_steps",  # parameterized 4-stage funnel
+    "diff_summary_orders",  # reconciliation per-type counts
+    # last driver row r3 — past the budget cutoff in rounds 4 AND 5
     "lsh_quality",
     "pii_redaction",
     "distinct_sketch",
@@ -94,6 +47,57 @@ _DRIVER_UNCHECKED_HEAD = [
     "tfidf_topterms",
     "doc_chunks",
     "embedding_dedup",
+    # last driver row r4
+    "sessionize",
+    "sequence_packing",
+    "cms_topk",
+    "best_of_cluster",
+    "customer_distribution",
+    "zipf_buckets",
+    "asof_nearest",
+    "promo_revenue",
+    "top_supplier",
+    "rollup_events",
+    "set_ops",
+    "asof_signup",
+    "range_bucket_join",
+    "pivot_events",
+    "unpivot_lineitem",
+    "json_fields",
+    "string_funcs",
+    "date_funcs",
+    "forecast_revenue",
+    "small_qty_revenue",
+    "cube_events",
+    "raw_zone_roundtrip",
+    "enrich_metadata",
+    "partitioned_merge",
+    "scd2_orders",
+    "value_quantiles",
+    "large_orders",
+    "max_order_per_customer",
+    "rank_suite",
+    "sql_interface",
+    "profile_events",
+    "nation_trade",
+    "returned_items",
+    "disjunctive_revenue",
+    "idle_rich_customers",
+    "text_stats",
+    "token_stats",
+    "embedding_neardup",
+    "language_id",
+    "quality_score",
+    "doc_fingerprint",
+    "exact_dedup",
+    "knn_bruteforce",
+    "embedding_norms",
+    "keep_latest_events",
+    "dedup_first_wins",
+    "dup_key_counts",
+    "dq_summary",
+    "flatten_struct",
+    "sanitize_json",
 ]
 
 QUERIES: dict[str, QueryDef] = {name: _ALL[name] for name in _DRIVER_UNCHECKED_HEAD}

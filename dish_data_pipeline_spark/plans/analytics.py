@@ -133,28 +133,29 @@ FROM events
 
 # --- Batch sessionization (gap-based, via window + cumsum) --------
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap web sessionization via the reusable
+    :func:`ops.timeseries.sessionize` operator (gap-chain windows on
+    one user_id partitioning + map-side-combined session collapse).
+    The oracle's ``gap > 1800`` is the operator's inclusive
+    ``gap >= 1801`` — whole-second granularity makes them identical.
+    ``unix_timestamp`` inside the operator floors sub-second parts,
+    matching the oracle's ``floor(epoch(ts))`` (the testdata parquet
+    stores ts as timestamp[us]; same convention as q_rolling_window
+    below)."""
+    from dish_data_pipeline_spark.ops.timeseries import sessionize
+
     e = read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # unix_timestamp, NOT cast("long"): the testdata parquet stores
-    # ts as timestamp[us] without timezone (TIMESTAMP_NTZ in Spark 4),
-    # which refuses a direct BIGINT cast. unix_timestamp also floors
-    # sub-second parts, matching the oracle's floor(epoch(ts)) — same
-    # convention as q_rolling_window below.
-    sec = F.unix_timestamp(F.col("ts"))
-    gap = sec - F.lag(sec).over(w)
-    with_flag = e.withColumn(
-        "new_session",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    sessions = sessionize(
+        e, "ts", ["user_id"], 1801, tiebreakers=["event_id"],
+        extra_aggs={"session_value": dsum(F.col("value"))},
     )
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sessions = with_flag.withColumn(
-        "session_id", F.sum("new_session").over(wcum)
-    )
-    return sessions.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        dsum(F.col("value")).alias("session_value"),
+    return sessions.select(
+        "user_id",
+        F.col("session_seq").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+        "session_value",
     )
 
 
@@ -474,48 +475,6 @@ SELECT event_id, user_id, event_type, ts FROM r WHERE rn = 1
 """
 
 
-SESSION_GAP_SEC = 1800
-
-
-def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization of the event stream: per-user
-    sessions split at 30-minute silences, one row per session with
-    start/end/count/duration — the standard web-analytics session
-    rollup (the reference's domain is GA session data;
-    README.md:19). One key exchange for the gap-chain windows; the
-    per-session collapse exchanges only map-side-combined session
-    partials."""
-    from dish_data_pipeline_spark.ops.timeseries import sessionize
-
-    e = read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    return sessionize(
-        e, "ts", ["user_id"], SESSION_GAP_SEC, tiebreakers=["event_id"]
-    )
-
-
-SQL_SESSION_STATS = f"""
-WITH s AS (
-  SELECT user_id, event_id, ts,
-         CAST(floor(epoch(ts)) AS BIGINT) AS sec
-  FROM events),
-l AS (
-  SELECT *, LAG(sec) OVER (PARTITION BY user_id
-                           ORDER BY ts, event_id) AS prev
-  FROM s),
-c AS (
-  SELECT *, SUM(CASE WHEN prev IS NULL OR sec - prev >= {SESSION_GAP_SEC}
-                     THEN 1 ELSE 0 END)
-              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS UNBOUNDED PRECEDING) AS session_seq
-  FROM l)
-SELECT user_id, session_seq, MIN(ts) AS session_start,
-       MAX(ts) AS session_end,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_sec
-FROM c GROUP BY user_id, session_seq
-"""
-
-
 # --- Rolling z-score anomaly gate ---------------------------------
 GAP_STEP_SEC = 3600  # shared with the gap-fill query below
 ZSCORE_WINDOW = 24
@@ -775,10 +734,6 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         q_anomaly_events, SQL_ANOMALY_EVENTS,
         "resample → gap fill → trailing z-score anomaly flags",
         ("window", "timeseries", "quality")),
-    "session_stats": QueryDef(
-        q_session_stats, SQL_SESSION_STATS,
-        "gap-based sessionization: per-user 30-min-silence session rollup",
-        ("window", "agg", "timeseries")),
     "funnel_steps": QueryDef(
         q_funnel_steps, SQL_FUNNEL_STEPS,
         "parameterized 4-stage funnel (signup → view → click → purchase)",

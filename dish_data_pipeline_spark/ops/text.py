@@ -493,19 +493,123 @@ def bpe_train(
             break
         left, right = str(best[0]["l"]), str(best[0]["r"])
         merges.append((step, left, right, int(best[0]["c"])))
-        l_lit, r_lit = F.lit(left), F.lit(right)
-        folded = F.aggregate(
-            "syms",
-            F.array().cast("array<string>"),
-            # F.get (not element_at(-1)): null-safe on the empty
-            # accumulator even under ANSI mode.
-            lambda acc, s: F.when(
-                (F.get(acc, F.size(acc) - 1) == l_lit) & (s == r_lit),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(l_lit, r_lit)),
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        vocab = vocab.select(folded.alias("syms"), "n").localCheckpoint()
+        vocab = vocab.select(
+            _merge_fold(F.col("syms"), left, right).alias("syms"), "n"
+        ).localCheckpoint()
     return merges, vocab
+
+
+def _merge_fold(arr: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right rewrite of one BPE merge over a symbol
+    array (``aaa`` + merge (a,a) → ``[aa, a]``) as a map-side
+    ``F.aggregate`` fold — shared by training (over the vocab
+    relation) and segmentation (over documents)."""
+    l_lit, r_lit = F.lit(left), F.lit(right)
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        # F.get (not element_at(-1)): null-safe on the empty
+        # accumulator even under ANSI mode.
+        lambda acc, s: F.when(
+            (F.get(acc, F.size(acc) - 1) == l_lit) & (s == r_lit),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(l_lit, r_lit)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply a trained BPE merge table (the inference side of
+    :func:`bpe_train`): tokenize with the same lowercase ``TOKEN_RE``
+    pretokenizer, split each word to characters, replay the merges
+    IN TRAINING ORDER via the shared greedy fold, and flatten to the
+    document's token sequence.
+
+    Adds ``out_col`` (ARRAY<STRING>) and ``n_<out_col>`` (BIGINT).
+    Entirely map-side — the merge table is embedded in the
+    expression tree as literals (n_merges nested folds), so
+    segmenting a 100 TB corpus is a zero-shuffle projection."""
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    syms = F.transform(words, lambda w: F.split(w, ""))
+    for _step, left, right, _c in merges:
+        syms = F.transform(syms, lambda a: _merge_fold(a, left, right))
+    return df.withColumn(out_col, F.flatten(syms)).withColumn(
+        f"n_{out_col}", F.size(out_col).cast("bigint")
+    )
+
+
+#: Quantization denominator for tie-free probability accumulation in
+#: :func:`doc_lm_scores` (floor has no rounding ties; each p is in
+#: [0,1] so doc sums stay far below BIGINT range at any doc length).
+LM_SCORE_SCALE = 1_000_000_000
+
+
+def doc_lm_scores(
+    df: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document fluency score from the corpus's own bigram LM:
+    the mean MLE conditional probability p(w2|w1) = n(w1,w2)/n(w1)
+    over the document's bigrams — the cheap LM-quality gate (a
+    perplexity proxy without logarithms: libm ``ln`` is not
+    correctly-rounded, so a log-based score could not be
+    cross-engine hash-exact; the probability mean can).
+
+    Determinism contract: each p is ONE IEEE division of two exact
+    BIGINTs (identical both engines); per-doc accumulation uses the
+    floor-quantization device (``floor(p·SCALE)`` summed exact, one
+    final division chain) — tie-free, order-independent.
+
+    Scale shape: doc bigrams are a map-side windowed transform (no
+    self-join); the count relations aggregate with map-side combine
+    (vocab²- and vocab-bounded); the probability join hashes on the
+    bigram key — the build side is UNIQUE per key, so natural-language
+    hot keys ("of the") skew only the probe side, which AQE's skew
+    split handles without correctness hazards; the context-count join
+    piggybacks on the w1 hash; the final doc collapse is one more
+    exchange of per-doc partials. Only docs with >= 2 tokens appear.
+
+    Output: (doc_col, n_bigrams BIGINT, lm_score DOUBLE)."""
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    toks = df.select(
+        F.col(doc_col),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0).alias(
+            "_t"
+        ),
+    ).filter(F.size("_t") >= 2)
+    bigrams = toks.select(
+        F.col(doc_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> struct(element_at(_t, i) AS w1, element_at(_t, i + 1) AS w2))"
+            )
+        ).alias("_b"),
+    ).select(doc_col, "_b.w1", "_b.w2")
+    # The doc-bigram relation feeds the count aggregates AND the
+    # probability join probe; persisting keeps the tokenize+explode
+    # corpus pass to one execution.
+    bigrams = tracked_persist(bigrams)
+    counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n12")
+    )
+    ctx = counts.groupBy("w1").agg(F.sum("n12").cast("bigint").alias("n1"))
+    p = F.col("n12").cast("double") / F.col("n1").cast("double")
+    scale = F.lit(float(LM_SCORE_SCALE))
+    scored = (
+        bigrams.join(counts, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select(F.col(doc_col), F.floor(p * scale).alias("_pq"))
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    return scored.groupBy(doc_col).agg(
+        n.alias("n_bigrams"),
+        (F.sum("_pq").cast("double") / scale / n.cast("double")).alias("lm_score"),
+    )

@@ -1127,6 +1127,43 @@ LIMIT 100
 """
 
 
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM fluency score (mean MLE conditional
+    probability over the doc's bigrams) — a perplexity-proxy quality
+    gate trained from the corpus itself, log-free so it can be
+    cross-engine hash-exact (floor-quantized probability sums; libm
+    ln is not correctly rounded). Probe-side bigram joins are
+    skew-safe: build side is unique per key."""
+    from dish_data_pipeline_spark.ops.text import doc_lm_scores
+
+    d = read(spark, sf_dir, "documents")
+    return doc_lm_scores(d, "doc_id", "text")
+
+
+SQL_DOC_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2),
+counts AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bg GROUP BY 1, 2),
+ctx AS (
+  SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM counts GROUP BY 1),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(floor((CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                    * 1000000000.0) AS BIGINT) AS pq
+  FROM bg JOIN counts USING (w1, w2) JOIN ctx USING (w1))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(pq) AS DOUBLE) / 1000000000.0
+         / CAST(COUNT(*) AS DOUBLE) AS lm_score
+FROM scored GROUP BY doc_id
+"""
+
+
 BPE_N_MERGES = 8
 
 
@@ -1765,6 +1802,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_bigram_lm, SQL_BIGRAM_LM,
         "bigram LM counts with Kneser-Ney continuation counts",
         ("text", "agg", "topk")),
+    "doc_lm_score": QueryDef(
+        q_doc_lm_score, SQL_DOC_LM_SCORE,
+        "per-doc bigram-LM fluency score (log-free perplexity proxy)",
+        ("text", "quality", "agg")),
     "bpe_merges": QueryDef(
         q_bpe_merges, None,
         "BPE merge loop: 8 iterative argmax-pair merges (rows-only; "

@@ -190,3 +190,66 @@ def test_snapshot_diff_changed_only_and_summary(spark):
         r.change_type: r.n_rows for r in diff_summary(old, new, ["k"]).collect()
     }
     assert summary == {"unchanged": 1, "update": 1, "delete": 1, "insert": 1}
+
+
+@SLOW
+@given(WORDS)
+def test_bpe_segment_matches_twin_and_train_vocab(spark, words):
+    from dish_data_pipeline_spark.ops.text import bpe_segment
+
+    texts = [" ".join(words[i : i + 5]) for i in range(0, len(words), 5)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id int, text string")
+    merges, vocab = bpe_train(df, "text", n_merges=3)
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_segment(df, merges, "text").collect()
+    }
+    for i, t in enumerate(texts):
+        toks = []
+        for w in re.findall("[A-Za-z0-9]+", t.lower()):
+            syms = list(w)
+            for _s, left, right, _c in merges:
+                acc = []
+                for s in syms:
+                    if acc and acc[-1] == left and s == right:
+                        acc[-1] = left + right
+                    else:
+                        acc.append(s)
+                syms = acc
+            toks.extend(syms)
+        assert got[i] == toks, (i, t)
+    # replaying the merges over the training corpus reproduces the
+    # trained vocab's segmentation for every word of length >= 2
+    trained = {tuple(r.syms) for r in vocab.collect()}
+    per_word = set()
+    for t in texts:
+        for w in re.findall("[A-Za-z0-9]+", t.lower()):
+            if len(w) < 2:
+                continue
+            syms = list(w)
+            for _s, left, right, _c in merges:
+                acc = []
+                for s in syms:
+                    if acc and acc[-1] == left and s == right:
+                        acc[-1] = left + right
+                    else:
+                        acc.append(s)
+                syms = acc
+            per_word.add(tuple(syms))
+    assert per_word == trained
+
+
+def test_doc_lm_scores_known_values(spark):
+    from dish_data_pipeline_spark.ops.text import doc_lm_scores
+
+    # corpus bigrams: (a,b)x2 from doc0+doc1, (b,a)x1, (b,c)x1
+    # ctx: n(a)=2, n(b)=2 -> p(b|a)=1.0, p(a|b)=0.5, p(c|b)=0.5
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b"), (2, "b a")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in doc_lm_scores(df).collect()}
+    assert out[0].n_bigrams == 2 and abs(out[0].lm_score - 0.75) < 1e-9
+    assert out[1].n_bigrams == 1 and abs(out[1].lm_score - 1.0) < 1e-9
+    assert out[2].n_bigrams == 1 and abs(out[2].lm_score - 0.5) < 1e-9

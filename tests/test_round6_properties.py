@@ -253,3 +253,59 @@ def test_doc_lm_scores_known_values(spark):
     assert out[0].n_bigrams == 2 and abs(out[0].lm_score - 0.75) < 1e-9
     assert out[1].n_bigrams == 1 and abs(out[1].lm_score - 1.0) < 1e-9
     assert out[2].n_bigrams == 1 and abs(out[2].lm_score - 0.5) < 1e-9
+
+
+def test_stream_debounce_custom_key_schema(spark, tmp_path):
+    """Non-default key_cols: output schema and labels derive from the
+    input schema (round-6 fix — was hardcoded to user_id/event_type)."""
+    import json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from dish_data_pipeline_spark.streaming.stateful import stream_debounce
+
+    schema = StructType(
+        [
+            StructField("device", StringType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows = [
+        {"device": "d1", "event_id": 0, "ts": "2024-01-01T00:00:00Z"},
+        {"device": "d1", "event_id": 1, "ts": "2024-01-01T00:00:03Z"},
+        {"device": "d2", "event_id": 2, "ts": "2024-01-01T00:00:04Z"},
+        {"device": "d1", "event_id": 3, "ts": "2024-01-01T00:00:12Z"},
+    ]
+    with open(indir / "b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+    stream = spark.readStream.schema(schema).json(str(indir))
+    out = stream_debounce(stream, 10, key_cols=("device",))
+    assert [f.name for f in out.schema.fields] == ["device", "event_id", "ts"]
+    assert out.schema["device"].dataType == StringType()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("debounced_custom")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.device, r.event_id)
+        for r in spark.sql("SELECT * FROM debounced_custom").collect()
+    }
+    assert got == {("d1", 0), ("d2", 2), ("d1", 3)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="absent"):
+        stream_debounce(stream, 10, key_cols=("nope",))

@@ -130,3 +130,100 @@ def stream_debounce(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+ZSCORE_STATE_SCHEMA = "vals array<double>"
+
+
+def stream_zscore(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 24,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of :func:`ops.timeseries.rolling_zscore`: per
+    key, flag values deviating more than ``threshold`` standard
+    deviations from the TRAILING ``window_rows`` observations (the
+    value itself excluded), with the trailing window carried in the
+    state store across micro-batches — the online anomaly gate for a
+    monitoring stream that cannot wait for a batch re-run.
+
+    Same statistic as the batch operator (trailing mean/variance of
+    the previous observations; fewer than 2 trailing rows or zero
+    variance → NULL z, flag false); state is a bounded
+    ``window_rows``-element array of doubles per key — O(window) per
+    key regardless of stream volume. Rows are processed in
+    (ts_col) order within each micro-batch; cross-batch order is
+    arrival order, so pair with a watermark-bounded source if heavy
+    reordering is possible. Compose after a streaming resample for a
+    regularized grid, exactly like the batch pipeline.
+
+    Output: key cols + (ts_col, value DOUBLE, zscore DOUBLE,
+    is_anomaly BOOLEAN), append mode — schema derived from the input
+    like :func:`stream_debounce`."""
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    missing = [c for c in (*key_cols, ts_col, value_col) if c not in events.columns]
+    if missing:
+        raise ValueError(f"columns absent from events: {missing}")
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [events.schema[c] for c in (*key_cols, ts_col)]
+        + [
+            StructField("value", DoubleType()),
+            StructField("zscore", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    key_names = list(key_cols)
+
+    def _score(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        vals = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(ts_col)
+            out_ts, out_v, out_z, out_flag = [], [], [], []
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                x = float(v)
+                n = len(vals)
+                z = None
+                if n >= 2:
+                    mean = sum(vals) / n
+                    var = sum(u * u for u in vals) / n - mean * mean
+                    if var > 0:
+                        z = (x - mean) / math.sqrt(var)
+                out_ts.append(ts)
+                out_v.append(x)
+                out_z.append(z)
+                out_flag.append(bool(z is not None and abs(z) > threshold))
+                vals.append(x)
+                if len(vals) > window_rows:
+                    vals.pop(0)
+            cols = {k: [v] * len(out_ts) for k, v in zip(key_names, key)}
+            cols[ts_col] = out_ts
+            cols["value"] = out_v
+            cols["zscore"] = out_z
+            cols["is_anomaly"] = out_flag
+            yield pd.DataFrame(cols)
+        state.update((vals,))
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        _score,
+        out_schema,
+        ZSCORE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -309,3 +309,77 @@ def test_stream_debounce_custom_key_schema(spark, tmp_path):
 
     with pytest.raises(ValueError, match="absent"):
         stream_debounce(stream, 10, key_cols=("nope",))
+
+
+def test_stream_zscore_matches_batch_statistic_across_batches(spark, tmp_path):
+    """Feeding a series through stream_zscore in TWO micro-batches
+    reproduces the batch rolling_zscore statistic on the same rows
+    (trailing-3 window carried through the state store)."""
+    import json
+    import math
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from dish_data_pipeline_spark.streaming.stateful import stream_zscore
+
+    series = [10.0, 11.0, 13.0, 30.0, 12.0, 11.5]
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def ev(i, v):
+        return json.dumps({"k": "a", "ts": f"2024-01-01T00:{i:02d}:00Z", "value": v})
+
+    with open(indir / "b1.json", "w") as f:
+        f.write("\n".join(ev(i, v) for i, v in enumerate(series[:3])) + "\n")
+    with open(indir / "b2.json", "w") as f:
+        f.write("\n".join(ev(i + 3, v) for i, v in enumerate(series[3:])) + "\n")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q = (
+        stream_zscore(stream, key_cols=("k",), window_rows=3, threshold=2.0)
+        .writeStream.format("memory")
+        .queryName("zscored")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.ts.minute: (r.zscore, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM zscored").collect()
+    }
+    assert len(got) == len(series)
+    # python twin of the shared trailing-window statistic
+    for i, x in enumerate(series):
+        trail = series[max(0, i - 3) : i]
+        n = len(trail)
+        expect = None
+        if n >= 2:
+            mean = sum(trail) / n
+            var = sum(u * u for u in trail) / n - mean * mean
+            if var > 0:
+                expect = (x - mean) / math.sqrt(var)
+        z, flag = got[i]
+        if expect is None:
+            assert z is None and flag is False
+        else:
+            assert abs(z - expect) < 1e-12
+            assert flag == (abs(expect) > 2.0)
+    # index 3 (value 30 after 10,11,13) must flag
+    assert got[3][1] is True

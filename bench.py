@@ -16,6 +16,9 @@ the machine was slow, not the query.
 
 Each query is fully executed JVM-side via the ``noop`` sink (no
 driver-side collect — measures the engine, not pandas transfer).
+Any query measuring over ``RERUN_RATIO``× its pin is re-timed up to
+``MAX_RERUNS`` more times under the same isolation and the MIN is
+reported — load-burst hardening (see the constant's comment).
 
 Regression gate: per-query reference times live in
 ``BENCH_BASELINE.json`` (pinned from the round-2 driver run). Any

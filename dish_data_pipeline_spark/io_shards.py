@@ -29,19 +29,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dish_data_pipeline_spark.ops.portable import P as _DIGEST_MOD
+from dish_data_pipeline_spark.ops.portable import spark_phash
+
 SHARD_COL = "shard"
 
 
 def with_shard_assignment(
-    df: DataFrame, key_col: str, n_shards: int, seed: int = 0
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+    portable: bool = False,
 ) -> DataFrame:
-    """Add the deterministic shard id (``pmod(xxhash64(seed, key),
-    n_shards)``) and the within-shard shuffle key."""
+    """Add the deterministic shard id (``pmod(hash(seed, key),
+    n_shards)``) and the within-shard shuffle key.
+
+    ``portable=False`` (production) hashes with ``xxhash64``;
+    ``portable=True`` uses the ``ops.portable`` 60-bit md5 hash,
+    whose DuckDB spelling is bit-identical — that is what lets the
+    shard plan be verified value-exactly against the SQL oracle
+    (catalog query ``shard_plan``). Same layout semantics either
+    way; the portable hash costs ~2-3× on the hash step only."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if key_col not in df.columns:
         raise ValueError(f"key column {key_col!r} absent from input")
-    h = F.xxhash64(F.lit(int(seed)), F.col(key_col))
+    if portable:
+        h = F.expr(
+            spark_phash(f"concat('{int(seed)}:', cast({key_col} as string))")
+        )
+    else:
+        h = F.xxhash64(F.lit(int(seed)), F.col(key_col))
     return df.withColumn(SHARD_COL, F.pmod(h, F.lit(int(n_shards)))).withColumn(
         "_order", h
     )
@@ -69,18 +88,27 @@ def write_training_shards(
 
 
 def shard_manifest(
-    df: DataFrame, key_col: str, n_shards: int, seed: int = 0
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+    portable: bool = False,
 ) -> DataFrame:
     """The manifest the export above implies, computed from the data
     itself: per shard, row count and an order-independent content
-    digest (exact BIGINT sum of the row-key hashes — associative, so
-    Spark's partial aggregation order cannot change it). Rerunning
-    on identical input yields an identical manifest; a consumer can
-    re-derive a shard's digest after download and compare."""
-    assigned = with_shard_assignment(df, key_col, n_shards, seed)
+    digest — the exact BIGINT sum of ``hash mod P`` (P = 2³¹−1)
+    per row, associative so Spark's partial-aggregation order cannot
+    change it, and bounded so the sum cannot overflow BIGINT below
+    ~4×10⁹ rows per shard (a raw 64-bit-hash sum would wrap silently
+    under non-ANSI and THROW under ANSI). Rerunning on identical
+    input yields an identical manifest; a consumer re-derives a
+    shard's digest after download and compares."""
+    assigned = with_shard_assignment(df, key_col, n_shards, seed, portable)
     return assigned.groupBy(SHARD_COL).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.col("_order")).cast("bigint").alias("content_digest"),
+        F.sum(F.pmod(F.col("_order"), F.lit(_DIGEST_MOD)))
+        .cast("bigint")
+        .alias("content_digest"),
     )
 
 

@@ -32,6 +32,7 @@ _ALL: dict[str, QueryDef] = {
 # 50 certified fresh in round 5 rotate to the back.
 _DRIVER_UNCHECKED_HEAD = [
     # new this round — zero driver history
+    "shard_plan",  # training-shard manifest (portable hash)
     "doc_lm_score",  # bigram-LM fluency score (log-free)
     "bpe_merges",  # iterative BPE merge loop (rows-only)
     "funnel_steps",  # parameterized 4-stage funnel

@@ -1164,6 +1164,39 @@ FROM scored GROUP BY doc_id
 """
 
 
+SHARD_PLAN_N = 16
+SHARD_PLAN_SEED = 3
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest over documents: deterministic
+    seeded-shuffle shard assignment (portable 60-bit hash) with
+    per-shard row counts and the order-independent mod-P content
+    digest — the verification artifact `io_shards.write_training_shards`
+    hands to a training job. Map-side assignment, one shard-bounded
+    aggregate; the DuckDB twin replicates the hash bit-identically,
+    so shard membership itself is value-verified."""
+    from dish_data_pipeline_spark.io_shards import shard_manifest
+
+    d = read(spark, sf_dir, "documents")
+    return shard_manifest(
+        d, "doc_id", SHARD_PLAN_N, seed=SHARD_PLAN_SEED, portable=True
+    )
+
+
+def _sql_shard_plan() -> str:
+    from dish_data_pipeline_spark.ops.portable import P, duck_phash
+
+    h = duck_phash(f"concat('{SHARD_PLAN_SEED}:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH hashed AS (SELECT {h} AS h FROM documents)
+SELECT CAST(h % {SHARD_PLAN_N} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(h % {P}) AS BIGINT) AS content_digest
+FROM hashed GROUP BY 1
+"""
+
+
 BPE_N_MERGES = 8
 
 
@@ -1802,6 +1835,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_bigram_lm, SQL_BIGRAM_LM,
         "bigram LM counts with Kneser-Ney continuation counts",
         ("text", "agg", "topk")),
+    "shard_plan": QueryDef(
+        q_shard_plan, _sql_shard_plan(),
+        "training-shard manifest: portable-hash assignment + mod-P digests",
+        ("io", "sampling")),
     "doc_lm_score": QueryDef(
         q_doc_lm_score, SQL_DOC_LM_SCORE,
         "per-doc bigram-LM fluency score (log-free perplexity proxy)",

@@ -77,11 +77,15 @@ def test_manifest_matches_written_shards(spark, tmp_path):
     back = with_shard_assignment(
         spark.read.parquet(path).drop("shard"), "doc_id", 5, 1
     )
+    from dish_data_pipeline_spark.ops.portable import P
+
     derived = {
         r.shard: (r.n_rows, r.content_digest)
         for r in back.groupBy("shard").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum("_order").cast("bigint").alias("content_digest"),
+            F.sum(F.pmod(F.col("_order"), F.lit(P)))
+            .cast("bigint")
+            .alias("content_digest"),
         ).collect()
     }
     assert manifest == derived

@@ -433,6 +433,57 @@ GROUP BY 1, 2
 """
 
 
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the measurement step before
+    reaching for `operators/skew.py`'s salted join/agg: the 20
+    heaviest lineitem supplier keys with their ratio to the mean
+    key load (ratio ≫ 1 on a top key = salt or rely on AQE skew
+    split). One count groupBy (map-side combined), the two global
+    scalars broadcast back as a 1-row relation, map-side ratio, then
+    partial top-k — the per-key relation never moves twice. Ratio is
+    one double multiply + divide of exact counts: hash-exact."""
+    li = read(spark, sf_dir, "lineitem").select("l_suppkey")
+    counts = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("total"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "l_suppkey",
+            "n",
+            (
+                F.col("n").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total").cast("double")
+            ).alias("ratio_to_avg"),
+            "n_keys",
+        )
+        .orderBy(F.desc("n"), F.asc("l_suppkey"))
+        .limit(20)
+    )
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH counts AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n) AS BIGINT) AS total
+  FROM counts)
+SELECT l_suppkey, n,
+       CAST(n AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE)
+         AS ratio_to_avg,
+       n_keys
+FROM counts, stats
+ORDER BY n DESC, l_suppkey ASC
+LIMIT 20
+"""
+
+
 # --- Event debounce -----------------------------------------------
 DEBOUNCE_GAP_SEC = 600
 
@@ -734,6 +785,10 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         q_anomaly_events, SQL_ANOMALY_EVENTS,
         "resample → gap fill → trailing z-score anomaly flags",
         ("window", "timeseries", "quality")),
+    "key_skew_profile": QueryDef(
+        q_key_skew_profile, SQL_KEY_SKEW_PROFILE,
+        "join-key skew diagnostic: heaviest keys + ratio to mean load",
+        ("agg", "topk", "diagnostic")),
     "funnel_steps": QueryDef(
         q_funnel_steps, SQL_FUNNEL_STEPS,
         "parameterized 4-stage funnel (signup → view → click → purchase)",

@@ -383,3 +383,22 @@ def test_stream_zscore_matches_batch_statistic_across_batches(spark, tmp_path):
             assert flag == (abs(expect) > 2.0)
     # index 3 (value 30 after 10,11,13) must flag
     assert got[3][1] is True
+
+
+def test_funnel_times_guards(spark):
+    from dish_data_pipeline_spark.ops.timeseries import funnel_times
+
+    df = spark.createDataFrame(
+        [(1, "s", 1)], "user_id int, event_type string, ts int"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_times(df, "user_id", "ts", [])
+    dup = [("a", F.col("event_type") == "s"), ("a", F.col("event_type") == "v")]
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel_times(df, "user_id", "ts", dup)
+    clash = [("event_type", F.col("event_type") == "s")]
+    df2 = df.withColumn("event_type_ts", F.lit(1))
+    with pytest.raises(ValueError, match="clashing"):
+        funnel_times(df2, "user_id", "ts", clash)

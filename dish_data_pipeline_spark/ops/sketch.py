@@ -508,3 +508,60 @@ JOIN counters c
   ON c.{group_col} = p.{group_col} AND c.i = p.i AND c.b = p.b
 GROUP BY p.{group_col}, p.v, p.true_count
 """
+
+
+def kmv_overlap_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    value_sql_a: str,
+    value_sql_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set-operation estimator (Beyer et al. 2007): estimate the
+    distinct-key union, Jaccard similarity, and intersection of two
+    relations' key sets from bottom-k sketches — the join-planning
+    diagnostic ("how many keys actually overlap?") that costs two
+    distinct-scans and k rows instead of an exact join.
+
+    Mechanics: hash each side's distinct keys (portable 60-bit hash,
+    so the DuckDB oracle replicates the sketch bit-exactly), mark
+    membership with a hash-space full-outer join (distinct-key-sized,
+    NOT row-sized), take the global bottom-k (Spark plans
+    ``orderBy.limit(k)`` as TakeOrderedAndProject — per-partition
+    top-k merged at the driver, no global sort shuffle), then read
+    the three estimates off those k rows: τ = the k-th smallest hash,
+    D̂_∪ = (k−1)·2⁶⁰/τ (or the exact count when fewer than k),
+    ρ̂ = |both-members among the k| / k, D̂_∩ = ρ̂ · D̂_∪.
+
+    Output (1 row): n_sketch, tau, est_union, jaccard,
+    est_intersection — every value a fixed chain of IEEE ops on
+    exact integers: cross-engine hash-exact."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ha = a.selectExpr(f"{spark_phash(value_sql_a)} AS _h").distinct().withColumn(
+        "_in_a", F.lit(1)
+    )
+    hb = b.selectExpr(f"{spark_phash(value_sql_b)} AS _h").distinct().withColumn(
+        "_in_b", F.lit(1)
+    )
+    u = ha.join(hb, "_h", "full_outer")
+    bottom = u.orderBy(F.asc("_h")).limit(k)
+    n = F.count(F.lit(1)).cast("bigint")
+    tau = F.max("_h").cast("bigint")
+    n_both = F.sum(
+        (F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull()).cast("bigint")
+    ).cast("bigint")
+    agg = bottom.agg(n.alias("n_sketch"), tau.alias("tau"), n_both.alias("n_both"))
+    est_union = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("tau").cast("double")
+    )
+    jaccard = F.col("n_both").cast("double") / F.col("n_sketch").cast("double")
+    return agg.select(
+        "n_sketch",
+        "tau",
+        est_union.alias("est_union"),
+        jaccard.alias("jaccard"),
+        (jaccard * est_union).alias("est_intersection"),
+    )

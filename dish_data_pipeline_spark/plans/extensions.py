@@ -1164,6 +1164,64 @@ FROM scored GROUP BY doc_id
 """
 
 
+OVERLAP_K = 64
+
+
+def q_join_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimate of the orders↔customer key overlap
+    (union size, Jaccard, intersection) from two bottom-64 sketches —
+    the join-planning probe that answers "how many keys actually
+    match" for the cost of two distinct-scans and 64 rows. Portable
+    hash → the DuckDB twin rebuilds the identical sketch, so the
+    ESTIMATOR itself (not just row counts) is value-verified."""
+    from dish_data_pipeline_spark.ops.sketch import kmv_overlap_estimate
+
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+    return kmv_overlap_estimate(
+        o,
+        c,
+        "cast(o_custkey as string)",
+        "cast(c_custkey as string)",
+        k=OVERLAP_K,
+    )
+
+
+def _sql_join_overlap() -> str:
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+    from dish_data_pipeline_spark.ops.sketch import HASH_SPACE
+
+    k = OVERLAP_K
+    space = repr(HASH_SPACE)
+    est_union = (
+        f"CASE WHEN n_sketch < {k} THEN CAST(n_sketch AS DOUBLE) "
+        f"ELSE {float(k - 1)!r} * {space} / CAST(tau AS DOUBLE) END"
+    )
+    jac = "CAST(n_both AS DOUBLE) / CAST(n_sketch AS DOUBLE)"
+    return f"""
+WITH ha AS (
+  SELECT DISTINCT {duck_phash("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+hb AS (
+  SELECT DISTINCT {duck_phash("CAST(c_custkey AS VARCHAR)")} AS h FROM customer),
+u AS (
+  SELECT COALESCE(ha.h, hb.h) AS h,
+         ha.h IS NOT NULL AS in_a, hb.h IS NOT NULL AS in_b
+  FROM ha FULL OUTER JOIN hb ON ha.h = hb.h),
+bottom AS (SELECT * FROM u ORDER BY h ASC LIMIT {k}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch,
+         CAST(MAX(h) AS BIGINT) AS tau,
+         CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both
+  FROM bottom)
+SELECT n_sketch, tau,
+       {est_union} AS est_union,
+       {jac} AS jaccard,
+       ({jac}) * ({est_union}) AS est_intersection
+FROM agg
+"""
+
+
 SHARD_PLAN_N = 16
 SHARD_PLAN_SEED = 3
 
@@ -1835,6 +1893,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_bigram_lm, SQL_BIGRAM_LM,
         "bigram LM counts with Kneser-Ney continuation counts",
         ("text", "agg", "topk")),
+    "join_overlap_estimate": QueryDef(
+        q_join_overlap_estimate, _sql_join_overlap(),
+        "KMV set-operation sketch: union/Jaccard/intersection of join keys",
+        ("sketch", "join", "diagnostic")),
     "shard_plan": QueryDef(
         q_shard_plan, _sql_shard_plan(),
         "training-shard manifest: portable-hash assignment + mod-P digests",

@@ -402,3 +402,34 @@ def test_funnel_times_guards(spark):
     df2 = df.withColumn("event_type_ts", F.lit(1))
     with pytest.raises(ValueError, match="clashing"):
         funnel_times(df2, "user_id", "ts", clash)
+
+
+def test_kmv_overlap_estimate_accuracy_and_exact_tail(spark):
+    from dish_data_pipeline_spark.ops.sketch import kmv_overlap_estimate
+
+    # |A| = 3000, |B| = 2000, |A∩B| = 1000 (ids 2000-2999)
+    a = spark.range(0, 3000).selectExpr("id AS k")
+    b = spark.range(2000, 4000).selectExpr("id AS k")
+    row = kmv_overlap_estimate(
+        a, b, "cast(k as string)", "cast(k as string)", k=256
+    ).collect()[0]
+    assert row.n_sketch == 256
+    # KMV error ~ 1/sqrt(k) ≈ 6%; allow 4 sigma
+    assert abs(row.est_union - 4000) / 4000 < 0.25
+    assert abs(row.est_intersection - 1000) / 1000 < 0.45
+    assert 0.0 < row.jaccard < 1.0
+
+    # fewer distinct keys than k -> sketch IS the exact universe
+    small_a = spark.range(0, 30).selectExpr("id AS k")
+    small_b = spark.range(20, 50).selectExpr("id AS k")
+    r2 = kmv_overlap_estimate(
+        small_a, small_b, "cast(k as string)", "cast(k as string)", k=256
+    ).collect()[0]
+    assert r2.n_sketch == 50
+    assert r2.est_union == 50.0
+    assert abs(r2.est_intersection - 10.0) < 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_overlap_estimate(a, b, "k", "k", k=1)

@@ -1,0 +1,101 @@
+"""Graph centrality: integer-quantized PageRank.
+
+Companion to the connected-components engines in
+``ops/dedup_cluster.py`` — where CC answers "which documents form a
+duplicate cluster", PageRank answers "which nodes matter most" over
+any relation-derived graph (near-dup graphs, customer↔supplier trade
+graphs, citation/link graphs).
+
+Determinism contract — the reason this PageRank is ORACLE-EXACT
+where textbook float PageRank cannot be: all arithmetic is integer.
+Rank mass is carried in fixed-point units of 1/SCALE; each edge
+contribution is ``(dnum · pr_q) div (dden · deg)`` (pure BIGINT
+multiply + floor division), the per-node sum of BIGINTs is exact in
+any aggregation order, and the teleport term is the integer
+``((dden − dnum) · SCALE) div (dden · N)``. No float enters until
+the optional final division — so Spark's partitioned execution and a
+single-node SQL engine produce bit-identical ranks, and a FIXED
+iteration count unrolls into plain chained SQL CTEs (aggregation is
+not allowed inside recursive CTEs, but unrolling sidesteps recursion
+entirely). The per-iteration floor discards < 1/SCALE of mass per
+edge — part of the statistic's definition, far below any ranking
+decision at SCALE = 10¹².
+
+Scale shape: per iteration, one join of the edge relation with the
+(node-sized) rank relation hashed on src — co-partitioned with the
+degree join — and one map-side-combined sum by dst; rank relation is
+``localCheckpoint``ed per round (plan depth O(1), the CC/k-means
+iterative-operator discipline). Driver holds two scalars (N, base).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point denominator for rank mass (micro-micro-units).
+PR_SCALE = 1_000_000_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 4,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer-quantized PageRank over a directed edge relation
+    (pass each undirected edge in both directions). Returns
+    ``(node, pr_q BIGINT, pr DOUBLE)`` — ``pr_q`` is the exact
+    fixed-point rank, ``pr`` the single final division by SCALE."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not 0 < damping_num < damping_den:
+        raise ValueError("need 0 < damping_num < damping_den")
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    # The edge relation may be an arbitrary lazy pipeline (joins,
+    # distinct); it is probed once per iteration plus by deg and
+    # nodes — persist it or the upstream plan executes ~(n_iter + 2)
+    # times (measured 15-18 s vs 4-5 s at sf0.1 on the trade graph).
+    e = tracked_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct().localCheckpoint()
+    deg = tracked_persist(
+        e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    n = nodes.count()  # driver scalar — model state, one row
+    init_q = PR_SCALE // n
+    base_q = ((damping_den - damping_num) * PR_SCALE) // (damping_den * n)
+    pr = nodes.withColumn("pr_q", F.lit(init_q).cast("bigint"))
+    contrib_expr = F.expr(
+        f"({int(damping_num)} * pr_q) div ({int(damping_den)} * deg)"
+    ).cast("bigint")
+    for _ in range(n_iter):
+        contrib = (
+            e.join(pr, e.src == pr.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), contrib_expr.alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").cast("bigint").alias("_s"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_q).cast("bigint")
+                    + F.coalesce(F.col("_s"), F.lit(0).cast("bigint"))
+                ).alias("pr_q"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select(
+        "node",
+        "pr_q",
+        (F.col("pr_q").cast("double") / F.lit(float(PR_SCALE))).alias("pr"),
+    )

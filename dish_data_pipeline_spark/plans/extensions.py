@@ -1164,6 +1164,80 @@ FROM scored GROUP BY doc_id
 """
 
 
+PAGERANK_ITERS = 4
+
+
+def q_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank over the 1995 customer↔supplier
+    trade graph (distinct order lines as undirected edges): which
+    parties sit at the center of trade flow. All arithmetic BIGINT
+    (see ops/graph.py) so the 4-iteration distributed rank is
+    bit-exact against the UNROLLED-CTE DuckDB twin — an
+    oracle-verified iterative graph algorithm, like the
+    recursive-CTE connected components. The date slice bounds the
+    edge-build cost (the pushed o_orderdate filter reaches the
+    orders scan); the operator itself takes any edge relation."""
+    from dish_data_pipeline_spark.ops.graph import pagerank
+
+    o = (
+        read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1996-01-01")
+        .select("o_orderkey", "o_custkey")
+    )
+    li = read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return pagerank(
+        edges, n_iter=PAGERANK_ITERS, src_col="a", dst_col="b"
+    ).orderBy(F.desc("pr_q"), F.asc("node")).limit(50)
+
+
+def _sql_trade_pagerank() -> str:
+    from dish_data_pipeline_spark.ops.graph import PR_SCALE
+
+    it = "\n".join(
+        f"""pr{i} AS (
+  SELECT nodes.node,
+         (SELECT b FROM basev) + COALESCE(s.sum_c, 0) AS pr_q
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((85 * p.pr_q) // (100 * d.deg)) AS BIGINT) AS sum_c
+    FROM edges e
+    JOIN pr{i - 1} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s USING (node)),"""
+        for i in range(1, PAGERANK_ITERS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate < DATE '1996-01-01'),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+params AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+basev AS (SELECT (15 * {PR_SCALE}) // (100 * n) AS b FROM params),
+pr0 AS (SELECT node, {PR_SCALE} // n AS pr_q FROM nodes, params),
+{it}
+final AS (SELECT node, CAST(pr_q AS BIGINT) AS pr_q,
+                 CAST(pr_q AS DOUBLE) / {float(PR_SCALE)!r} AS pr
+          FROM pr{PAGERANK_ITERS})
+SELECT node, pr_q, pr FROM final
+ORDER BY pr_q DESC, node ASC LIMIT 50
+"""
+
+
 OVERLAP_K = 64
 
 
@@ -1893,6 +1967,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_bigram_lm, SQL_BIGRAM_LM,
         "bigram LM counts with Kneser-Ney continuation counts",
         ("text", "agg", "topk")),
+    "trade_pagerank": QueryDef(
+        q_trade_pagerank, _sql_trade_pagerank(),
+        "integer-quantized PageRank on the customer-supplier trade graph",
+        ("graph", "iterative")),
     "join_overlap_estimate": QueryDef(
         q_join_overlap_estimate, _sql_join_overlap(),
         "KMV set-operation sketch: union/Jaccard/intersection of join keys",

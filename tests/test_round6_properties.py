@@ -433,3 +433,40 @@ def test_kmv_overlap_estimate_accuracy_and_exact_tail(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         kmv_overlap_estimate(a, b, "k", "k", k=1)
+
+
+def test_pagerank_matches_integer_twin_and_ranks_hub_first(spark):
+    from dish_data_pipeline_spark.ops.graph import PR_SCALE, pagerank
+
+    # star graph: hub h connected to a,b,c (undirected)
+    und = [("h", "a"), ("h", "b"), ("h", "c")]
+    edges = und + [(d, s) for s, d in und]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.pr_q for r in pagerank(df, n_iter=3).collect()}
+
+    # integer twin
+    nodes = sorted({n for e in edges for n in e})
+    deg = {}
+    for s, _d in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    base = (15 * PR_SCALE) // (100 * n)
+    pr = {v: PR_SCALE // n for v in nodes}
+    for _ in range(3):
+        nxt = {v: base for v in nodes}
+        for s, d in edges:
+            nxt[d] += (85 * pr[s]) // (100 * deg[s])
+        pr = nxt
+    assert got == pr
+    # hub outranks leaves; leaves tie exactly (integer determinism)
+    assert got["h"] > got["a"] == got["b"] == got["c"]
+    # mass is conserved up to the documented floor loss
+    assert sum(got.values()) <= PR_SCALE
+    assert sum(got.values()) > PR_SCALE - len(edges) * 3 - n * 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(df, n_iter=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping_num=0)

@@ -264,3 +264,37 @@ def chunk_documents(
         F.col("_ch.chunk_text").alias("chunk_text"),
         F.col("_ch.n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_expr: str,
+    base_rate: float,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-ROW weighted Bernoulli sampling: keep each row with
+    probability ``min(1, base_rate · weight)`` — the quality-weighted
+    corpus sampling step ("keep high-quality documents at a higher
+    rate") real pre-training pipelines run, where the per-stratum
+    :func:`mixture_sample` is too coarse because the weight is a
+    continuous per-document score, not a group label.
+
+    Deterministic and reproducible like every sampler here: the coin
+    is ``hash(key, salt) mod DENOM`` compared against
+    ``floor(min(1, base_rate · weight) · DENOM)`` — the weight enters
+    through ONE IEEE multiply and a floor, so the kept set is
+    bit-identical across engines, runs, and cluster sizes, and a
+    re-run with the same salt reproduces the sample exactly (change
+    the salt to draw an independent sample). Pure map-side filter:
+    zero shuffles, pushdown-friendly."""
+    if not 0 < base_rate:
+        raise ValueError(f"base_rate must be > 0, got {base_rate}")
+    h = spark_phash(
+        f"concat_ws('|', {', '.join(key_cols)}, {_sql_str(salt)})"
+    )
+    thresh = (
+        f"CAST(floor(least(1.0D, {float(base_rate)!r}D * ({weight_expr})) "
+        f"* {SAMPLE_DENOM}) AS BIGINT)"
+    )
+    return df.filter(F.expr(f"({h}) % {SAMPLE_DENOM} < {thresh}"))

@@ -36,6 +36,7 @@ _DRIVER_UNCHECKED_HEAD = [
     "key_skew_profile",  # heavy-key diagnostic for salting decisions
     "join_overlap_estimate",  # KMV union/Jaccard/intersection sketch
     "trade_pagerank",  # integer-exact PageRank (unrolled-CTE oracle)
+    "quality_weighted_sample",  # continuous-weight deterministic sampling
     "doc_lm_score",  # bigram-LM fluency score (log-free)
     "bpe_merges",  # iterative BPE merge loop (rows-only)
     "funnel_steps",  # parameterized 4-stage funnel

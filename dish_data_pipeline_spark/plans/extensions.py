@@ -216,6 +216,55 @@ FROM t
 """
 
 
+WEIGHTED_SAMPLE_RATE = 0.4
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: keep each document with
+    probability min(1, 0.4 · quality) — the continuous per-document
+    variant of mixture sampling ("sample high-quality docs at a
+    higher rate") used when the weight is a score, not a stratum.
+    Deterministic hash coin (reproducible, salt-switchable), weight
+    enters through one IEEE multiply + floor: kept set hash-exact
+    cross-engine. Zero shuffles."""
+    from dish_data_pipeline_spark.ops.sampling import weighted_sample
+    from dish_data_pipeline_spark.ops.text import quality_score
+
+    d = read(spark, sf_dir, "documents").withColumn("quality", quality_score())
+    return weighted_sample(
+        d, ["doc_id"], "quality", WEIGHTED_SAMPLE_RATE
+    ).select("doc_id", "lang", "quality")
+
+
+def _sql_weighted_sample() -> str:
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+    from dish_data_pipeline_spark.ops.sampling import SAMPLE_DENOM
+
+    h = duck_phash("concat_ws('|', cast(doc_id as string), 'wsample')")
+    rate = f"CAST({WEIGHTED_SAMPLE_RATE!r} AS DOUBLE)"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         CAST(LENGTH(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+')) AS DOUBLE)
+           AS n_tokens,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', '', 'g'))
+           AS DOUBLE) AS n_punct
+  FROM documents),
+q AS (
+  SELECT doc_id, lang,
+         (CASE WHEN n_chars / GREATEST(n_tokens, 1.0) >= 2
+                AND n_chars / GREATEST(n_tokens, 1.0) <= 12 THEN 1.0 ELSE 0.5 END)
+         * (CASE WHEN n_punct / GREATEST(n_chars, 1.0) <= 0.2 THEN 1.0 ELSE 0.5 END)
+           AS quality
+  FROM t)
+SELECT doc_id, lang, quality FROM q
+WHERE ({h}) % {SAMPLE_DENOM}
+    < CAST(floor(least(CAST(1.0 AS DOUBLE), {rate} * quality)
+                 * {SAMPLE_DENOM}) AS BIGINT)
+"""
+
+
 # --- Document fingerprint (md5) -----------------------------------
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read(spark, sf_dir, "documents")
@@ -1967,6 +2016,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_bigram_lm, SQL_BIGRAM_LM,
         "bigram LM counts with Kneser-Ney continuation counts",
         ("text", "agg", "topk")),
+    "quality_weighted_sample": QueryDef(
+        q_quality_weighted_sample, _sql_weighted_sample(),
+        "per-row quality-weighted Bernoulli sampling (deterministic coin)",
+        ("sampling", "text", "quality")),
     "trade_pagerank": QueryDef(
         q_trade_pagerank, _sql_trade_pagerank(),
         "integer-quantized PageRank on the customer-supplier trade graph",

@@ -470,3 +470,38 @@ def test_pagerank_matches_integer_twin_and_ranks_hub_first(spark):
         pagerank(df, n_iter=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping_num=0)
+
+
+def test_weighted_sample_rate_tracks_weight_and_is_reproducible(spark):
+    from dish_data_pipeline_spark.ops.sampling import weighted_sample
+
+    df = spark.range(20000).selectExpr(
+        "id AS k",
+        # weights 0.25 / 0.5 / 1.0 in equal thirds
+        "CAST(CASE id % 3 WHEN 0 THEN 0.25 WHEN 1 THEN 0.5 ELSE 1.0 END"
+        " AS DOUBLE) AS w",
+    )
+    kept = weighted_sample(df, ["k"], "w", base_rate=0.6)
+    by_w = {
+        r.w: r.n
+        for r in kept.groupBy("w").count().withColumnRenamed("count", "n").collect()
+    }
+    # expected keep rates: 0.15 / 0.30 / 0.60 of ~6667 each
+    for w, expect in [(0.25, 0.15), (0.5, 0.30), (1.0, 0.60)]:
+        got = by_w[w] / (20000 / 3)
+        assert abs(got - expect) < 0.03, (w, got)
+    # reproducible; different salt = different draw
+    again = weighted_sample(df, ["k"], "w", base_rate=0.6)
+    assert kept.exceptAll(again).count() == 0
+    other = weighted_sample(df, ["k"], "w", base_rate=0.6, salt="other")
+    assert other.exceptAll(kept).count() > 0
+    # weights > 1/base_rate cap at probability 1 (everything kept)
+    allkept = weighted_sample(
+        df.selectExpr("k", "CAST(99.0 AS DOUBLE) AS w"), ["k"], "w", 0.6
+    )
+    assert allkept.count() == 20000
+
+    import pytest
+
+    with pytest.raises(ValueError, match="base_rate"):
+        weighted_sample(df, ["k"], "w", 0)

@@ -69,6 +69,8 @@ def pagerank(
         e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
     n = nodes.count()  # driver scalar — model state, one row
+    if n == 0:
+        raise ValueError("edges relation is empty — no nodes to rank")
     init_q = PR_SCALE // n
     base_q = ((damping_den - damping_num) * PR_SCALE) // (damping_den * n)
     pr = nodes.withColumn("pr_q", F.lit(init_q).cast("bigint"))

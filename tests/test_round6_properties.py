@@ -505,3 +505,13 @@ def test_weighted_sample_rate_tracks_weight_and_is_reproducible(spark):
 
     with pytest.raises(ValueError, match="base_rate"):
         weighted_sample(df, ["k"], "w", 0)
+
+
+def test_pagerank_empty_edges_raises(spark):
+    import pytest
+
+    from dish_data_pipeline_spark.ops.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(empty)

@@ -288,6 +288,11 @@ def sessionize(
     volume."""
     if gap_sec < 1:
         raise ValueError(f"gap_sec must be >= 1, got {gap_sec}")
+    reserved = {"session_seq", "session_start", "session_end", "n_events",
+                "duration_sec"}
+    clash = reserved & set(extra_aggs or {})
+    if clash:
+        raise ValueError(f"extra_aggs clash with output columns: {sorted(clash)}")
     tb = [F.col(c).asc() for c in (tiebreakers or [])]
     w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc(), *tb)
     w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -515,3 +515,16 @@ def test_pagerank_empty_edges_raises(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty"):
         pagerank(empty)
+
+
+def test_sessionize_rejects_reserved_extra_agg_names(spark):
+    import pytest
+
+    from dish_data_pipeline_spark.ops.timeseries import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], "event_id int, user_id int, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="clash"):
+        sessionize(df, "ts", ["user_id"], 60,
+                   extra_aggs={"n_events": F.count(F.lit(1))})

@@ -286,8 +286,10 @@ def weighted_sample(
     through ONE IEEE multiply and a floor, so the kept set is
     bit-identical across engines, runs, and cluster sizes, and a
     re-run with the same salt reproduces the sample exactly (change
-    the salt to draw an independent sample). Pure map-side filter:
-    zero shuffles, pushdown-friendly."""
+    the salt to draw an independent sample). Rows whose weight is
+    NULL are dropped (NULL threshold fails the comparison) — score
+    your corpus before sampling it. Pure map-side filter: zero
+    shuffles, pushdown-friendly."""
     if not 0 < base_rate:
         raise ValueError(f"base_rate must be > 0, got {base_rate}")
     h = spark_phash(

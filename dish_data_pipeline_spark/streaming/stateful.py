@@ -142,6 +142,7 @@ def stream_zscore(
     value_col: str = "value",
     window_rows: int = 24,
     threshold: float = 3.0,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Streaming twin of :func:`ops.timeseries.rolling_zscore`: per
     key, flag values deviating more than ``threshold`` standard
@@ -155,17 +156,24 @@ def stream_zscore(
     variance → NULL z, flag false); state is a bounded
     ``window_rows``-element array of doubles per key — O(window) per
     key regardless of stream volume. Rows are processed in
-    (ts_col) order within each micro-batch; cross-batch order is
-    arrival order, so pair with a watermark-bounded source if heavy
-    reordering is possible. Compose after a streaming resample for a
-    regularized grid, exactly like the batch pipeline.
+    (ts_col, *tiebreak_cols) order within each micro-batch (pass
+    tiebreakers when equal timestamps are possible — state evolution
+    is order-sensitive, and a bare timestamp sort leaves tie order
+    arbitrary); cross-batch order is arrival order, so pair with a
+    watermark-bounded source if heavy reordering is possible.
+    Compose after a streaming resample for a regularized grid,
+    exactly like the batch pipeline.
 
     Output: key cols + (ts_col, value DOUBLE, zscore DOUBLE,
     is_anomaly BOOLEAN), append mode — schema derived from the input
     like :func:`stream_debounce`."""
     if window_rows < 1:
         raise ValueError(f"window_rows must be >= 1, got {window_rows}")
-    missing = [c for c in (*key_cols, ts_col, value_col) if c not in events.columns]
+    missing = [
+        c
+        for c in (*key_cols, ts_col, value_col, *tiebreak_cols)
+        if c not in events.columns
+    ]
     if missing:
         raise ValueError(f"columns absent from events: {missing}")
     from pyspark.sql.types import (
@@ -194,7 +202,7 @@ def stream_zscore(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values(ts_col)
+            pdf = pdf.sort_values([ts_col, *tiebreak_cols], kind="stable")
             out_ts, out_v, out_z, out_flag = [], [], [], []
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
                 x = float(v)

@@ -192,21 +192,29 @@ def main() -> None:
             continue
         try:
             t = _timed_run(qd)
-            ref = baseline.get(name)
-            reruns = 0
-            while (
-                ref is not None
-                and ref > 0
-                and t > RERUN_RATIO * ref
-                and reruns < MAX_RERUNS
-            ):
-                t = min(t, _timed_run(qd))
-                reruns += 1
-            timings[name] = t
         except Exception as exc:  # a failing query must not hide the rest
             print(f"# bench error {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
             _isolate()
+            continue
+        ref = baseline.get(name)
+        reruns = 0
+        while (
+            ref is not None
+            and ref > 0
+            and t > RERUN_RATIO * ref
+            and reruns < MAX_RERUNS
+        ):
+            # A failed RE-run must not discard the valid first
+            # measurement — keep the best successful time.
+            try:
+                t = min(t, _timed_run(qd))
+            except Exception as exc:
+                print(f"# bench rerun error {name}: {exc}", file=sys.stderr)
+                _isolate()
+                break
+            reruns += 1
+        timings[name] = t
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     regressions = find_regressions(timings, baseline)

@@ -55,6 +55,12 @@ def with_shard_assignment(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if key_col not in df.columns:
         raise ValueError(f"key column {key_col!r} absent from input")
+    taken = {SHARD_COL, "_order"} & set(df.columns)
+    if taken:  # withColumn would silently overwrite user data
+        raise ValueError(
+            f"input already has column(s) {sorted(taken)} — rename them "
+            "before sharding"
+        )
     if portable:
         h = F.expr(
             spark_phash(f"concat('{int(seed)}:', cast({key_col} as string))")

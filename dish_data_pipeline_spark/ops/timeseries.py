@@ -289,7 +289,7 @@ def sessionize(
     if gap_sec < 1:
         raise ValueError(f"gap_sec must be >= 1, got {gap_sec}")
     reserved = {"session_seq", "session_start", "session_end", "n_events",
-                "duration_sec"}
+                "duration_sec", *key_cols}
     clash = reserved & set(extra_aggs or {})
     if clash:
         raise ValueError(f"extra_aggs clash with output columns: {sorted(clash)}")

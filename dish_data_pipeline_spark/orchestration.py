@@ -227,15 +227,20 @@ def _call_with_timeout(
     result: list[object] = []
 
     def _target() -> None:
-        # Job groups are thread-local: set it inside the worker so
-        # cancelJobGroup kills exactly this attempt's Spark jobs.
-        sc.setJobGroup(group, f"{stage.__name__} (timeout {timeout_sec}s)")
         try:
+            # Job groups are thread-local: set it inside the worker
+            # so cancelJobGroup kills exactly this attempt's Spark
+            # jobs. Inside the try: a dead SparkContext must land in
+            # result as the REAL error, not leave result empty.
+            sc.setJobGroup(group, f"{stage.__name__} (timeout {timeout_sec}s)")
             result.append(stage(ctx))
         except BaseException as exc:  # noqa: BLE001 — re-raised in caller
             result.append(exc)
         finally:
-            sc.setJobGroup("", "")
+            try:
+                sc.setJobGroup("", "")
+            except Exception:
+                pass  # context already gone; error is in result
 
     # A daemon thread (not ThreadPoolExecutor, whose workers are
     # non-daemon and joined at interpreter exit) so a stage whose
@@ -251,6 +256,10 @@ def _call_with_timeout(
         raise TimeoutError(
             f"{stage.__name__} exceeded execution_timeout "
             f"{timeout_sec}s (job group {group} cancelled)"
+        )
+    if not result:  # worker died without recording anything
+        raise RuntimeError(
+            f"{stage.__name__} worker thread exited without a result"
         )
     out = result[0]
     if isinstance(out, BaseException):

@@ -53,6 +53,11 @@ def stateful_user_stats(events: DataFrame, key: str = "user_id") -> DataFrame:
     )
 
 
+# NOTE: round 6 changed this from double to bigint (whole-second
+# granularity contract). State schemas are part of a streaming
+# query's CHECKPOINT format — a stream started on the double schema
+# cannot resume from its old checkpoint after upgrading; restart
+# with a fresh checkpoint directory.
 DEBOUNCE_STATE_SCHEMA = "last_kept_sec bigint"
 
 
@@ -205,6 +210,16 @@ def stream_zscore(
             pdf = pdf.sort_values([ts_col, *tiebreak_cols], kind="stable")
             out_ts, out_v, out_z, out_flag = [], [], [], []
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                # NULL/NaN values never enter the trailing window —
+                # the batch twin's F.count/F.sum skip NULLs, and one
+                # NaN would otherwise poison the stats (NaN mean →
+                # var > 0 false) for the next window_rows rows.
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    out_ts.append(ts)
+                    out_v.append(None)
+                    out_z.append(None)
+                    out_flag.append(False)
+                    continue
                 x = float(v)
                 n = len(vals)
                 z = None

@@ -528,3 +528,55 @@ def test_sessionize_rejects_reserved_extra_agg_names(spark):
     with pytest.raises(ValueError, match="clash"):
         sessionize(df, "ts", ["user_id"], 60,
                    extra_aggs={"n_events": F.count(F.lit(1))})
+
+
+def test_stream_zscore_null_value_does_not_poison_window(spark, tmp_path):
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from dish_data_pipeline_spark.streaming.stateful import stream_zscore
+
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    rows = [
+        {"k": "a", "ts": "2024-01-01T00:00:00Z", "value": 10.0},
+        {"k": "a", "ts": "2024-01-01T00:01:00Z", "value": 11.0},
+        {"k": "a", "ts": "2024-01-01T00:02:00Z", "value": None},
+        {"k": "a", "ts": "2024-01-01T00:03:00Z", "value": 13.0},
+        {"k": "a", "ts": "2024-01-01T00:04:00Z", "value": 400.0},  # spike
+    ]
+    with open(indir / "b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+    stream = spark.readStream.schema(schema).json(str(indir))
+    q = (
+        stream_zscore(stream, key_cols=("k",), window_rows=3, threshold=2.0)
+        .writeStream.format("memory")
+        .queryName("zscored_null")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.ts.minute: (r.value, r.zscore, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM zscored_null").collect()
+    }
+    assert len(got) == 5
+    assert got[2] == (None, None, False)  # the NULL row itself
+    # the spike right after the NULL is still flagged — trailing
+    # window is {10, 11, 13}, not poisoned by NaN
+    assert got[4][2] is True and got[4][1] is not None

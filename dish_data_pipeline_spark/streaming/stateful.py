@@ -250,3 +250,101 @@ def stream_zscore(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming twin of :func:`ops.timeseries.funnel_times`:
+    per-user ordered-step funnel progression maintained in the state
+    store — emit a row the moment a user's chain ADVANCES a stage
+    (append mode), instead of recomputing the whole funnel per batch.
+
+    ``steps`` is the ordered list of ``step_col`` values; stage k
+    advances on the first event matching step k with a timestamp
+    STRICTLY AFTER stage k-1's time — the batch operator's
+    time-anchored semantics. State per user is one timestamp per
+    stage (O(len(steps))). Equal to the batch funnel on in-order
+    streams; out-of-order delivery can miss an earlier qualifying
+    event the batch pass would pick (kept-anchored caveat shared
+    with :func:`stream_debounce`) — pair with a watermark-bounded
+    source if heavy reordering is possible.
+
+    Output: (user_col, stage INT, stage_name STRING, stage_ts) —
+    ``stage`` is the 1-based index, so a funnel dashboard can count
+    ``WHERE stage >= k`` without string ordering."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("steps must be distinct")
+    missing = [
+        c
+        for c in (user_col, ts_col, step_col, *tiebreak_cols)
+        if c not in events.columns
+    ]
+    if missing:
+        raise ValueError(f"columns absent from events: {missing}")
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            events.schema[user_col],
+            StructField("stage", IntegerType()),
+            StructField("stage_name", StringType()),
+            StructField("stage_ts", events.schema[ts_col].dataType),
+        ]
+    )
+    state_schema = ", ".join(f"t{i} timestamp" for i in range(len(steps)))
+    n_steps = len(steps)
+    step_index = {s: i for i, s in enumerate(steps)}
+
+    def _advance(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        stages = list(state.get) if state.exists else [None] * n_steps
+        advanced = False
+        out_stage, out_name, out_ts = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, *tiebreak_cols], kind="stable")
+            for ts, step in zip(pdf[ts_col], pdf[step_col]):
+                i = step_index.get(step)
+                if i is None or stages[i] is not None:
+                    continue
+                if i > 0 and (stages[i - 1] is None or not ts > stages[i - 1]):
+                    continue
+                stages[i] = ts
+                advanced = True
+                out_stage.append(i + 1)
+                out_name.append(step)
+                out_ts.append(ts)
+        if advanced:
+            state.update(tuple(stages))
+        if out_stage:
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]] * len(out_stage),
+                    "stage": out_stage,
+                    "stage_name": out_name,
+                    "stage_ts": out_ts,
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        _advance,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

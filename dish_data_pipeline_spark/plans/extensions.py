@@ -1386,11 +1386,19 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds of count-adjacent-pairs → merge-the-argmax over the
     distinct-word relation — the corpus is scanned once, every
     iteration is vocab-bounded, model state on the driver is one row
-    per round. Output is the ordered merge table. Iterative +
-    data-dependent argmax per round, so no single-statement SQL twin
-    exists (rows-only driver check); the merge procedure is twinned
-    step-for-step by a pure-Python property test
-    (tests/test_round6_properties.py)."""
+    per round. Output is the ordered merge table. The DuckDB twin
+    unrolls the fixed merge count into chained CTEs (the
+    ``trade_pagerank`` device, ops/graph.py:9-28): each round is one
+    pair-count aggregate, one argmax with the identical (count DESC,
+    left ASC, right ASC) tiebreak, and the greedy ``_merge_fold``
+    re-expressed as a DuckDB ``list_reduce`` over singleton-wrapped
+    symbols (the accumulator must share the element type, so symbols
+    ride as one-element lists). Early stop is mirrored structurally:
+    a round whose best pair misses ``min_pair_count`` yields an empty
+    ``m{i}``, the CROSS JOIN empties every later vocab, and no
+    further merge rows appear — exactly ``bpe_train``'s break. The
+    merge procedure is additionally twinned step-for-step by a
+    pure-Python property test (tests/test_round6_properties.py)."""
     from dish_data_pipeline_spark.ops.text import bpe_train
 
     d = read(spark, sf_dir, "documents")
@@ -1399,6 +1407,48 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, l, r, c) for s, l, r, c in merges],
         "step int, left string, right string, pair_count bigint",
     )
+
+
+def _sql_bpe_merges(n_merges: int = BPE_N_MERGES, min_pair_count: int = 2) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`q_bpe_merges` — see its
+    docstring for the device. One CTE triple (pairs → argmax →
+    fold-rewritten vocab) per merge round."""
+    rounds = []
+    for i in range(1, n_merges + 1):
+        prev = f"vocab{i - 1}"
+        rounds.append(f"""pairs{i} AS (
+  SELECT p['l'] AS l, p['r'] AS r, CAST(SUM(n) AS BIGINT) AS c
+  FROM (SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                      j -> {{'l': syms[j], 'r': syms[j + 1]}})) AS p, n
+        FROM {prev})
+  GROUP BY 1, 2),
+m{i} AS (SELECT {i} AS step, l, r, c FROM pairs{i}
+         WHERE c >= {min_pair_count}
+         ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+vocab{i} AS (
+  SELECT list_reduce(
+           list_transform(v.syms, s -> [s]),
+           (acc, x) -> CASE WHEN acc[len(acc)] = b.l AND x[1] = b.r
+                       THEN acc[1:len(acc) - 1] || [b.l || b.r]
+                       ELSE acc || x END) AS syms,
+         v.n
+  FROM {prev} v CROSS JOIN m{i} b)""")
+    un = "\nUNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS w
+  FROM documents),
+vocab0 AS (
+  SELECT regexp_extract_all(w, '.') AS syms, CAST(COUNT(*) AS BIGINT) AS n
+  FROM words WHERE length(w) >= 2 GROUP BY w),
+{','.join(rounds)}
+SELECT CAST(step AS INTEGER) AS step, l AS "left", r AS "right",
+       c AS pair_count
+FROM ({un})
+ORDER BY step
+"""
 
 
 # --- Corpus drift (per-source distribution divergence) ------------
@@ -2037,9 +2087,9 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "per-doc bigram-LM fluency score (log-free perplexity proxy)",
         ("text", "quality", "agg")),
     "bpe_merges": QueryDef(
-        q_bpe_merges, None,
-        "BPE merge loop: 8 iterative argmax-pair merges (rows-only; "
-        "Python-twin property test)",
+        q_bpe_merges, _sql_bpe_merges(),
+        "BPE merge loop: 8 iterative argmax-pair merges "
+        "(unrolled-CTE list_reduce oracle)",
         ("text", "iterative")),
     "text_clean": QueryDef(
         q_text_clean, _sql_text_clean(),

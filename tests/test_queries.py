@@ -32,3 +32,29 @@ def test_oracle_sql_subset_of_queries():
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) == len(QUERIES)
+
+
+def test_rotation_head_is_least_recently_verified():
+    """plans/rotation.py is GENERATED from CORRECTNESS_r*.json by
+    tools/gen_rotation_head.py; a stale copy silently burns the
+    driver's ~50-query budget on already-certified queries. This
+    recomputes the ordering from the same inputs and diffs."""
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    try:
+        import gen_rotation_head as gen
+    finally:
+        sys.path.pop(0)
+
+    from dish_data_pipeline_spark.plans import catalog_definition_order
+    from dish_data_pipeline_spark.plans.rotation import DRIVER_ROTATION_ORDER
+
+    names = catalog_definition_order()
+    expected = gen.rotation_order(names, gen.driver_history(str(repo)))
+    assert DRIVER_ROTATION_ORDER == expected, (
+        "plans/rotation.py is stale — run: python tools/gen_rotation_head.py"
+    )
+    assert set(DRIVER_ROTATION_ORDER) == set(names)

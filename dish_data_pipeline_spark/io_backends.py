@@ -16,6 +16,20 @@ merged into.
 - ``ParquetSwapBackend`` (default): the join-based MERGE + directory
   swap. Works anywhere Spark can list files; single-writer scope is
   documented on io.atomic_overwrite.
+- ``ManifestParquetBackend``: pure-Parquet versioned-manifest table —
+  immutable data files plus a ``_log/`` of JSON commit manifests,
+  committed by atomic create-if-absent (``os.link``). Readers only
+  ever see a committed manifest (snapshot isolation + time travel);
+  writers use optimistic concurrency with recompute-on-conflict, so
+  concurrent MERGEs serialize instead of losing updates. This is the
+  minimal shape of the Delta/Iceberg commit protocol (Armbrust et
+  al., "Delta Lake: High-Performance ACID Table Storage", VLDB 2020)
+  with zero optional dependencies — the tier that makes the
+  reference's BigQuery-MERGE atomicity (reference
+  pipeline/data_pipeline.py:155-216) executable on any POSIX
+  filesystem. Scope: atomic create-if-absent needs ``os.link``
+  semantics (POSIX / HDFS-style), not S3; object-store deployments
+  use the DeltaBackend tier below.
 - ``DeltaBackend``: native ``DeltaTable.merge`` — optimistic
   concurrency via the transaction log, multi-writer safe, and at
   100 TB the data-skipping/file-pruning MERGE path rewrites only the
@@ -34,7 +48,10 @@ it is left to deployments that have one.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import uuid
 from collections.abc import Sequence
 from typing import Protocol
 
@@ -106,6 +123,201 @@ class ParquetSwapBackend:
         dio.atomic_overwrite(upsert(target, deduped, keys), path)
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer committed first and retries ran out (or
+    the table already existed on ``create``)."""
+
+
+class ManifestParquetBackend:
+    """Versioned-manifest Parquet table with optimistic concurrency.
+
+    Layout::
+
+        <path>/data/<uuid>/part-*.parquet   immutable data files
+        <path>/_log/v000000000042.json      commit manifest, one per version
+
+    A manifest lists the (relative) data files of that snapshot plus
+    the schema JSON; the table's current state is the
+    highest-numbered manifest. Commit = write the manifest body to a
+    temp file, fsync, then ``os.link`` it to ``v{N}.json`` — the link
+    is atomic create-if-absent, so exactly one of any competing
+    writers wins version N and a crash can never expose a
+    half-written manifest. Data files written by a loser are
+    unreferenced garbage until :meth:`vacuum`.
+
+    MERGE concurrency: each attempt reads the latest snapshot,
+    recomputes the join-based upsert against it, writes fresh data
+    files, and tries to commit ``latest+1``; on losing the race it
+    rereads and recomputes (serializable — the Delta/Iceberg
+    optimistic-retry shape), giving up with :class:`CommitConflict`
+    after ``max_retries`` losses.
+
+    Scale shape: every MERGE rewrites the full table (same as
+    ParquetSwapBackend) — at lakehouse scale use DeltaBackend, whose
+    MERGE rewrites only key-intersecting files. What this tier adds
+    over the directory swap is *multi-writer safety and snapshot
+    reads*, not rewrite avoidance.
+    """
+
+    name = "manifest"
+
+    def __init__(self, max_retries: int = 5) -> None:
+        self.max_retries = max_retries
+
+    # -- layout -----------------------------------------------------
+    @staticmethod
+    def _log_dir(path: str) -> str:
+        return os.path.join(path, "_log")
+
+    @staticmethod
+    def _manifest_path(path: str, version: int) -> str:
+        return os.path.join(path, "_log", f"v{version:012d}.json")
+
+    def latest_version(self, path: str) -> int | None:
+        """Highest committed version, or None for no table."""
+        log = self._log_dir(path)
+        if not os.path.isdir(log):
+            return None
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(log)
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+        ]
+        return max(versions) if versions else None
+
+    def _manifest(self, path: str, version: int) -> dict:
+        with open(self._manifest_path(path, version)) as f:
+            return json.load(f)
+
+    # -- data + commit ----------------------------------------------
+    def _write_data(self, df: DataFrame, path: str) -> tuple[list[str], str]:
+        """Materialize ``df`` as immutable files under a fresh
+        ``data/<uuid>`` dir; return (relative file list, schema json)."""
+        rel_dir = os.path.join("data", uuid.uuid4().hex)
+        out = os.path.join(path, rel_dir)
+        df.write.parquet(out)
+        files = sorted(
+            os.path.join(rel_dir, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+        return files, df.schema.json()
+
+    def _try_commit(self, path: str, version: int, manifest: dict) -> bool:
+        """Atomically claim ``version``; False if a rival got there."""
+        log = self._log_dir(path)
+        os.makedirs(log, exist_ok=True)
+        tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps(manifest, sort_keys=True).encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:
+            os.link(tmp, self._manifest_path(path, version))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    # -- TableBackend protocol --------------------------------------
+    def exists(self, spark: SparkSession, path: str) -> bool:
+        return self.latest_version(path) is not None
+
+    def read(
+        self, spark: SparkSession, path: str, version: int | None = None
+    ) -> DataFrame:
+        """Read a committed snapshot (latest, or time-travel to
+        ``version``). Schema comes from the manifest, so an empty
+        snapshot round-trips and late data files can't widen it."""
+        from pyspark.sql.types import StructType
+
+        v = self.latest_version(path) if version is None else version
+        if v is None or not os.path.exists(self._manifest_path(path, v)):
+            raise FileNotFoundError(
+                f"no committed version {version!r} at {path}"
+            )
+        man = self._manifest(path, v)
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        files = [os.path.join(path, f) for f in man["files"]]
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    def create(self, df: DataFrame, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        if self.latest_version(path) is not None:
+            raise CommitConflict(f"table already exists at {path}")
+        files, schema = self._write_data(df, path)
+        if not self._try_commit(
+            path, 0, {"version": 0, "parent": None, "files": files,
+                      "schema": schema}
+        ):
+            raise CommitConflict(f"concurrent create at {path}")
+
+    def merge_keep_latest(
+        self,
+        spark: SparkSession,
+        path: str,
+        staging: DataFrame,
+        keys: Sequence[str],
+        ts_col: str,
+        tiebreakers: Sequence[str] = (),
+        _pre_commit_hook=None,
+    ) -> None:
+        """Optimistic-retry MERGE (see class docstring).
+        ``_pre_commit_hook(attempt)`` is a test seam invoked between
+        materializing an attempt's result and trying its commit — the
+        window where a rival can win the version race."""
+        from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+        deduped = tracked_persist(keep_latest(staging, keys, ts_col, tiebreakers))
+        for attempt in range(self.max_retries + 1):
+            base = self.latest_version(path)
+            if base is None:
+                raise FileNotFoundError(f"no table at {path}; create() first")
+            target = self.read(spark, path, base)
+            files, schema = self._write_data(upsert(target, deduped, keys), path)
+            if _pre_commit_hook is not None:
+                _pre_commit_hook(attempt)
+            if self._try_commit(
+                path,
+                base + 1,
+                {"version": base + 1, "parent": base, "files": files,
+                 "schema": schema},
+            ):
+                return
+        raise CommitConflict(
+            f"lost the commit race {self.max_retries + 1} times at {path}"
+        )
+
+    def vacuum(self, path: str) -> list[str]:
+        """Delete data files referenced by NO committed manifest
+        (losers of commit races, crashed writers). Single-maintainer
+        operation: a concurrently *in-flight* writer's not-yet-
+        committed files look unreferenced too — run vacuum quiesced,
+        or accept that the in-flight writer retries (its commit loop
+        recomputes from scratch). Returns deleted relative paths."""
+        log = self._log_dir(path)
+        if not os.path.isdir(log):
+            return []
+        referenced: set[str] = set()
+        for f in os.listdir(log):
+            if f.startswith("v") and f.endswith(".json"):
+                referenced.update(self._manifest(path, int(f[1:-5]))["files"])
+        referenced_dirs = {os.path.dirname(f) for f in referenced}
+        deleted: list[str] = []
+        data = os.path.join(path, "data")
+        for d in sorted(os.listdir(data)) if os.path.isdir(data) else []:
+            rel = os.path.join("data", d)
+            if rel not in referenced_dirs:
+                shutil.rmtree(os.path.join(path, rel))
+                deleted.append(rel)
+        return deleted
+
+
 def merge_condition(keys: Sequence[str], left: str = "t", right: str = "s") -> str:
     """SQL ON-condition for a MERGE on bare equality keys — matches
     the join-based upsert's semantics (plain ``=``: null keys never
@@ -168,6 +380,7 @@ class DeltaBackend:
 
 _BACKENDS = {
     "parquet": ParquetSwapBackend,
+    "manifest": ManifestParquetBackend,
     "delta": DeltaBackend,
 }
 

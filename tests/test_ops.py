@@ -285,3 +285,110 @@ def test_decode_image_real_kernel_when_forced(monkeypatch):
 
     with _pytest.raises(NotImplementedError):
         mm.decode_image(b"anything")
+
+
+def _ppm_p6(w, h):
+    """Planted P6 raster with a comment in the header; pixel bytes
+    are 0,1,2,... so every position is checkable."""
+    return (
+        f"P6\n# planted\n{w} {h}\n255\n".encode()
+        + bytes(i % 256 for i in range(w * h * 3))
+    )
+
+
+def _bmp24(pixels):
+    """Minimal uncompressed 24-bit BMP from rows of (r,g,b), top row
+    first — stored bottom-up, BGR, 4-byte row padding per the format."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    row_bytes = (w * 3 + 3) & ~3
+    raster = b"".join(
+        b"".join(bytes((b, g, r)) for (r, g, b) in row).ljust(row_bytes, b"\x00")
+        for row in reversed(pixels)
+    )
+    fh = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                     2835, 2835, 0, 0)
+    return fh + ih + raster
+
+
+def test_decode_ppm_and_pgm_pure_python():
+    from dish_data_pipeline_spark.ops import multimodal as mm
+
+    arr = mm.decode_image(_ppm_p6(3, 2))
+    assert arr.shape == (2, 3, 3)
+    assert [int(v) for v in arr[0, 0]] == [0, 1, 2]
+    assert [int(v) for v in arr[1, 2]] == [15, 16, 17]
+
+    pgm = b"P5\n2 2\n255\n" + bytes([9, 8, 7, 6])
+    arr = mm.decode_image(pgm)
+    assert arr.shape == (2, 2) and int(arr[0, 0]) == 9 and int(arr[1, 1]) == 6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="raster"):
+        mm.decode_ppm(b"P6\n2 2\n255\n\x00")  # truncated
+
+
+def test_decode_bmp_bottom_up_padding_and_bgr():
+    from dish_data_pipeline_spark.ops import multimodal as mm
+
+    pixels = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+    ]
+    arr = mm.decode_image(_bmp24(pixels))
+    assert arr.shape == (2, 3, 3)
+    # row order and BGR→RGB both round-trip
+    assert [[tuple(int(v) for v in px) for px in row] for row in arr] == pixels
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="24-bit"):
+        bad = bytearray(_bmp24(pixels))
+        bad[28] = 8  # bpp
+        mm.decode_bmp(bytes(bad))
+
+
+def test_real_decode_through_extract_features(spark):
+    """End-to-end: planted real-format bytes (PPM + BMP) flow the
+    binary column → mapInPandas → REAL decode → pixel-statistic
+    features. No imaging library involved."""
+    from dish_data_pipeline_spark.ops import multimodal as mm
+
+    ppm, bmp = _ppm_p6(4, 2), _bmp24([[(10, 10, 10), (40, 40, 40)]])
+    d = spark.createDataFrame(
+        [Row(doc_id=0, content=bytearray(ppm)),
+         Row(doc_id=1, content=bytearray(bmp))]
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+            F.lit("planted").alias("source"),
+        ),
+    )
+    rows = {
+        r.doc_id: r.features
+        for r in extract_features(
+            d, batch_extractor=mm.decoded_feature_extract
+        ).collect()
+    }
+    assert rows[0][:3] == [2.0, 4.0, 3.0]  # h, w, channels
+    assert rows[0][4] == 0.0 and rows[0][5] == 23.0  # min, max of 0..23
+    assert rows[1][:3] == [1.0, 2.0, 3.0]
+    assert rows[1][3] == 25.0  # mean of 10s and 40s
+
+
+def test_decode_resize_kernel_real_pixels(spark):
+    from dish_data_pipeline_spark.ops import multimodal as mm
+    from dish_data_pipeline_spark.ops.multimodal import resize_images
+
+    # 4×4 grayscale ramp → 2×2 nearest-neighbor picks rows/cols 0,2
+    pgm = b"P5\n4 4\n255\n" + bytes(range(16))
+    d = spark.createDataFrame([Row(doc_id=0, content=bytearray(pgm))])
+    out = resize_images(
+        d, width=2, height=2, kernel=mm.decode_resize_kernel
+    ).collect()[0]
+    assert bytes(out.content) == bytes([0, 2, 8, 10])

@@ -1451,6 +1451,62 @@ ORDER BY step
 """
 
 
+#: Fixed BPE merge table for the segmentation-replay query — the
+#: 8 merges ``bpe_train`` learns at sf0.01 (embedded as LITERALS so
+#: the query is deterministic at any sf and the oracle needs no
+#: training loop). Merge 6 ("m"+"er") consumes merge 1's output, so
+#: the replay exercises multi-character symbols, not just digraphs.
+BPE_SEGMENT_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+)
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation replay (the inference side of ``bpe_train``):
+    apply the fixed literal merge table to every document — per doc
+    the token count and a leading-tokens digest, so the oracle
+    value-verifies the actual segmentation, not just row counts.
+    Zero-shuffle: the merge table lives in the expression tree as
+    nested greedy folds, so this is a pure map-side projection at
+    any corpus size (PLANS.md). The DuckDB twin replays the same
+    folds as nested ``list_reduce`` calls over singleton-wrapped
+    symbols (the ``bpe_merges`` oracle device)."""
+    from dish_data_pipeline_spark.ops.text import bpe_segment
+
+    d = read(spark, sf_dir, "documents")
+    seg = bpe_segment(
+        d, [(i + 1, l, r, 0) for i, (l, r) in enumerate(BPE_SEGMENT_MERGES)]
+    )
+    return seg.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.slice("tokens", 1, 12), " ").alias("head_tokens"),
+    )
+
+
+def _sql_bpe_segment() -> str:
+    fold = "list_transform(regexp_extract_all(w, '.'), s -> [s])"
+    for left, right in BPE_SEGMENT_MERGES:
+        fold = f"""list_transform(list_reduce({fold},
+      (acc, x) -> CASE WHEN acc[len(acc)] = '{left}' AND x[1] = '{right}'
+                  THEN acc[1:len(acc) - 1] || ['{left}{right}']
+                  ELSE acc || x END), s -> [s])"""
+    # the final wrap back to singletons is undone here
+    fold = f"list_transform({fold}, s -> s[1])"
+    return f"""
+WITH seg AS (
+  SELECT doc_id,
+         flatten(list_transform(
+           regexp_extract_all(lower(text), '[A-Za-z0-9]+'),
+           w -> {fold})) AS tokens
+  FROM documents)
+SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+       array_to_string(tokens[1:12], ' ') AS head_tokens
+FROM seg
+"""
+
+
 # --- Corpus drift (per-source distribution divergence) ------------
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution divergence vs the whole corpus
@@ -2091,6 +2147,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "BPE merge loop: 8 iterative argmax-pair merges "
         "(unrolled-CTE list_reduce oracle)",
         ("text", "iterative")),
+    "bpe_segment": QueryDef(
+        q_bpe_segment, _sql_bpe_segment(),
+        "BPE segmentation replay: fixed merge table as zero-shuffle "
+        "nested folds",
+        ("text",)),
     "text_clean": QueryDef(
         q_text_clean, _sql_text_clean(),
         "text normalization: strip URLs/e-mails/control chars, collapse whitespace",

@@ -48,7 +48,23 @@ def pagerank(
     """Integer-quantized PageRank over a directed edge relation
     (pass each undirected edge in both directions). Returns
     ``(node, pr_q BIGINT, pr DOUBLE)`` — ``pr_q`` is the exact
-    fixed-point rank, ``pr`` the single final division by SCALE."""
+    fixed-point rank, ``pr`` the single final division by SCALE.
+
+    Dangling-node contract: a node with NO out-edges (dst-only)
+    keeps receiving the teleport base and whatever its in-edges
+    contribute, but its own rank mass is NOT redistributed — it
+    leaves the system each iteration, so on digraphs with sinks the
+    ranks do not sum to ~1 and deviate from textbook PageRank (which
+    spreads sink mass uniformly). This is deliberate: it keeps every
+    iteration a pure edge-join + sum (no extra global aggregate per
+    round) and is a no-op on graphs where every node has an out-edge
+    — e.g. symmetrized/undirected graphs like the ``trade_pagerank``
+    catalog query, the operator's primary consumer. For arbitrary
+    digraphs, either symmetrize, or pre-add self-loops on sinks
+    (``edges.union(sinks.select(node, node))`` — the common Spark
+    practice), or treat the result as the "non-dangling flow" rank
+    it is. Pinned by ``tests/test_round7_properties.py``'s
+    star-digraph test."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if not 0 < damping_num < damping_den:

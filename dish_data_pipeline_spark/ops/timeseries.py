@@ -108,8 +108,15 @@ def rolling_zscore(
     mean/variance are a fixed division chain on identical doubles,
     and sqrt is IEEE-correctly-rounded in every engine — so the
     z-score is bit-identical cross-engine by construction. The
-    ~1e-6 per-term truncation is part of the statistic's definition,
-    far below any anomaly-decision threshold. Buckets with fewer
+    truncation is part of the statistic's definition; its error is
+    NOT flat 1e-6: each x² term floors by up to 1/SCALE directly,
+    but the variance additionally carries the mean² cross term,
+    bounded by ~2·|mean|/SCALE — |value|-proportional, so at the
+    |value|≈1e5 edge of the safe domain the variance can be
+    distorted by ~0.2 absolute. On large-magnitude, genuinely
+    low-variance series that deflates z-scores; center such series
+    (subtract a per-key baseline) before scoring, which removes the
+    cross term entirely. Buckets with fewer
     than 2 trailing rows or zero variance get NULL z. One window
     exchange on the key (reused from gap_fill's when composed)."""
     w = (

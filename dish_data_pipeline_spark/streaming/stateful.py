@@ -57,7 +57,8 @@ def stateful_user_stats(events: DataFrame, key: str = "user_id") -> DataFrame:
 # granularity contract). State schemas are part of a streaming
 # query's CHECKPOINT format — a stream started on the double schema
 # cannot resume from its old checkpoint after upgrading; restart
-# with a fresh checkpoint directory.
+# with a fresh checkpoint directory. Operator-facing migration note:
+# CHANGELOG.md (repo root), "Round 6".
 DEBOUNCE_STATE_SCHEMA = "last_kept_sec bigint"
 
 
@@ -156,11 +157,17 @@ def stream_zscore(
     state store across micro-batches — the online anomaly gate for a
     monitoring stream that cannot wait for a batch re-run.
 
-    Same statistic as the batch operator (trailing mean/variance of
-    the previous observations; fewer than 2 trailing rows or zero
-    variance → NULL z, flag false); state is a bounded
-    ``window_rows``-element array of doubles per key — O(window) per
-    key regardless of stream volume. Rows are processed in
+    BIT-IDENTICAL to the batch operator on in-order input: the
+    trailing window is the last ``window_rows`` ROWS — a NULL-valued
+    row consumes (and later evicts) a window slot exactly like the
+    batch ROWS frame, carried as a null element in the state array —
+    and the statistics replay the batch chain operation for
+    operation (BIGINT sums of ``floor(term · ZSCORE_SCALE)`` over
+    the non-null slots, then the identical division chain), so
+    quantization agrees too. Fewer than 2 non-null trailing slots or
+    zero variance → NULL z, flag false. State is a bounded
+    ``window_rows``-element array of nullable doubles per key —
+    O(window) per key regardless of stream volume. Rows are processed in
     (ts_col, *tiebreak_cols) order within each micro-batch (pass
     tiebreakers when equal timestamps are possible — state evolution
     is order-sensitive, and a bare timestamp sort leaves tie order
@@ -198,6 +205,8 @@ def stream_zscore(
     )
     key_names = list(key_cols)
 
+    from dish_data_pipeline_spark.plans.common import ZSCORE_SCALE
+
     def _score(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -210,28 +219,35 @@ def stream_zscore(
             pdf = pdf.sort_values([ts_col, *tiebreak_cols], kind="stable")
             out_ts, out_v, out_z, out_flag = [], [], [], []
             for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                # NULL/NaN values never enter the trailing window —
-                # the batch twin's F.count/F.sum skip NULLs, and one
-                # NaN would otherwise poison the stats (NaN mean →
-                # var > 0 false) for the next window_rows rows.
-                if v is None or (isinstance(v, float) and math.isnan(v)):
-                    out_ts.append(ts)
-                    out_v.append(None)
-                    out_z.append(None)
-                    out_flag.append(False)
-                    continue
-                x = float(v)
-                n = len(vals)
+                is_null = v is None or (
+                    isinstance(v, float) and math.isnan(v)
+                )
+                x = None if is_null else float(v)
                 z = None
-                if n >= 2:
-                    mean = sum(vals) / n
-                    var = sum(u * u for u in vals) / n - mean * mean
-                    if var > 0:
-                        z = (x - mean) / math.sqrt(var)
+                if not is_null:
+                    # replay the batch chain exactly: BIGINT sums of
+                    # floor-quantized terms over the non-null slots
+                    # of the ROWS window, then the same divisions.
+                    xs = [u for u in vals if u is not None]
+                    n = len(xs)
+                    if n >= 2:
+                        s1 = float(
+                            sum(math.floor(u * ZSCORE_SCALE) for u in xs)
+                        ) / ZSCORE_SCALE
+                        s2 = float(
+                            sum(math.floor(u * u * ZSCORE_SCALE) for u in xs)
+                        ) / ZSCORE_SCALE
+                        mean = s1 / n
+                        var = s2 / n - mean * mean
+                        if var > 0:
+                            z = (x - mean) / math.sqrt(var)
                 out_ts.append(ts)
                 out_v.append(x)
                 out_z.append(z)
                 out_flag.append(bool(z is not None and abs(z) > threshold))
+                # NULL rows occupy (and later evict) a slot, exactly
+                # like the batch ROWS frame — the stats above skip
+                # them, mirroring F.count/F.sum null handling.
                 vals.append(x)
                 if len(vals) > window_rows:
                     vals.pop(0)
@@ -304,7 +320,16 @@ def stream_funnel(
             StructField("stage_ts", events.schema[ts_col].dataType),
         ]
     )
-    state_schema = ", ".join(f"t{i} timestamp" for i in range(len(steps)))
+    # State carries one per-stage timestamp of the SAME type as the
+    # event time (TIMESTAMP_NTZ testdata would otherwise round-trip
+    # state through a session-timezone-dependent TIMESTAMP_LTZ while
+    # the output column keeps NTZ).
+    state_schema = StructType(
+        [
+            StructField(f"t{i}", events.schema[ts_col].dataType)
+            for i in range(len(steps))
+        ]
+    )
     n_steps = len(steps)
     step_index = {s: i for i, s in enumerate(steps)}
 

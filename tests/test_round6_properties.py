@@ -577,6 +577,7 @@ def test_stream_zscore_null_value_does_not_poison_window(spark, tmp_path):
     }
     assert len(got) == 5
     assert got[2] == (None, None, False)  # the NULL row itself
-    # the spike right after the NULL is still flagged — trailing
-    # window is {10, 11, 13}, not poisoned by NaN
+    # the spike right after the NULL is still flagged — the NULL
+    # occupies a ROWS-frame slot (window slots = [11, None, 13], the
+    # batch semantics), and the stats skip it instead of going NaN
     assert got[4][2] is True and got[4][1] is not None

@@ -71,3 +71,109 @@ def test_batched_bpe_rejects_bad_batch_m(spark):
     df = spark.createDataFrame([("ab",)], "text string")
     with pytest.raises(ValueError, match="batch_m"):
         bpe_train(df, "text", n_merges=1, batch_m=0)
+
+
+def test_stream_zscore_bit_identical_to_batch_on_null_interleaved(
+    spark, tmp_path
+):
+    """The round-7 contract: stream_zscore replays the batch
+    rolling_zscore chain exactly — NULL rows consume ROWS-frame
+    slots and the sums are floor-quantized — so on NULL-interleaved,
+    in-order input the two tiers are equal to the bit, not to a
+    tolerance."""
+    import datetime as dt
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from dish_data_pipeline_spark.ops.timeseries import rolling_zscore
+    from dish_data_pipeline_spark.streaming.stateful import stream_zscore
+
+    series = [10.3, None, 11.7, 13.1, None, 30.9, 12.4, None, None, 11.05]
+    base = dt.datetime(2024, 1, 1)
+    schema = StructType(
+        [
+            StructField("k", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for b, sl in ((1, slice(0, 4)), (2, slice(4, None))):  # two batches
+        with open(indir / f"b{b}.json", "w") as f:
+            for i, v in list(enumerate(series))[sl]:
+                f.write(json.dumps({
+                    "k": "a",
+                    "ts": f"2024-01-01T00:{i:02d}:00Z",
+                    "value": v,
+                }) + "\n")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    q = (
+        stream_zscore(stream, key_cols=("k",), window_rows=4, threshold=2.0)
+        .writeStream.format("memory")
+        .queryName("z7")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.ts.minute: (r.value, r.zscore, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM z7").collect()
+    }
+
+    batch_in = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(series)],
+        "k string, bucket bigint, value double",
+    )
+    want = {
+        r.bucket: (r.value, r.zscore, r.is_anomaly)
+        for r in rolling_zscore(batch_in, "k", window_rows=4,
+                               threshold=2.0).collect()
+    }
+    assert len(got) == len(series)
+    for i in range(len(series)):
+        assert got[i] == want[i], (i, got[i], want[i])
+
+
+def test_pagerank_star_digraph_pins_dangling_contract(spark):
+    """Star digraph a→c, b→c: c is a sink. The documented contract
+    (ops/graph.py): sink mass is NOT redistributed — a and b decay
+    to the teleport base while c holds base + damped spokes — and
+    total mass is therefore < SCALE. A Python twin of the integer
+    recurrence pins the exact fixed-point values."""
+    from dish_data_pipeline_spark.ops.graph import PR_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {r.node: r.pr_q for r in pagerank(edges, n_iter=3).collect()}
+
+    n, dnum, dden = 3, 85, 100
+    base = ((dden - dnum) * PR_SCALE) // (dden * n)
+    pr = {v: PR_SCALE // n for v in "abc"}
+    for _ in range(3):
+        contrib_c = (dnum * pr["a"]) // dden + (dnum * pr["b"]) // dden
+        pr = {"a": base, "b": base, "c": base + contrib_c}
+    assert got == pr
+    # the deviation from textbook PageRank the docstring documents:
+    # sink mass leaks, so totals fall below one unit of SCALE
+    assert sum(got.values()) < PR_SCALE
+    # symmetrizing restores a closed system (mass conserved up to
+    # per-edge floor truncation)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    got_sym = {r.node: r.pr_q for r in pagerank(sym, n_iter=3).collect()}
+    assert sum(got_sym.values()) > PR_SCALE - 100

@@ -595,6 +595,87 @@ FROM z
 """
 
 
+def q_stream_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING stateful tier, driver-certified: the same
+    resample → gap-fill grid as ``anomaly_events`` is replayed
+    through ``streaming.stateful.stream_zscore`` — a real
+    ``applyInPandasWithState`` query over a file-source stream split
+    into two micro-batches (trailing window crosses the batch
+    boundary through the state store) — and shares
+    ``SQL_ANOMALY_EVENTS`` as its oracle verbatim. That works
+    because the stream operator replays the batch ROWS-frame
+    statistic bit-for-bit (NULL-slot semantics + floor-quantized
+    sums; tests/test_round7_properties.py), so a value hash match
+    here certifies the stateful streaming path itself, not a
+    look-alike. Batches arrive in bucket order (mtime-ordered files,
+    maxFilesPerTrigger=1), matching the in-order contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from dish_data_pipeline_spark.ops.timeseries import gap_fill, resample
+    from dish_data_pipeline_spark.streaming.stateful import stream_zscore
+
+    e = read(spark, sf_dir, "events")
+    # the grid is probed three times (median + two batch files) —
+    # checkpoint it or the resample/gap-fill window chain re-executes
+    # over the full events scan each time
+    g = (
+        gap_fill(
+            resample(e, "ts", "event_type", "value", GAP_STEP_SEC),
+            "event_type",
+            GAP_STEP_SEC,
+        )
+        .select("event_type", "bucket", "value")
+        .localCheckpoint()
+    )
+    mid = g.agg(
+        F.percentile_approx("bucket", 0.5, 1_000_000).alias("m")
+    ).collect()[0]["m"]
+
+    stream_dir = tempfile.mkdtemp(prefix="zscore_replay_")
+    try:
+        for i, part in enumerate(
+            (g.filter(F.col("bucket") <= mid), g.filter(F.col("bucket") > mid))
+        ):
+            tmp = os.path.join(stream_dir, f"_stage{i}")
+            part.coalesce(1).write.parquet(tmp)
+            (src,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            dst = os.path.join(stream_dir, f"b{i}.parquet")
+            shutil.move(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+        name = "stream_zscore_replay_sink"
+        for q in spark.streams.active:
+            if q.name == name:
+                q.stop()
+        spark.catalog.dropTempView(name)
+        query = (
+            stream_zscore(
+                spark.readStream.schema(g.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stream_dir),
+                key_cols=("event_type",),
+                ts_col="bucket",
+                window_rows=ZSCORE_WINDOW,
+                threshold=ZSCORE_THRESHOLD,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        # materialize off the memory sink before the source files go
+        return spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+
+
 # --- Funnel conversion --------------------------------------------
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel over the event stream: users who signed
@@ -785,6 +866,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         q_anomaly_events, SQL_ANOMALY_EVENTS,
         "resample → gap fill → trailing z-score anomaly flags",
         ("window", "timeseries", "quality")),
+    "stream_zscore_replay": QueryDef(
+        q_stream_zscore_replay, SQL_ANOMALY_EVENTS,
+        "stateful streaming z-score (applyInPandasWithState, 2 "
+        "micro-batches) vs the batch oracle",
+        ("streaming", "timeseries", "quality")),
     "key_skew_profile": QueryDef(
         q_key_skew_profile, SQL_KEY_SKEW_PROFILE,
         "join-key skew diagnostic: heaviest keys + ratio to mean load",

@@ -32,6 +32,13 @@ _DEFAULT_CONF: dict[str, str] = {
     # Parquet scan partitions sized for executor memory at scale.
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Local-mode JVM heap: without this Spark defaults to 1g, which
+    # is NOT the executor-memory posture the 64m broadcast threshold
+    # and cached-relation patterns assume (found by the sf1.0 probe:
+    # a ~10 MB broadcast build failed atop a 1g heap full of cached
+    # shingle rows). Only honored when this session launches the
+    # JVM; a pre-existing session keeps its own heap.
+    "spark.driver.memory": "12g",
     # Quieter, deterministic local runs.
     "spark.ui.enabled": "false",
     "spark.sql.parquet.int96RebaseModeInWrite": "CORRECTED",

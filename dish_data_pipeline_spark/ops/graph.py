@@ -44,31 +44,44 @@ def pagerank(
     damping_den: int = 100,
     src_col: str = "src",
     dst_col: str = "dst",
+    dangling: str = "drop",
 ) -> DataFrame:
     """Integer-quantized PageRank over a directed edge relation
     (pass each undirected edge in both directions). Returns
     ``(node, pr_q BIGINT, pr DOUBLE)`` — ``pr_q`` is the exact
     fixed-point rank, ``pr`` the single final division by SCALE.
 
-    Dangling-node contract: a node with NO out-edges (dst-only)
-    keeps receiving the teleport base and whatever its in-edges
-    contribute, but its own rank mass is NOT redistributed — it
-    leaves the system each iteration, so on digraphs with sinks the
-    ranks do not sum to ~1 and deviate from textbook PageRank (which
-    spreads sink mass uniformly). This is deliberate: it keeps every
-    iteration a pure edge-join + sum (no extra global aggregate per
-    round) and is a no-op on graphs where every node has an out-edge
-    — e.g. symmetrized/undirected graphs like the ``trade_pagerank``
-    catalog query, the operator's primary consumer. For arbitrary
-    digraphs, either symmetrize, or pre-add self-loops on sinks
-    (``edges.union(sinks.select(node, node))`` — the common Spark
-    practice), or treat the result as the "non-dangling flow" rank
-    it is. Pinned by ``tests/test_round7_properties.py``'s
-    star-digraph test."""
+    Dangling-node contract, selected by ``dangling``:
+
+    - ``"drop"`` (default): a node with NO out-edges (dst-only)
+      keeps receiving the teleport base and whatever its in-edges
+      contribute, but its own rank mass is NOT redistributed — it
+      leaves the system each iteration, so on digraphs with sinks
+      the ranks do not sum to ~1 and deviate from textbook PageRank.
+      This keeps every iteration a pure edge-join + sum (no extra
+      global aggregate per round) and is a no-op on graphs where
+      every node has an out-edge — e.g. symmetrized/undirected
+      graphs like the ``trade_pagerank`` catalog query.
+    - ``"redistribute"``: textbook behavior — each iteration the
+      total sink mass ``D`` is spread uniformly, every node gaining
+      the integer ``(damping_num · D) div (damping_den · N)``. Costs
+      one extra (tiny, node-keyed anti-join + 1-row sum) aggregate
+      per round, kept IN-PLAN via a cross join of the single-row
+      aggregate, so no extra driver round-trips; still fully
+      integer, so still oracle-exact (``trade_pagerank_directed``
+      unrolls it into per-round scalar CTEs). Mass is conserved up
+      to the per-node floor truncations.
+
+    Both pinned by ``tests/test_round7_properties.py``'s star-digraph
+    tests."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if not 0 < damping_num < damping_den:
         raise ValueError("need 0 < damping_num < damping_den")
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'drop' or 'redistribute', got {dangling!r}"
+        )
     from dish_data_pipeline_spark.cache_registry import tracked_persist
 
     # The edge relation may be an arbitrary lazy pipeline (joins,
@@ -101,17 +114,26 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").cast("bigint").alias("_s"))
         )
-        pr = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base_q).cast("bigint")
-                    + F.coalesce(F.col("_s"), F.lit(0).cast("bigint"))
-                ).alias("pr_q"),
-            )
-            .localCheckpoint()
+        gain = F.lit(base_q).cast("bigint") + F.coalesce(
+            F.col("_s"), F.lit(0).cast("bigint")
         )
+        nxt = nodes.join(contrib, "node", "left")
+        if dangling == "redistribute":
+            # single-row sink-mass aggregate, cross-joined so the
+            # share stays in-plan (no driver round-trip per round)
+            dang = (
+                pr.join(deg, pr.node == deg.src, "left_anti")
+                .agg(
+                    F.coalesce(F.sum("pr_q"), F.lit(0))
+                    .cast("bigint")
+                    .alias("_d")
+                )
+            )
+            nxt = nxt.crossJoin(dang)
+            gain = gain + F.expr(
+                f"({int(damping_num)} * _d) div ({int(damping_den)} * {n})"
+            ).cast("bigint")
+        pr = nxt.select("node", gain.alias("pr_q")).localCheckpoint()
     return pr.select(
         "node",
         "pr_q",

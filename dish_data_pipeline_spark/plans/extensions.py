@@ -1287,6 +1287,88 @@ ORDER BY pr_q DESC, node ASC LIMIT 50
 """
 
 
+def q_trade_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the genuinely DIRECTED trade graph (customer →
+    supplier only, so every supplier is a dangling sink) with
+    textbook dangling-mass redistribution — the general-digraph tier
+    of the operator (``dangling="redistribute"``). Each iteration's
+    sink mass is an in-plan single-row aggregate; the DuckDB twin
+    unrolls it as a per-round scalar CTE alongside the contribution
+    join, so the redistribution arithmetic itself (pure BIGINT) is
+    value-verified, not just the final ordering."""
+    from dish_data_pipeline_spark.ops.graph import pagerank
+
+    o = (
+        read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1996-01-01")
+        .select("o_orderkey", "o_custkey")
+    )
+    li = read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    return (
+        pagerank(
+            edges,
+            n_iter=PAGERANK_ITERS,
+            src_col="a",
+            dst_col="b",
+            dangling="redistribute",
+        )
+        .orderBy(F.desc("pr_q"), F.asc("node"))
+        .limit(50)
+    )
+
+
+def _sql_trade_pagerank_directed() -> str:
+    from dish_data_pipeline_spark.ops.graph import PR_SCALE
+
+    it = "\n".join(
+        f"""dang{i} AS (
+  SELECT COALESCE(SUM(pr_q), 0) AS d
+  FROM pr{i - 1} p LEFT JOIN deg ON deg.src = p.node
+  WHERE deg.src IS NULL),
+pr{i} AS (
+  SELECT nodes.node,
+         (SELECT b FROM basev) + COALESCE(s.sum_c, 0)
+         + (85 * (SELECT d FROM dang{i}))
+           // (100 * (SELECT n FROM params)) AS pr_q
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((85 * p.pr_q) // (100 * d.deg)) AS BIGINT) AS sum_c
+    FROM edges e
+    JOIN pr{i - 1} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s USING (node)),"""
+        for i in range(1, PAGERANK_ITERS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate < DATE '1996-01-01'),
+edges AS (SELECT a AS src, b AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+params AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+basev AS (SELECT (15 * {PR_SCALE}) // (100 * n) AS b FROM params),
+pr0 AS (SELECT node, {PR_SCALE} // n AS pr_q FROM nodes, params),
+{it}
+final AS (SELECT node, CAST(pr_q AS BIGINT) AS pr_q,
+                 CAST(pr_q AS DOUBLE) / {float(PR_SCALE)!r} AS pr
+          FROM pr{PAGERANK_ITERS})
+SELECT node, pr_q, pr FROM final
+ORDER BY pr_q DESC, node ASC LIMIT 50
+"""
+
+
 OVERLAP_K = 64
 
 
@@ -2129,6 +2211,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
     "trade_pagerank": QueryDef(
         q_trade_pagerank, _sql_trade_pagerank(),
         "integer-quantized PageRank on the customer-supplier trade graph",
+        ("graph", "iterative")),
+    "trade_pagerank_directed": QueryDef(
+        q_trade_pagerank_directed, _sql_trade_pagerank_directed(),
+        "directed-graph PageRank with integer dangling-mass "
+        "redistribution (suppliers are sinks)",
         ("graph", "iterative")),
     "join_overlap_estimate": QueryDef(
         q_join_overlap_estimate, _sql_join_overlap(),

@@ -177,3 +177,39 @@ def test_pagerank_star_digraph_pins_dangling_contract(spark):
     )
     got_sym = {r.node: r.pr_q for r in pagerank(sym, n_iter=3).collect()}
     assert sum(got_sym.values()) > PR_SCALE - 100
+
+
+def test_pagerank_redistribute_conserves_mass_on_star(spark):
+    """dangling='redistribute': the star digraph's sink mass is
+    spread uniformly each round (textbook behavior), so total mass
+    stays within per-node floor truncation of SCALE, and a Python
+    twin of the integer recurrence pins exact values."""
+    from dish_data_pipeline_spark.ops.graph import PR_SCALE, pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r.node: r.pr_q
+        for r in pagerank(edges, n_iter=3, dangling="redistribute").collect()
+    }
+
+    n, dnum, dden = 3, 85, 100
+    base = ((dden - dnum) * PR_SCALE) // (dden * n)
+    pr = {v: PR_SCALE // n for v in "abc"}
+    for _ in range(3):
+        share = (dnum * pr["c"]) // (dden * n)  # c is the only sink
+        contrib_c = (dnum * pr["a"]) // dden + (dnum * pr["b"]) // dden
+        pr = {
+            "a": base + share,
+            "b": base + share,
+            "c": base + contrib_c + share,
+        }
+    assert got == pr
+    # mass conserved up to floor truncation (few units of 1/SCALE)
+    assert PR_SCALE - sum(got.values()) < 100
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dangling"):
+        pagerank(edges, n_iter=1, dangling="teleport")

@@ -666,3 +666,77 @@ def doc_lm_scores(
         n.alias("n_bigrams"),
         (F.sum("_pq").cast("double") / scale / n.cast("double")).alias("lm_score"),
     )
+
+
+#: Quantization denominator for the hashed linear classifier margin
+#: (integer weights summed as exact BIGINTs; one IEEE division at
+#: the end — the doc_lm_scores discipline).
+CLASSIFIER_SCALE = 1_000_000
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: list[int],
+    bias: int = 0,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Hashed bag-of-words linear classifier inference — the
+    fastText-style quality-gate shape (CCNet / LLaMA-pipeline
+    practice: a small supervised model scores each document and a
+    threshold keeps the "high-quality" tail). This is the INFERENCE
+    plumbing with a frozen weight table; a trained model drops its
+    quantized weights in unchanged.
+
+    ``weights`` is the hashed feature table: token t contributes
+    ``weights[phash(t) % len(weights)]`` (integer, units of
+    1/CLASSIFIER_SCALE — quantize real model weights by
+    ``round(w*SCALE)``). The margin is ``bias + mean(contribution
+    per token)``; sigmoid is monotone, so thresholding the margin
+    IS thresholding the probability (no exp in the plan, keeping the
+    arithmetic integer-exact and cross-engine deterministic).
+
+    Plan shape: tokenize → per-token weight lookup via an
+    ``element_at`` on the literal weight array → ``F.aggregate``
+    BIGINT fold — a pure map-side projection, ZERO shuffles at any
+    corpus size, with the portable 60-bit hash so the DuckDB twin
+    replays the bucket assignment bit-identically. Output:
+    (doc_col, n_tokens BIGINT, margin_q BIGINT, score DOUBLE,
+    keep BOOLEAN).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+
+    nb = len(weights)
+    warr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
+    # ops.portable's 60-bit hash as Column ops (the SQL-string
+    # spelling can't reference a higher-order-function lambda var)
+    phash = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    tokens = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+    )
+    contribs = F.transform(
+        tokens,
+        lambda t: F.element_at(warr, (phash(t) % nb + 1).cast("int")),
+    )
+    raw = F.aggregate(
+        contribs,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + w,
+    )
+    n = F.size(tokens).cast("bigint")
+    score = F.when(
+        n > 0,
+        (F.lit(int(bias)).cast("bigint") + (raw / n)).cast("double")
+        / F.lit(float(CLASSIFIER_SCALE)),
+    )
+    return df.select(
+        F.col(doc_col),
+        n.alias("n_tokens"),
+        (F.lit(int(bias)).cast("bigint") * n + raw).alias("margin_q"),
+        score.alias("score"),
+        F.coalesce(score > F.lit(threshold), F.lit(False)).alias("keep"),
+    )

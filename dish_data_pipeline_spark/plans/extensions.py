@@ -1533,6 +1533,66 @@ ORDER BY step
 """
 
 
+#: Frozen placeholder weight table for the hashed-linear-classifier
+#: query: 64 integer weights in [-1000, 1000] (units of
+#: 1/CLASSIFIER_SCALE) from a fixed multiplicative-hash formula, so
+#: both engines embed identical literals. A trained fastText-style
+#: model replaces this table; the plumbing is what the oracle
+#: certifies.
+CLASSIFIER_BUCKETS = 64
+CLASSIFIER_WEIGHTS: tuple[int, ...] = tuple(
+    ((i * 2654435761) % 2001) - 1000 for i in range(CLASSIFIER_BUCKETS)
+)
+CLASSIFIER_BIAS = 50
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (fastText-shape inference): hashed
+    bag-of-words linear margin per document with a frozen quantized
+    weight table, thresholded keep bit. Zero-shuffle map-side
+    projection at any corpus size; the portable 60-bit hash makes
+    the bucket assignment — and therefore every margin — replayable
+    bit-identically by the DuckDB twin."""
+    from dish_data_pipeline_spark.ops.text import hashed_linear_score
+
+    d = read(spark, sf_dir, "documents")
+    return hashed_linear_score(
+        d, list(CLASSIFIER_WEIGHTS), bias=CLASSIFIER_BIAS, threshold=0.0
+    )
+
+
+def _sql_quality_classifier() -> str:
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+    from dish_data_pipeline_spark.ops.text import CLASSIFIER_SCALE
+
+    warr = "[" + ", ".join(str(w) for w in CLASSIFIER_WEIGHTS) + "]"
+    nb = CLASSIFIER_BUCKETS
+    bias = CLASSIFIER_BIAS
+    score = (
+        f"CASE WHEN n_tokens > 0 THEN "
+        f"CAST(CAST({bias} AS BIGINT) + raw / n_tokens AS DOUBLE) "
+        f"/ {float(CLASSIFIER_SCALE)!r} END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_aggregate(list_transform(t,
+             tok -> ({warr})[({duck_phash("tok")}) % {nb} + 1]),
+           'sum'), 0) AS BIGINT) AS raw
+  FROM toks)
+SELECT doc_id, n_tokens,
+       CAST({bias} AS BIGINT) * n_tokens + raw AS margin_q,
+       {score} AS score,
+       COALESCE(({score}) > 0.0, FALSE) AS keep
+FROM scored
+"""
+
+
 #: Fixed BPE merge table for the segmentation-replay query — the
 #: 8 merges ``bpe_train`` learns at sf0.01 (embedded as LITERALS so
 #: the query is deterministic at any sf and the oracle needs no
@@ -2239,6 +2299,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "BPE segmentation replay: fixed merge table as zero-shuffle "
         "nested folds",
         ("text",)),
+    "quality_classifier": QueryDef(
+        q_quality_classifier, _sql_quality_classifier(),
+        "hashed bag-of-words linear quality gate (fastText-shape "
+        "inference, frozen weights)",
+        ("text", "quality")),
     "text_clean": QueryDef(
         q_text_clean, _sql_text_clean(),
         "text normalization: strip URLs/e-mails/control chars, collapse whitespace",

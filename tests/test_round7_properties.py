@@ -213,3 +213,42 @@ def test_pagerank_redistribute_conserves_mass_on_star(spark):
 
     with _pytest.raises(ValueError, match="dangling"):
         pagerank(edges, n_iter=1, dangling="teleport")
+
+
+def test_hashed_linear_score_margin_and_edges(spark):
+    """Python twin of the hashed-classifier margin on a tiny corpus,
+    plus the edge contracts: empty text → NULL score / keep=False,
+    empty weights rejected."""
+    import hashlib
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.text import (
+        CLASSIFIER_SCALE,
+        hashed_linear_score,
+    )
+
+    weights = [7, -13, 29, -3]
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 4
+
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text="Alpha beta ALPHA"), Row(doc_id=1, text="...")]
+    )
+    got = {
+        r.doc_id: r
+        for r in hashed_linear_score(d, weights, bias=100, threshold=0.0)
+        .collect()
+    }
+    raw = 2 * weights[bucket("alpha")] + weights[bucket("beta")]
+    assert got[0].n_tokens == 3
+    assert got[0].margin_q == 100 * 3 + raw
+    assert got[0].score == (100 + raw / 3) / CLASSIFIER_SCALE
+    assert got[0].keep == (got[0].score > 0.0)
+    assert got[1].n_tokens == 0
+    assert got[1].score is None and got[1].keep is False
+
+    with _pytest.raises(ValueError, match="weights"):
+        hashed_linear_score(d, [])

@@ -1613,11 +1613,15 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested greedy folds, so this is a pure map-side projection at
     any corpus size (PLANS.md). The DuckDB twin replays the same
     folds as nested ``list_reduce`` calls over singleton-wrapped
-    symbols (the ``bpe_merges`` oracle device)."""
-    from dish_data_pipeline_spark.ops.text import bpe_segment
+    symbols (the ``bpe_merges`` oracle device). Uses the
+    vocabulary-memoized plan (folds once per DISTINCT word, three
+    bounded shuffles) — the 100 TB default; the zero-shuffle
+    per-occurrence variant is ``ops.text.bpe_segment``, equivalence
+    property-tested."""
+    from dish_data_pipeline_spark.ops.text import bpe_segment_by_vocab
 
     d = read(spark, sf_dir, "documents")
-    seg = bpe_segment(
+    seg = bpe_segment_by_vocab(
         d, [(i + 1, l, r, 0) for i, (l, r) in enumerate(BPE_SEGMENT_MERGES)]
     )
     return seg.select(

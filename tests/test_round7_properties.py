@@ -252,3 +252,36 @@ def test_hashed_linear_score_margin_and_edges(spark):
 
     with _pytest.raises(ValueError, match="weights"):
         hashed_linear_score(d, [])
+
+
+def test_bpe_segment_vocab_path_equals_zero_shuffle_path(spark):
+    """bpe_segment (zero-shuffle per-occurrence folds) and
+    bpe_segment_by_vocab (fold per distinct word + positional
+    regroup) must agree token for token — including repeated words,
+    multi-char merges, and a wordless document."""
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.text import (
+        bpe_segment,
+        bpe_segment_by_vocab,
+    )
+
+    merges = [(1, "e", "r", 0), (2, "t", "h", 0), (3, "th", "er", 0)]
+    d = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the weather is rather ethereal"),
+            Row(doc_id=1, text="ERror Error error"),
+            Row(doc_id=2, text="..."),
+        ]
+    )
+    a = {
+        r.doc_id: (r.tokens, r.n_tokens)
+        for r in bpe_segment(d, merges).collect()
+    }
+    b = {
+        r.doc_id: (r.tokens, r.n_tokens)
+        for r in bpe_segment_by_vocab(d, merges).collect()
+    }
+    assert a == b
+    assert a[2] == ([], 0)
+    assert a[0][0][:4] == ["th", "e", "w", "e"]  # 'the' → [th, e]

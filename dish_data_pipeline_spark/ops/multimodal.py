@@ -9,13 +9,13 @@ Schema convention for multimodal tables:
 Loading real media uses ``spark.read.format("binaryFile")`` (path,
 modificationTime, length, content). Decode / feature-extraction run
 as Arrow-batched ``mapInPandas`` over the binary column. The decode
-kernel is REAL for netpbm (P5/P6) and uncompressed 24-bit BMP —
-pure-Python parsers of the public format layouts, dependency-free —
-and routes other formats to PIL when importable; only unknown
-formats without an imaging library raise ``NotImplementedError``
-(loud by design). The Spark-side plumbing (schema, batching,
-partitioning) is additionally tested with a deterministic fake
-extractor that never decodes.
+kernels are REAL for netpbm (P5/P6), uncompressed 24-bit BMP, and
+PCM RIFF/WAVE audio — pure-Python parsers of the public format
+layouts, dependency-free — with images routing other formats to PIL
+when importable; only unknown formats without a library raise
+``NotImplementedError`` (loud by design). The Spark-side plumbing
+(schema, batching, partitioning) is additionally tested with a
+deterministic fake extractor that never decodes.
 """
 
 from __future__ import annotations
@@ -390,3 +390,128 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return df.select(id_col, content_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+def wav_from_samples(samples, sample_rate: int = 8000) -> bytes:
+    """Build a mono 16-bit PCM WAV blob from integer samples — the
+    ingest-side twin of :func:`decode_wav` (and its unit-test
+    independent counterpart is the stdlib ``wave`` module)."""
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", max(-32768, min(32767, int(s)))) for s in samples
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(content: bytes):
+    """Decode a PCM RIFF/WAVE blob to ``(sample_rate, ndarray)`` —
+    pure Python + numpy from the public RIFF layout: 12-byte header,
+    then even-padded chunks; ``fmt `` gives format/channels/rate/
+    bits (PCM 8-bit unsigned or 16-bit signed LE supported),
+    ``data`` is the raster. The array is (n_frames,) mono or
+    (n_frames, channels)."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE" or len(content) < 44:
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _bps, _align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits}); "
+            "only PCM 8/16-bit"
+        )
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    arr = np.frombuffer(raw[: len(raw) - len(raw) % (channels * bits // 8)],
+                        dtype=dtype)
+    if channels > 1:
+        arr = arr.reshape(-1, channels)
+    return rate, arr
+
+
+def audio_feature_extract(blobs) -> list[list[float]]:
+    """Batch extractor for :func:`extract_features` over WAV blobs:
+    real decode (:func:`decode_wav`) then deterministic signal
+    statistics per blob — [sample_rate, n_frames, channels, rms,
+    n_zero_cross]. RMS is sqrt of the exact integer power sum over
+    one IEEE division; a zero crossing is a strict sign change
+    (negative↔non-negative) between consecutive frames of the first
+    channel."""
+    import math
+
+    import numpy as np
+
+    out = []
+    for blob in blobs:
+        rate, arr = decode_wav(bytes(blob or b""))
+        channels = 1 if arr.ndim == 1 else arr.shape[1]
+        mono = arr if arr.ndim == 1 else arr[:, 0]
+        mono = mono.astype(np.int64)
+        n = len(mono)
+        rms = math.sqrt(float(int((mono * mono).sum())) / n) if n else 0.0
+        neg = mono < 0
+        zc = int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0
+        out.append([float(rate), float(n), float(channels), rms, float(zc)])
+    return out
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched audio feature extraction over WAV binary
+    content (:func:`audio_feature_extract` per blob) — the audio
+    sibling of :func:`extract_features`: one typed feature row per
+    input row, partition-parallel, no shuffle."""
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("sample_rate", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("channels", LongType()),
+            StructField("rms", DoubleType()),
+            StructField("n_zero_cross", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = audio_feature_extract(list(pdf[content_col]))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": [int(f[0]) for f in feats],
+                    "n_frames": [int(f[1]) for f in feats],
+                    "channels": [int(f[2]) for f in feats],
+                    "rms": [f[3] for f in feats],
+                    "n_zero_cross": [int(f[4]) for f in feats],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)

@@ -676,6 +676,76 @@ def q_stream_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stream_dir, ignore_errors=True)
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO tier of the multimodal convention, end to end: each
+    event type's value series (ordered by ts, event_id; NULLs
+    dropped; floor-quantized and clamped to int16) is PACKED into a
+    real mono 16-bit PCM RIFF/WAVE blob (`wav_from_samples`, one
+    keyed pass — event_type stands in for a recording id, so per-key
+    blob size is recording-bounded at scale), then DECODED back by
+    the pure-Python WAV parser and reduced to signal features
+    (`extract_audio_features`: RMS from the exact integer power sum,
+    strict sign-change zero crossings). The DuckDB twin computes the
+    same statistics directly on the quantized series — a hash match
+    therefore certifies that pack → parse is lossless AND the
+    feature arithmetic is exact, i.e. the whole binary audio path,
+    not a look-alike."""
+    import numpy as np
+    import pandas as pd
+
+    from dish_data_pipeline_spark.ops.multimodal import (
+        extract_audio_features,
+        wav_from_samples,
+    )
+
+    e = read(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
+        samples = (
+            np.clip(np.floor(pdf["value"].to_numpy(dtype=float)),
+                    -32768, 32767)
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "content": [wav_from_samples(samples, sample_rate=8000)],
+            }
+        )
+
+    blobs = e.groupBy("event_type").applyInPandas(
+        pack, "event_type string, content binary"
+    )
+    return extract_audio_features(blobs, id_col="event_type").select(
+        "event_type", "n_frames", "rms", "n_zero_cross"
+    )
+
+
+SQL_AUDIO_FEATURES = """
+WITH s AS (
+  SELECT event_type, ts, event_id,
+         GREATEST(-32768, LEAST(32767,
+           CAST(floor(value) AS BIGINT))) AS smp
+  FROM events WHERE value IS NOT NULL),
+lagged AS (
+  SELECT event_type, smp,
+         LAG(smp) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS prev
+  FROM s)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       sqrt(CAST(SUM(smp * smp) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS rms,
+       CAST(SUM(CASE WHEN prev IS NOT NULL
+                      AND ((prev < 0) <> (smp < 0))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+FROM lagged GROUP BY 1
+"""
+
+
 # --- Funnel conversion --------------------------------------------
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel over the event stream: users who signed
@@ -871,6 +941,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "stateful streaming z-score (applyInPandasWithState, 2 "
         "micro-batches) vs the batch oracle",
         ("streaming", "timeseries", "quality")),
+    "audio_features": QueryDef(
+        q_audio_features, SQL_AUDIO_FEATURES,
+        "audio tier end-to-end: pack PCM WAV blobs, pure-Python "
+        "decode, exact signal features",
+        ("multimodal", "binary")),
     "key_skew_profile": QueryDef(
         q_key_skew_profile, SQL_KEY_SKEW_PROFILE,
         "join-key skew diagnostic: heaviest keys + ratio to mean load",

@@ -392,3 +392,57 @@ def test_decode_resize_kernel_real_pixels(spark):
         d, width=2, height=2, kernel=mm.decode_resize_kernel
     ).collect()[0]
     assert bytes(out.content) == bytes([0, 2, 8, 10])
+
+
+def test_decode_wav_parses_stdlib_wave_output():
+    """Independent-builder check: a file written by Python's stdlib
+    `wave` module parses back sample-exact through the pure-Python
+    RIFF parser (16-bit mono + stereo), and the features are the
+    documented statistics."""
+    import io
+    import wave
+
+    from dish_data_pipeline_spark.ops import multimodal as mm
+
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        import struct
+
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    rate, arr = mm.decode_wav(buf.getvalue())
+    assert rate == 16000 and list(arr) == samples
+
+    # stereo: frames become (n, 2); channel 0 drives the features
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        import struct
+
+        w.writeframes(struct.pack("<4h", 3, 9, -4, 9))
+    rate2, arr2 = mm.decode_wav(buf2.getvalue())
+    assert arr2.shape == (2, 2) and list(arr2[:, 0]) == [3, -4]
+    feats = mm.audio_feature_extract([buf2.getvalue()])[0]
+    assert feats[:3] == [8000.0, 2.0, 2.0]
+    assert feats[4] == 1.0  # one sign change on channel 0
+
+
+def test_wav_roundtrip_and_guards():
+    import pytest as _pytest
+
+    from dish_data_pipeline_spark.ops import multimodal as mm
+
+    blob = mm.wav_from_samples([7, -7, 70000, -70000], sample_rate=4000)
+    rate, arr = mm.decode_wav(blob)
+    assert rate == 4000
+    assert list(arr) == [7, -7, 32767, -32768]  # clamped at pack time
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav(b"nope")
+    with _pytest.raises(ValueError, match="fmt/data"):
+        mm.decode_wav(b"RIFF\x04\x00\x00\x00WAVE" + b"\x00" * 40)

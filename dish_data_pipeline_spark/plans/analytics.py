@@ -595,6 +595,68 @@ FROM z
 """
 
 
+def _replay_as_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    order_col: str,
+    transform,
+    sink_name: str,
+) -> DataFrame:
+    """Run a STREAMING transform over a batch relation, for real:
+    split ``df`` into two parquet files at the median of
+    ``order_col`` (mtime-ordered so the file source replays them in
+    order, one per micro-batch via maxFilesPerTrigger=1), apply the
+    streaming ``transform``, drain with availableNow into a memory
+    sink, and return the materialized result. The two-batch split
+    forces every stateful operator's cross-batch path — state
+    written by batch 1 must be read back by batch 2."""
+    import os
+    import shutil
+    import tempfile
+
+    df = df.localCheckpoint()  # probed by median + both file writes
+    mid = df.agg(
+        F.percentile_approx(order_col, 0.5, 1_000_000).alias("m")
+    ).collect()[0]["m"]
+    stream_dir = tempfile.mkdtemp(prefix=f"{sink_name}_")
+    try:
+        for i, part in enumerate(
+            (df.filter(F.col(order_col) <= mid),
+             df.filter(F.col(order_col) > mid))
+        ):
+            tmp = os.path.join(stream_dir, f"_stage{i}")
+            part.coalesce(1).write.parquet(tmp)
+            (src,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            dst = os.path.join(stream_dir, f"b{i}.parquet")
+            shutil.move(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+
+        for q in spark.streams.active:
+            if q.name == sink_name:
+                q.stop()
+        spark.catalog.dropTempView(sink_name)
+        query = (
+            transform(
+                spark.readStream.schema(df.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stream_dir)
+            )
+            .writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        # materialize off the memory sink before the source files go
+        return spark.createDataFrame(
+            spark.table(sink_name).collect(), spark.table(sink_name).schema
+        )
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+
+
 def q_stream_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING stateful tier, driver-certified: the same
     resample → gap-fill grid as ``anomaly_events`` is replayed
@@ -609,71 +671,79 @@ def q_stream_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     here certifies the stateful streaming path itself, not a
     look-alike. Batches arrive in bucket order (mtime-ordered files,
     maxFilesPerTrigger=1), matching the in-order contract."""
-    import os
-    import shutil
-    import tempfile
-
     from dish_data_pipeline_spark.ops.timeseries import gap_fill, resample
     from dish_data_pipeline_spark.streaming.stateful import stream_zscore
 
     e = read(spark, sf_dir, "events")
-    # the grid is probed three times (median + two batch files) —
-    # checkpoint it or the resample/gap-fill window chain re-executes
-    # over the full events scan each time
-    g = (
-        gap_fill(
-            resample(e, "ts", "event_type", "value", GAP_STEP_SEC),
-            "event_type",
-            GAP_STEP_SEC,
-        )
-        .select("event_type", "bucket", "value")
-        .localCheckpoint()
+    g = gap_fill(
+        resample(e, "ts", "event_type", "value", GAP_STEP_SEC),
+        "event_type",
+        GAP_STEP_SEC,
+    ).select("event_type", "bucket", "value")
+    return _replay_as_stream(
+        spark,
+        g,
+        "bucket",
+        lambda stream: stream_zscore(
+            stream,
+            key_cols=("event_type",),
+            ts_col="bucket",
+            window_rows=ZSCORE_WINDOW,
+            threshold=ZSCORE_THRESHOLD,
+        ),
+        "stream_zscore_replay_sink",
     )
-    mid = g.agg(
-        F.percentile_approx("bucket", 0.5, 1_000_000).alias("m")
-    ).collect()[0]["m"]
 
-    stream_dir = tempfile.mkdtemp(prefix="zscore_replay_")
-    try:
-        for i, part in enumerate(
-            (g.filter(F.col("bucket") <= mid), g.filter(F.col("bucket") > mid))
-        ):
-            tmp = os.path.join(stream_dir, f"_stage{i}")
-            part.coalesce(1).write.parquet(tmp)
-            (src,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-            dst = os.path.join(stream_dir, f"b{i}.parquet")
-            shutil.move(os.path.join(tmp, src), dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
 
-        name = "stream_zscore_replay_sink"
-        for q in spark.streams.active:
-            if q.name == name:
-                q.stop()
-        spark.catalog.dropTempView(name)
-        query = (
-            stream_zscore(
-                spark.readStream.schema(g.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(stream_dir),
-                key_cols=("event_type",),
-                ts_col="bucket",
-                window_rows=ZSCORE_WINDOW,
-                threshold=ZSCORE_THRESHOLD,
-            )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(300)
-        # materialize off the memory sink before the source files go
-        return spark.createDataFrame(
-            spark.table(name).collect(), spark.table(name).schema
-        )
-    finally:
-        shutil.rmtree(stream_dir, ignore_errors=True)
+FUNNEL_REPLAY_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second stateful-streaming certification, different operator
+    family: ``streaming.stateful.stream_funnel`` — a per-user
+    multi-stage state machine (one timestamp per stage in the state
+    store) — replayed over the event stream in two ts-ordered
+    micro-batches, so mid-funnel users cross the batch boundary
+    through state. On in-order input the stream's advance-on-arrival
+    rule computes exactly the batch recurrence (stage k = first
+    step-k event strictly after stage k-1), which the DuckDB twin
+    expresses as chained per-stage MIN CTEs unpivoted to the
+    stream's (user, stage, name, ts) advancement rows."""
+    from dish_data_pipeline_spark.streaming.stateful import stream_funnel
+
+    e = read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return _replay_as_stream(
+        spark,
+        e,
+        "ts",
+        lambda stream: stream_funnel(
+            stream, FUNNEL_REPLAY_STEPS, tiebreak_cols=("event_id",)
+        ),
+        "stream_funnel_replay_sink",
+    )
+
+
+def _sql_stream_funnel_replay() -> str:
+    steps = FUNNEL_REPLAY_STEPS
+    ctes = [
+        f"""s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{steps[0]}' GROUP BY 1)"""
+    ]
+    for i in range(2, len(steps) + 1):
+        ctes.append(f"""s{i} AS (
+  SELECT e.user_id, MIN(e.ts) AS t{i}
+  FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id
+  WHERE e.event_type = '{steps[i - 1]}' AND e.ts > p.t{i - 1}
+  GROUP BY 1)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT user_id, CAST({i} AS INTEGER) AS stage, "
+        f"'{steps[i - 1]}' AS stage_name, t{i} AS stage_ts FROM s{i}"
+        for i in range(1, len(steps) + 1)
+    )
+    return f"WITH {', '.join(ctes)}\n{sel}"
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,6 +1011,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "stateful streaming z-score (applyInPandasWithState, 2 "
         "micro-batches) vs the batch oracle",
         ("streaming", "timeseries", "quality")),
+    "stream_funnel_replay": QueryDef(
+        q_stream_funnel_replay, _sql_stream_funnel_replay(),
+        "stateful streaming funnel (per-user stage state machine, "
+        "2 micro-batches) vs chained-MIN oracle",
+        ("streaming", "timeseries")),
     "audio_features": QueryDef(
         q_audio_features, SQL_AUDIO_FEATURES,
         "audio tier end-to-end: pack PCM WAV blobs, pure-Python "

@@ -774,6 +774,11 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
+        if not len(pdf):
+            # a key whose values are ALL NULL packs nothing — mirror
+            # the oracle, which has no row for it (WHERE value IS NOT
+            # NULL empties the group before aggregation)
+            return pd.DataFrame({"event_type": [], "content": []})
         samples = (
             np.clip(np.floor(pdf["value"].to_numpy(dtype=float)),
                     -32768, 32767)

@@ -1897,6 +1897,39 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, KNN_QUERY_IDS, k=10, n_centroids=10, n_probe=10)
 
 
+PQ_DIM = 64  # embeddings table dimension (TESTDATA.md)
+
+
+def _pq_books():
+    from dish_data_pipeline_spark.ops.pq import (
+        PQ_K, PQ_M, pq_grid_codebooks,
+    )
+
+    return pq_grid_codebooks(PQ_M, PQ_K, PQ_DIM)
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (encode + ADC): corpus vectors
+    compressed to 4 one-byte codes via the frozen formula-derived
+    codebooks, full-precision queries scored asymmetrically. The
+    DuckDB twin embeds the identical codebook literals and replays
+    encode argmin + left-fold ADC sums bit-for-bit — codes,
+    distances, AND ranking are value-verified, the same frozen-model
+    device as ``knn_lsh``/``quality_classifier``. Trained-codebook
+    quality (``pq_codebooks``, per-subspace Lloyd's) is held to the
+    pytest recall bar in tests/test_similarity_ann.py."""
+    from dish_data_pipeline_spark.ops.pq import pq_topk
+
+    emb = read(spark, sf_dir, "embeddings")
+    return pq_topk(emb, KNN_QUERY_IDS, _pq_books(), k=10)
+
+
+def _sql_knn_pq() -> str:
+    from dish_data_pipeline_spark.ops.pq import pq_topk_sql
+
+    return pq_topk_sql(_pq_books(), KNN_QUERY_IDS, k=10)
+
+
 # --- Embedding norms (array math, exact oracle) -------------------
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read(spark, sf_dir, "embeddings")
@@ -2212,6 +2245,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
     "knn_bruteforce": QueryDef(
         q_knn_bruteforce, SQL_KNN_BRUTEFORCE,
         "exact cosine top-k over embeddings", ("similarity",)),
+    "knn_pq": QueryDef(
+        q_knn_pq, _sql_knn_pq(),
+        "product-quantization ANN: frozen codebooks, exact encode + "
+        "ADC oracle",
+        ("similarity", "ann")),
     "knn_quantized": QueryDef(
         q_knn_quantized, quantized_topk_sql(KNN_QUERY_IDS, k=10),
         "int8-quantized dot-product top-k, quantization oracle-exact",

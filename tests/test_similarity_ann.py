@@ -132,3 +132,48 @@ def test_ivf_trained_recall_with_few_probes(spark, sf_dir):
     hits = sum(len(truth[q] & got.get(q, set())) for q in qids)
     total = sum(len(truth[q]) for q in qids)
     assert hits / total >= 0.3, f"trained-IVF recall {hits}/{total}"
+
+
+def test_pq_trained_recall_clears_bar(spark):
+    """Trained product quantization (per-subspace Lloyd's, m=16
+    subspaces x 16 codes = 16 bytes/vector) must clear a measured
+    recall bar vs exact L2, and the standard exact re-rank of the
+    ADC shortlist must lift it substantially — the quality contract
+    for the tier whose encode+ADC plumbing the knn_pq oracle
+    certifies exactly. Deterministic end to end (measured 0.44 and
+    0.86 at sf0.01)."""
+    import numpy as np
+
+    from tests.conftest import SF_ORACLE
+
+    from dish_data_pipeline_spark.io import read_table
+    from dish_data_pipeline_spark.ops.pq import pq_codebooks, pq_topk
+
+    emb = read_table(spark, SF_ORACLE, "embeddings").localCheckpoint()
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    qids = [0, 1, 2, 3, 4]
+    truth = {
+        q: {
+            i
+            for _, i in sorted(
+                (float(((V[q] - v) ** 2).sum()), i)
+                for i, v in V.items()
+                if i != q
+            )[:10]
+        }
+        for q in qids
+    }
+    books = pq_codebooks(emb, 16, 16, 3)
+
+    def recall(rerank):
+        got = pq_topk(emb, qids, books, k=10, rerank=rerank).collect()
+        byq = {}
+        for r in got:
+            byq.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(byq[q] & truth[q]) / 10 for q in qids) / len(qids)
+
+    adc, reranked = recall(None), recall(50)
+    assert adc >= 0.40, adc
+    assert reranked >= 0.80, reranked
+    assert reranked > adc

@@ -301,3 +301,122 @@ ranked AS (
 SELECT query_id, neighbor_id, pq_dist, rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_centroids: int = 10,
+    n_probe: int = 3,
+    centroids: DataFrame | None = None,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale composition (FAISS
+    ``IVFx,PQy``) — the IVF coarse quantizer restricts the search to
+    ``n_probe`` inverted lists, and within them candidates are scored
+    by PQ ADC, so the only corpus-sized relation that moves carries
+    ``m`` one-byte codes per row instead of the full vector.
+
+    Coarse geometry follows ``ivf_topk`` (fold-argmax dot against
+    the broadcast centroid set; unit-norm contract — argmax dot ==
+    argmin L2 there); fine distances are the ADC of :func:`pq_topk`;
+    ``rerank`` adds the exact shortlist re-rank. With ``n_probe ==
+    n_centroids`` every list is scanned, so the result provably
+    equals :func:`pq_topk` — the exhaustive-probe certification
+    device the ``knn_ivfpq`` catalog query uses to share the
+    ``knn_pq`` oracle verbatim. Output: (query_id, neighbor_id,
+    pq_dist, rank)."""
+    from dish_data_pipeline_spark.ops.similarity import (
+        _argmax_cid,
+        _top_probe_structs,
+    )
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(F.asc(id_col))
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("cent_vec"),
+            )
+        )
+    cent_arr = centroids.agg(
+        F.expr(
+            "array_sort(collect_list(named_struct("
+            "'cid', CAST(centroid_id AS BIGINT), "
+            "'cv', CAST(cent_vec AS ARRAY<DOUBLE>))))"
+        ).alias("_cents")
+    )
+    # assignment sees the full vector map-side, then DROPS it — the
+    # shuffled candidate payload is the m-byte code array
+    assigned = (
+        pq_encode(embeddings, codebooks, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("pq_codes"),
+            F.col(vec_col).alias("_av"),
+        )
+        .crossJoin(F.broadcast(cent_arr))
+        .withColumn("list_id", _argmax_cid("_av"))
+        .select("neighbor_id", "pq_codes", "list_id")
+    )
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_probe", F.explode(_top_probe_structs("_qv", n_probe)))
+        .select("query_id", "_qv", F.col("_probe.cid").alias("list_id"))
+    )
+    adc_terms = " + ".join(
+        _l2_expr(
+            f"slice(_qv, {s * sub + 1}, {sub})",
+            "element_at("
+            + "array(" + ", ".join(_lit_list(c) for c in codebooks[s]) + ")"
+            + f", element_at(pq_codes, {s + 1}) + 1)",
+        )
+        for s in range(m)
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("pq_dist", F.expr(adc_terms))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (rerank or k))
+        .select("query_id", "neighbor_id", "pq_dist", "rank")
+    )
+    if rerank is None:
+        return shortlist
+    full = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    exact = F.expr(
+        "aggregate(zip_with(_qv, _nv, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.drop("rank", "pq_dist")
+        .join(full, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("pq_dist", exact)
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "pq_dist", "rank")
+    )

@@ -1930,6 +1930,23 @@ def _sql_knn_pq() -> str:
     return pq_topk_sql(_pq_books(), KNN_QUERY_IDS, k=10)
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exhaustive probing (``n_probe = n_centroids``):
+    every inverted list is scanned, so the composition provably
+    equals plain PQ ADC and SHARES the ``knn_pq`` oracle verbatim —
+    certifying the coarse-assign → probe → codes-only-shuffle → ADC
+    pipeline end-to-end (the ``knn_ivf`` device). The production
+    dial (trained coarse centroids, n_probe < n_centroids, exact
+    re-rank) is held to the pytest bar in
+    tests/test_similarity_ann.py."""
+    from dish_data_pipeline_spark.ops.pq import ivfpq_topk
+
+    emb = read(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, KNN_QUERY_IDS, _pq_books(), k=10, n_centroids=8, n_probe=8
+    )
+
+
 # --- Embedding norms (array math, exact oracle) -------------------
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read(spark, sf_dir, "embeddings")
@@ -2249,6 +2266,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_knn_pq, _sql_knn_pq(),
         "product-quantization ANN: frozen codebooks, exact encode + "
         "ADC oracle",
+        ("similarity", "ann")),
+    "knn_ivfpq": QueryDef(
+        q_knn_ivfpq, _sql_knn_pq(),
+        "IVF-PQ composition (exhaustive probing == plain PQ, shared "
+        "oracle)",
         ("similarity", "ann")),
     "knn_quantized": QueryDef(
         q_knn_quantized, quantized_topk_sql(KNN_QUERY_IDS, k=10),

@@ -177,3 +177,59 @@ def test_pq_trained_recall_clears_bar(spark):
     assert adc >= 0.40, adc
     assert reranked >= 0.80, reranked
     assert reranked > adc
+
+
+def test_ivfpq_production_dial_recall(spark):
+    """IVF-PQ as deployed: trained coarse centroids, HALF the lists
+    probed, trained codebooks, exact re-rank of the 50-candidate ADC
+    shortlist. Deterministic end to end; must clear the measured
+    recall bar, and exhaustive probing must reproduce plain PQ
+    (the equality the knn_ivfpq oracle also certifies at the
+    catalog level)."""
+    import numpy as np
+
+    from tests.conftest import SF_ORACLE
+
+    from dish_data_pipeline_spark.io import read_table
+    from dish_data_pipeline_spark.ops.pq import (
+        ivfpq_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+    from dish_data_pipeline_spark.ops.similarity import kmeans_centroids
+
+    emb = read_table(spark, SF_ORACLE, "embeddings").localCheckpoint()
+    qids = [0, 1, 2, 3, 4]
+    books = pq_codebooks(emb, 16, 16, 3)
+    cents = kmeans_centroids(emb, n_centroids=8, n_iters=3)
+
+    # exhaustive probing == plain PQ, row for row
+    a = sorted(
+        map(tuple, ivfpq_topk(emb, qids, books, k=10, n_centroids=8,
+                              n_probe=8).collect())
+    )
+    b = sorted(map(tuple, pq_topk(emb, qids, books, k=10).collect()))
+    assert a == b
+
+    rows = emb.select("vec_id", "embedding").collect()
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    truth = {
+        q: {
+            i
+            for _, i in sorted(
+                (float(((V[q] - v) ** 2).sum()), i)
+                for i, v in V.items()
+                if i != q
+            )[:10]
+        }
+        for q in qids
+    }
+    got = ivfpq_topk(
+        emb, qids, books, k=10, n_centroids=8, n_probe=4,
+        centroids=cents, rerank=50,
+    ).collect()
+    byq = {}
+    for r in got:
+        byq.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rec = sum(len(byq[q] & truth[q]) / 10 for q in qids) / len(qids)
+    assert rec >= 0.5, rec

@@ -565,3 +565,131 @@ def kmv_overlap_estimate(
         jaccard.alias("jaccard"),
         (jaccard * est_union).alias("est_intersection"),
     )
+
+
+# --- HyperLogLog ---------------------------------------------------
+HLL_P = 8  # 2^8 = 256 registers — ~6.5% relative error (1.04/sqrt(m))
+
+
+def _hll_consts(p: int) -> tuple[int, int, int, float]:
+    """(m, rest_bits, scale_bits, numerator): registers, suffix bits
+    of the 60-bit hash, the dyadic scale, and the precomputed
+    ``alpha_m · m² · 2^scale_bits`` double both engines embed as the
+    SAME scientific literal (one shared constant, one IEEE division
+    at the end)."""
+    m = 1 << p
+    rest_bits = 60 - p
+    scale_bits = rest_bits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return m, rest_bits, scale_bits, alpha * m * m * float(1 << scale_bits)
+
+
+def _bitlen_cases(expr: str, max_bits: int) -> str:
+    """Integer bit length as an unrolled comparison chain — pure
+    BIGINT compares, exactly portable across engines (no log2: libm
+    is not correctly rounded)."""
+    cases = " ".join(
+        f"WHEN {expr} >= {1 << (b - 1)} THEN {b}"
+        for b in range(max_bits, 0, -1)
+    )
+    return f"CASE {cases} ELSE 0 END"
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_sql: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate (Flajolet et al.
+    2007) next to the exact yardstick — the KMV companion for the
+    regime where even a bottom-k sketch is too much state: 2^p
+    one-byte registers per group, mergeable by register-wise MAX
+    (which is exactly what the groupBy MAX computes, so
+    per-partition sketches merge for free in the map-side combine).
+
+    Determinism contract: register index/rank come from integer
+    splits of the portable 60-bit hash (bit length via an unrolled
+    compare chain — no log2), and the harmonic denominator is summed
+    as EXACT dyadic BIGINTs (``2^(scale−rank)``; ≤ 2^61 total, no
+    float order-dependence), so the estimate is one shared-literal
+    multiply + one IEEE division — bit-identical cross-engine. The
+    raw HLL estimator only (no small-range linear-counting branch:
+    it needs ln, which is not correctly rounded across engines);
+    accuracy below ~2.5·m distincts is the caller's concern.
+
+    Output: (group, n_distinct exact, n_registers, est_distinct)."""
+    m, rest_bits, scale_bits, numerator = _hll_consts(p)
+    hashed = df.selectExpr(
+        group_col, f"{spark_phash(value_sql)} AS _h"
+    ).distinct()
+    rank = (
+        f"{scale_bits} - ({_bitlen_cases(f'(_h % {1 << rest_bits})', rest_bits)})"
+    )
+    regs = (
+        hashed.selectExpr(
+            group_col,
+            f"_h div {1 << rest_bits} AS _idx",
+            f"CAST({rank} AS BIGINT) AS _rank",
+        )
+        .groupBy(group_col, "_idx")
+        .agg(F.max("_rank").alias("_r"))
+    )
+    # exact dyadic harmonic sum: present registers contribute
+    # 2^(scale - r), absent ones 2^scale each
+    agg = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({scale_bits} - _r AS INT))"
+            )
+        ).cast("bigint").alias("_s_present"),
+    )
+    exact = hashed.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    s_total = F.col("_s_present") + (
+        (F.lit(m).cast("bigint") - F.col("n_registers"))
+        * F.lit(1 << scale_bits).cast("bigint")
+    )
+    return (
+        exact.join(agg, group_col)
+        .select(
+            group_col,
+            "n_distinct",
+            "n_registers",
+            (F.expr(f"{numerator:.17e}") / s_total.cast("double"))
+            .alias("est_distinct"),
+        )
+    )
+
+
+def hll_distinct_sql(
+    src_sql: str, group_col: str, value_col: str, p: int = HLL_P
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` over ``src_sql``."""
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+
+    m, rest_bits, scale_bits, numerator = _hll_consts(p)
+    h = duck_phash(value_col)
+    rank = f"{scale_bits} - ({_bitlen_cases(f'(h % {1 << rest_bits})', rest_bits)})"
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {group_col} AS g, {h} AS h FROM ({src_sql}) src),
+regs AS (
+  SELECT g, h // {1 << rest_bits} AS idx,
+         CAST(MAX({rank}) AS BIGINT) AS r
+  FROM hashed GROUP BY 1, 2),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_registers,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST({scale_bits} - r AS INTEGER))
+              AS BIGINT) AS s_present
+  FROM regs GROUP BY 1),
+exact AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM hashed GROUP BY 1)
+SELECT exact.g AS {group_col}, n_distinct, n_registers,
+       {numerator:.17e} / CAST(s_present
+         + ({m} - n_registers) * (CAST(1 AS BIGINT) << {scale_bits})
+         AS DOUBLE) AS est_distinct
+FROM exact JOIN agg USING (g)
+"""

@@ -845,6 +845,32 @@ def _sql_distinct_sketch() -> str:
     return kmv_distinct_sql(src, "lang", "gram", k=KMV_K)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-trigram HyperLogLog next to the exact
+    count — the bounded-state companion to ``distinct_sketch``'s KMV
+    on the identical relation (so the two estimators are directly
+    comparable row for row). Registers merge by MAX inside the
+    map-side combine; the dyadic-BIGINT harmonic sum makes the
+    ESTIMATE itself hash-exact against the DuckDB twin."""
+    from dish_data_pipeline_spark.ops.sketch import hll_distinct
+
+    d = read(spark, sf_dir, "documents")
+    grams = _trigrams(d, "lang")
+    return hll_distinct(grams, "lang", "gram")
+
+
+def _sql_hll_distinct() -> str:
+    from dish_data_pipeline_spark.ops.sketch import hll_distinct_sql
+
+    src = (
+        "SELECT lang, unnest(list_transform(generate_series(1, "
+        "len(regexp_extract_all(text, '[A-Za-z0-9]+')) - 2), "
+        "i -> array_to_string(regexp_extract_all(text, '[A-Za-z0-9]+')"
+        "[i:i + 2], ' '))) AS gram FROM documents"
+    )
+    return hll_distinct_sql(src, "lang", "gram")
+
+
 # --- Mergeable-sketch distinct count ------------------------------
 TRIGRAM_DUCK_SRC = (
     "SELECT lang, source, unnest(list_transform(generate_series(1, "
@@ -2415,6 +2441,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
     "distinct_sketch": QueryDef(
         q_distinct_sketch, _sql_distinct_sketch(),
         "KMV distinct-count sketch, estimate bit-identical to oracle",
+        ("sketch", "text")),
+    "hll_distinct": QueryDef(
+        q_hll_distinct, _sql_hll_distinct(),
+        "HyperLogLog distinct sketch (dyadic-BIGINT harmonic sum, "
+        "estimate hash-exact)",
         ("sketch", "text")),
     "corpus_pipeline": QueryDef(
         q_corpus_pipeline, _sql_corpus_pipeline(),

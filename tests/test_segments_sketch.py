@@ -259,3 +259,45 @@ def test_segment_dedup_rejects_unknown_impl(spark):
 
     with _pytest.raises(ValueError, match="unknown impl"):
         segment_dedup(df, impl="windw")
+
+
+def test_hll_distinct_matches_python_twin_and_band(spark):
+    """HLL registers and the dyadic harmonic sum replicated in pure
+    Python must produce the identical estimate (the same contract
+    the DuckDB oracle enforces), the estimate must sit inside the
+    ~3σ band (σ = 1.04/sqrt(256)), and the result must be invariant
+    to partitioning (register MAX is the merge)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.sketch import (
+        HLL_P,
+        _hll_consts,
+        hll_distinct,
+    )
+
+    n = 5000
+    rows = [Row(g="a", v=f"val-{i}") for i in range(n)]
+    df = spark.createDataFrame(rows)
+    got = hll_distinct(df, "g", "v").collect()[0]
+
+    m, rest_bits, scale_bits, numerator = _hll_consts(HLL_P)
+    regs: dict[int, int] = {}
+    for i in range(n):
+        h = int(hashlib.md5(f"val-{i}".encode()).hexdigest()[:15], 16)
+        idx, rest = divmod(h, 1 << rest_bits)
+        rank = scale_bits - rest.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rank)
+    s = sum(1 << (scale_bits - r) for r in regs.values())
+    s += (m - len(regs)) * (1 << scale_bits)
+    expect = numerator / float(s)
+
+    assert got.n_distinct == n
+    assert got.n_registers == len(regs)
+    assert got.est_distinct == expect
+    assert abs(expect - n) / n < 3 * 1.04 / (m ** 0.5)
+
+    # partitioning invariance: the sketch merges by register MAX
+    got32 = hll_distinct(df.repartition(32), "g", "v").collect()[0]
+    assert got32.est_distinct == got.est_distinct

@@ -845,6 +845,32 @@ def _sql_distinct_sketch() -> str:
     return kmv_distinct_sql(src, "lang", "gram", k=KMV_K)
 
 
+def q_jaccard_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT τ=0.6 trigram-shingle Jaccard join over the planted-
+    duplicate corpus via prefix filtering (PPJoin) — the
+    no-false-negative complement to the LSH near-dup tiers (trigram shingles,
+    not bare tokens: the synthetic 31-word vocabulary saturates
+    token SETS and keeps even bigram space at <=961 values — too few
+    for prefix tokens to be selective — while the ~30k-value trigram
+    space discriminates). The DuckDB twin is the
+    brute-force ALL-PAIRS join (an independent algorithm), so the
+    hash match proves the rarity-ordered prefix candidate generation
+    loses no qualifying pair."""
+    from dish_data_pipeline_spark.ops.setsim import jaccard_similarity_join
+
+    return jaccard_similarity_join(
+        _docs_with_dupes(spark, sf_dir), 60, shingle_n=3
+    )
+
+
+def _sql_jaccard_simjoin() -> str:
+    from dish_data_pipeline_spark.ops.setsim import (
+        jaccard_similarity_join_sql,
+    )
+
+    return jaccard_similarity_join_sql(SQL_DOCS_WITH_DUPES, 60, shingle_n=3)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-trigram HyperLogLog next to the exact
     count — the bounded-state companion to ``distinct_sketch``'s KMV
@@ -2447,6 +2473,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "HyperLogLog distinct sketch (dyadic-BIGINT harmonic sum, "
         "estimate hash-exact)",
         ("sketch", "text")),
+    "jaccard_simjoin": QueryDef(
+        q_jaccard_simjoin, _sql_jaccard_simjoin(),
+        "exact prefix-filtered Jaccard join vs brute-force all-pairs "
+        "oracle",
+        ("dedup", "join", "text")),
     "corpus_pipeline": QueryDef(
         q_corpus_pipeline, _sql_corpus_pipeline(),
         "composed flow: quality gate -> decontaminate -> mixture sample",

@@ -285,3 +285,63 @@ def test_bpe_segment_vocab_path_equals_zero_shuffle_path(spark):
     assert a == b
     assert a[2] == ([], 0)
     assert a[0][0][:4] == ["th", "e", "w", "e"]  # 'the' → [th, e]
+
+
+def test_jaccard_simjoin_exact_vs_bruteforce(spark):
+    """The prefix-filtered join must return EXACTLY the pairs a
+    brute-force python twin finds — completeness (no pair lost to
+    the prefix bound) and precision (integer acceptance) on a corpus
+    with planted near-dups, disjoint docs, and an empty doc."""
+    import itertools
+    import re
+
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.setsim import jaccard_similarity_join
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",
+        3: "the quick brown fox jumps over the lazy dog",  # exact dup of 1
+        4: "completely different words entirely here now",
+        5: "",
+        6: "quick brown fox",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_union)
+        for r in jaccard_similarity_join(df, 60).collect()
+    }
+
+    sets = {
+        i: set(re.findall("[A-Za-z0-9]+", t.lower()))
+        for i, t in texts.items()
+        if re.findall("[A-Za-z0-9]+", t.lower())
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 100 >= union * 60:
+            want[(a, b)] = (inter, union)
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)][0] == got[(1, 3)][1]  # exact dup
+    assert (1, 2) in got  # near dup
+    assert not any(4 in pair or 5 in pair for pair in got)
+
+    # shingle mode: exact dup still 1.0, near-dup pair now judged on
+    # order-sensitive bigrams
+    got2 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_similarity_join(df, 60, shingle_n=2).collect()
+    }
+    assert got2[(1, 3)] == 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tau_pct"):
+        jaccard_similarity_join(df, 0)
+    with _pytest.raises(ValueError, match="shingle_n"):
+        jaccard_similarity_join(df, 60, shingle_n=0)

@@ -871,6 +871,57 @@ def _sql_jaccard_simjoin() -> str:
     return jaccard_similarity_join_sql(SQL_DOCS_WITH_DUPES, 60, shingle_n=3)
 
 
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy key match in the order a real pipeline
+    runs it: exact-dedup the key space FIRST (the distinct part-name
+    dictionary with its lowest part id as representative — the
+    SymSpell discipline; matching raw rows instead degenerates on
+    heavy key duplication: 1.1M pairs / 108 s at sf0.1 vs a
+    dictionary constant in corpus size), then find every dictionary
+    pair within Levenshtein 1 via the deletion-neighborhood join —
+    planted typos (4th character deleted, id-shifted) plus organic
+    near-collisions. The DuckDB twin is the brute-force all-pairs
+    levenshtein over the same dictionary (independent algorithm), so
+    the hash match proves the exact-blocking claim."""
+    from dish_data_pipeline_spark.ops.fuzzykey import edit1_pairs
+
+    dictionary = (
+        read(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+    )
+    typos = dictionary.filter(F.col("p_partkey") % 4 == 0).select(
+        F.expr(
+            "concat(substring(p_name, 1, 3), substring(p_name, 5))"
+        ).alias("p_name"),
+        (F.col("p_partkey") + 1000000).alias("p_partkey"),
+    )
+    return edit1_pairs(
+        dictionary.unionByName(typos), "p_partkey", "p_name"
+    ).filter(F.col("dist") == 1)
+
+
+SQL_PART_NAME_DICT = """
+WITH dict AS (
+  SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name)
+SELECT p_name, p_partkey FROM dict
+UNION ALL
+SELECT substring(p_name, 1, 3) || substring(p_name, 5) AS p_name,
+       p_partkey + 1000000 AS p_partkey
+FROM dict WHERE p_partkey % 4 = 0
+"""
+
+
+def _sql_fuzzy_part_match() -> str:
+    from dish_data_pipeline_spark.ops.fuzzykey import edit1_pairs_sql
+
+    return (
+        "SELECT * FROM ("
+        + edit1_pairs_sql(SQL_PART_NAME_DICT, "p_partkey", "p_name")
+        + ") t WHERE dist = 1"
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-trigram HyperLogLog next to the exact
     count — the bounded-state companion to ``distinct_sketch``'s KMV
@@ -2478,6 +2529,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "exact prefix-filtered Jaccard join vs brute-force all-pairs "
         "oracle",
         ("dedup", "join", "text")),
+    "fuzzy_part_match": QueryDef(
+        q_fuzzy_part_match, _sql_fuzzy_part_match(),
+        "edit-distance-1 key match via deletion neighborhoods vs "
+        "brute-force levenshtein",
+        ("dedup", "join")),
     "corpus_pipeline": QueryDef(
         q_corpus_pipeline, _sql_corpus_pipeline(),
         "composed flow: quality gate -> decontaminate -> mixture sample",

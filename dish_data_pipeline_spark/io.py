@@ -119,6 +119,45 @@ def write_raw_zone(df: DataFrame, path: str, fmt: str = "json") -> None:
     )
 
 
+#: Formats the generic table reader/writer accepts — the Spark-native
+#: columnar pair plus the text interchange pair. Avro needs the
+#: external spark-avro package (not baked into this container), so it
+#: is deliberately absent; add "avro" here on a cluster that ships it.
+TABLE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Generic table writer over the supported interchange formats —
+    ORC rounds out the columnar pair (both are Spark-native with
+    predicate pushdown and column pruning; ORC is the warehouse-side
+    format a Hive/Trino estate usually mandates). CSV writes a
+    header so the file round-trips through :func:`read_any`."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"fmt must be one of {TABLE_FORMATS}, got {fmt!r}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.save(path)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Generic reader for :data:`TABLE_FORMATS`. Parquet routes
+    through :func:`read_parquet` (nanos-timestamp handling); CSV
+    reads the written header with schema inference — pass an
+    explicit-schema scan (``sources.files.read_csv_validated``) for
+    production CSV, where inference is a correctness hazard."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"fmt must be one of {TABLE_FORMATS}, got {fmt!r}")
+    if fmt == "parquet":
+        return read_parquet(spark, path)
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", "true").option("inferSchema", "true")
+    return r.load(path)
+
+
 def write_staging(df: DataFrame, path: str) -> None:
     """Truncate-load staging write (reference WRITE_TRUNCATE,
     pipeline/data_pipeline.py:141-148)."""

@@ -319,3 +319,82 @@ def sessionize(
         )
         .withColumnRenamed("_chain", "session_seq")
     )
+
+
+def rolling_robust_zscore(
+    resampled: DataFrame,
+    key_col: str,
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    window_rows: int = 24,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Robust companion to :func:`rolling_zscore`: flag buckets
+    deviating more than ``threshold`` MADs from the trailing-window
+    MEDIAN (bucket itself excluded). Median/MAD ignore outliers in
+    the window itself, so a burst of spikes cannot inflate the scale
+    estimate and mask the next spike — the masking failure
+    mean/stddev gates are known for.
+
+    Determinism contract — simpler than the quantized-sum device,
+    because order statistics need no accumulation at all: the
+    trailing values ride a window ``collect_list`` (non-null only,
+    matching the batch NULL convention), ``array_sort`` makes the
+    order canonical, the median is pure element SELECTION (even
+    windows: one IEEE add + halving of the two middle elements),
+    deviations are single subtractions, and the MAD is another
+    selection. Identical doubles → identical medians in any engine;
+    no rounding device required. Compose after :func:`gap_fill` like
+    ``rolling_zscore`` so the ROWS frame is a true time window and
+    values are non-null.
+
+    Fewer than 2 trailing values or zero MAD → NULL score, flag
+    false. Output: (key, bucket, value, robust_z, is_anomaly). One
+    window exchange on the key, shared with the chain it composes
+    with."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(-window_rows, -1)
+    )
+    x = F.col(value_col).cast("double")
+
+    def _median(arr: str) -> str:
+        # element selection on the sorted array; even length averages
+        # the two middle elements (one add + one halving, portable).
+        # Empty guard first: element_at index 0 throws in Spark.
+        return (
+            f"CASE WHEN size({arr}) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"WHEN size({arr}) % 2 = 1 "
+            f"THEN element_at({arr}, CAST((size({arr}) + 1) div 2 AS INT)) "
+            f"ELSE (element_at({arr}, CAST(size({arr}) div 2 AS INT)) "
+            f"  + element_at({arr}, CAST(size({arr}) div 2 + 1 AS INT))) "
+            f"/ 2.0 END"
+        )
+
+    trail = F.expr("array_sort(_trail_raw)")
+    out = (
+        resampled.withColumn(
+            "_trail_raw", F.collect_list(x).over(w)
+        )
+        .withColumn("_trail", trail)
+        .withColumn("_med", F.expr(_median("_trail")))
+        .withColumn(
+            "_devs",
+            F.expr("array_sort(transform(_trail, u -> abs(u - _med)))"),
+        )
+        .withColumn("_mad", F.expr(_median("_devs")))
+    )
+    rz = F.when(
+        (F.size("_trail") >= 2) & (F.col("_mad") > 0),
+        (x - F.col("_med")) / F.col("_mad"),
+    )
+    return out.select(
+        F.col(key_col),
+        F.col(bucket_col),
+        x.alias(value_col),
+        rz.alias("robust_z"),
+        F.coalesce(F.abs(rz) > F.lit(threshold), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -595,6 +595,80 @@ FROM z
 """
 
 
+def q_robust_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly gate over the same hourly grid as
+    ``anomaly_events`` — the two flags side by side show exactly
+    where variance-based scoring is masked by in-window outliers and
+    the robust score is not. Order statistics are pure element
+    selection on sorted trailing arrays, so the oracle needs NO
+    quantization device: identical doubles select identically."""
+    from dish_data_pipeline_spark.ops.timeseries import (
+        gap_fill,
+        resample,
+        rolling_robust_zscore,
+    )
+
+    e = read(spark, sf_dir, "events")
+    r = resample(e, "ts", "event_type", "value", GAP_STEP_SEC)
+    g = gap_fill(r, "event_type", GAP_STEP_SEC)
+    return rolling_robust_zscore(
+        g, "event_type", window_rows=ZSCORE_WINDOW, threshold=ZSCORE_THRESHOLD
+    )
+
+
+def _sql_robust_anomaly() -> str:
+    med = (
+        "CASE WHEN len({a}) = 0 THEN CAST(NULL AS DOUBLE) "
+        "WHEN len({a}) % 2 = 1 THEN ({a})[(len({a}) + 1) // 2] "
+        "ELSE (({a})[len({a}) // 2] + ({a})[len({a}) // 2 + 1]) / 2.0 END"
+    )
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {GAP_STEP_SEC}) * {GAP_STEP_SEC}
+           AS bucket,
+         {sql_davg('value')} AS avg_value
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx, {GAP_STEP_SEC})) AS bucket
+  FROM spans),
+g AS (
+  SELECT j.event_type, j.bucket,
+         LAST_VALUE(j.avg_value IGNORE NULLS)
+           OVER (PARTITION BY j.event_type ORDER BY j.bucket
+                 ROWS UNBOUNDED PRECEDING) AS value
+  FROM (SELECT grid.event_type, grid.bucket, b.avg_value
+        FROM grid LEFT JOIN b ON b.event_type = grid.event_type
+                             AND b.bucket = grid.bucket) j),
+trails AS (
+  SELECT event_type, bucket, value,
+         list_sort(array_agg(value)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING))
+           AS trail
+  FROM g),
+meds AS (
+  SELECT event_type, bucket, value, trail,
+         {med.format(a='trail')} AS med
+  FROM trails),
+mads AS (
+  SELECT event_type, bucket, value, trail, med,
+         {med.format(a="list_sort(list_transform(trail, u -> abs(u - med)))")}
+           AS mad
+  FROM meds),
+z AS (
+  SELECT event_type, bucket, value,
+         CASE WHEN len(trail) >= 2 AND mad > 0
+              THEN (value - med) / mad END AS robust_z
+  FROM mads)
+SELECT event_type, bucket, value, robust_z,
+       COALESCE(abs(robust_z) > {ZSCORE_THRESHOLD!r}, FALSE) AS is_anomaly
+FROM z
+"""
+
+
 def _replay_as_stream(
     spark: SparkSession,
     df: DataFrame,
@@ -1016,6 +1090,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "stateful streaming z-score (applyInPandasWithState, 2 "
         "micro-batches) vs the batch oracle",
         ("streaming", "timeseries", "quality")),
+    "robust_anomaly_events": QueryDef(
+        q_robust_anomaly_events, _sql_robust_anomaly(),
+        "median/MAD robust anomaly gate (order statistics, no "
+        "quantization device needed)",
+        ("window", "timeseries", "quality")),
     "stream_funnel_replay": QueryDef(
         q_stream_funnel_replay, _sql_stream_funnel_replay(),
         "stateful streaming funnel (per-user stage state machine, "

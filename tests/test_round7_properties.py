@@ -398,3 +398,45 @@ def test_edit1_pairs_exact_vs_bruteforce(spark):
     assert got[(1, 2)] == 0 and got[(1, 3)] == 1 and got[(1, 4)] == 1
     assert got[(1, 5)] == 1 and got[(8, 9)] == 0 and got[(8, 10)] == 1
     assert not any(6 in p or 7 in p for p in got)
+
+
+def test_rolling_robust_zscore_resists_masking(spark):
+    """The robust gate's reason to exist: an outlier INSIDE the
+    trailing window inflates stddev enough to mask the next spike
+    for the variance gate, while median/MAD barely move. Known
+    values verify the median/MAD selection arithmetic too."""
+    from dish_data_pipeline_spark.ops.timeseries import (
+        rolling_robust_zscore,
+        rolling_zscore,
+    )
+
+    series = [10.0, 10.0, 11.0, 10.0, 11.0, 200.0, 10.0, 80.0]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(series)],
+        "k string, bucket bigint, value double",
+    )
+    robust = {
+        r.bucket: (r.robust_z, r.is_anomaly)
+        for r in rolling_robust_zscore(df, "k", window_rows=6,
+                                       threshold=3.0).collect()
+    }
+    classic = {
+        r.bucket: r.is_anomaly
+        for r in rolling_zscore(df, "k", window_rows=6,
+                                threshold=3.0).collect()
+    }
+    # index 7 (value 80 after the 200-spike entered the window):
+    # stddev gate is masked, MAD gate still fires
+    assert classic[7] is False
+    assert robust[7][1] is True
+    # exact selection arithmetic: trail of 7 = [10,11,10,11,200,10]
+    # sorted → med (10+11)/2 = 10.5; devs [.5×5, 189.5] → mad 0.5
+    assert robust[7][0] == (80.0 - 10.5) / 0.5
+    assert robust[6] == ((10.0 - 10.5) / 0.5, False)
+    # the documented zero-MAD degeneracy: the near-constant window
+    # before the first spike has MAD 0 → NULL score, flag False —
+    # the variance gate catches that one (complementary failure
+    # modes, which is why the two flags ship side by side)
+    assert robust[5] == (None, False) and classic[5] is True
+    # insufficient history → NULL score, flag False
+    assert robust[0] == (None, False)

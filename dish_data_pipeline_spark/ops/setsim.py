@@ -181,3 +181,119 @@ SELECT id_a, id_b, n_inter, n_union,
        CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
 FROM pairs WHERE n_inter * 100 >= n_union * {int(tau_pct)}
 """
+
+
+def containment_pairs(
+    df: DataFrame,
+    tau_pct: int = 80,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC set containment: ordered pairs where at least
+    ``tau_pct``% of doc ``id_a``'s elements also occur in ``id_b`` —
+    quote/excerpt/subset detection, which Jaccard misses by
+    construction (a paragraph quoted inside a book has near-zero
+    Jaccard but containment ≈ 1).
+
+    Exact, and simpler than the prefix filter: containment ≥ τ > 0
+    implies ≥ 1 shared element, so the shared-element equi-join is
+    already a COMPLETE candidate generator — and because each shared
+    element contributes exactly one joined row per pair (elements
+    are distinct per doc), ``|∩|`` is just the per-pair row count:
+    explode → self-join → count, no array re-intersection. Same
+    integer acceptance discipline as :func:`jaccard_similarity_join`
+    (``inter · 100 ≥ τ_pct · n_a``, floats only in the reported
+    ratio). Skew note: a corpus-wide boilerplate element fans out
+    quadratically in the join — use shingles rare enough to
+    discriminate (``shingle_n``), and at web scale drop elements
+    above a document-frequency cap first (they cannot certify
+    containment of anything but themselves).
+
+    Output: (id_a, id_b, n_inter, n_a, containment), id_a ≠ id_b,
+    both directions."""
+    if not 0 < tau_pct <= 100:
+        raise ValueError(f"tau_pct must be in (0, 100], got {tau_pct}")
+    if shingle_n < 1:
+        raise ValueError(f"shingle_n must be >= 1, got {shingle_n}")
+    toks_arr = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+    )
+    if shingle_n == 1:
+        elems = F.col("_w")
+    else:
+        join_expr = " || ' ' || ".join(
+            f"element_at(_w, i + {j})" for j in range(shingle_n)
+        )
+        elems = F.expr(
+            f"CASE WHEN size(_w) < {shingle_n} THEN array() "
+            f"ELSE transform(sequence(1, size(_w) - {shingle_n - 1}), "
+            f"i -> {join_expr}) END"
+        )
+    toks = (
+        df.select(F.col(id_col).alias("_id"), toks_arr.alias("_w"))
+        .select("_id", F.explode(F.array_distinct(elems)).alias("_t"))
+    )
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    toks = tracked_persist(toks)
+    sizes = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        toks.select(F.col("_id").alias("id_a"), "_t")
+        .join(toks.select(F.col("_id").alias("id_b"), "_t"), "_t")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a")),
+            "id_a",
+        )
+        .filter(F.col("n_inter") * 100 >= F.col("n_a") * tau_pct)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            (F.col("n_inter").cast("double") / F.col("n_a").cast("double"))
+            .alias("containment"),
+        )
+    )
+
+
+def containment_pairs_sql(
+    src_sql: str, tau_pct: int = 80, id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> str:
+    """Brute-force DuckDB oracle: all ORDERED pairs, exact
+    ``list_intersect`` counts — independent of the shared-element
+    join, so the hash match proves candidate completeness."""
+    if shingle_n == 1:
+        elems = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+    else:
+        join_expr = " || ' ' || ".join(
+            f"w[i + {j}]" for j in range(shingle_n)
+        )
+        elems = (
+            f"list_transform(generate_series(1, greatest(len(w) - "
+            f"{shingle_n - 1}, 0)), i -> {join_expr})"
+        )
+    return f"""
+WITH words AS (
+  SELECT {id_col} AS id,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS w
+  FROM ({src_sql}) src),
+toks AS (
+  SELECT id, list_distinct({elems}) AS ts FROM words),
+sized AS (
+  SELECT id, ts, CAST(len(ts) AS BIGINT) AS n FROM toks WHERE len(ts) > 0),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_inter,
+         a.n AS n_a
+  FROM sized a JOIN sized b ON a.id <> b.id)
+SELECT id_a, id_b, n_inter, n_a,
+       CAST(n_inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+FROM pairs WHERE n_inter * 100 >= n_a * {int(tau_pct)}
+"""

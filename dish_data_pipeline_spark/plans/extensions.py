@@ -871,6 +871,23 @@ def _sql_jaccard_simjoin() -> str:
     return jaccard_similarity_join_sql(SQL_DOCS_WITH_DUPES, 60, shingle_n=3)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/excerpt detection over the planted-duplicate corpus:
+    ordered pairs where ≥ 80% of one doc's trigram shingles occur in
+    the other — the asymmetric signal Jaccard misses (a short doc
+    inside a long one). Brute-force all-ordered-pairs DuckDB twin
+    independently proves the shared-element candidate join complete."""
+    from dish_data_pipeline_spark.ops.setsim import containment_pairs
+
+    return containment_pairs(_docs_with_dupes(spark, sf_dir), 80)
+
+
+def _sql_containment_pairs() -> str:
+    from dish_data_pipeline_spark.ops.setsim import containment_pairs_sql
+
+    return containment_pairs_sql(SQL_DOCS_WITH_DUPES, 80)
+
+
 def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy key match in the order a real pipeline
     runs it: exact-dedup the key space FIRST (the distinct part-name
@@ -2534,6 +2551,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "edit-distance-1 key match via deletion neighborhoods vs "
         "brute-force levenshtein",
         ("dedup", "join")),
+    "containment_pairs": QueryDef(
+        q_containment_pairs, _sql_containment_pairs(),
+        "asymmetric set containment (quote detection) vs brute-force "
+        "ordered-pairs oracle",
+        ("dedup", "join", "text")),
     "corpus_pipeline": QueryDef(
         q_corpus_pipeline, _sql_corpus_pipeline(),
         "composed flow: quality gate -> decontaminate -> mixture sample",

@@ -440,3 +440,48 @@ def test_rolling_robust_zscore_resists_masking(spark):
     assert robust[5] == (None, False) and classic[5] is True
     # insufficient history → NULL score, flag False
     assert robust[0] == (None, False)
+
+
+def test_containment_pairs_finds_quote_jaccard_misses(spark):
+    """The asymmetric case Jaccard can't see: a short doc fully
+    quoted inside a long one — containment(a→b) = 1.0 while Jaccard
+    stays far below any useful threshold. Python twin verifies the
+    counts; direction matters (the long doc is NOT contained in the
+    short one)."""
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.setsim import (
+        containment_pairs,
+        jaccard_similarity_join,
+    )
+
+    quote = "the five boxing wizards jump quickly tonight"
+    book = (
+        "chapter one begins here with many other words and then "
+        + quote
+        + " appears verbatim among plenty of surrounding narrative "
+        "text that keeps going for a while longer still"
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=quote), Row(doc_id=2, text=book),
+         Row(doc_id=3, text="unrelated material entirely")]
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_a, r.containment)
+        for r in containment_pairs(df, 80, shingle_n=3).collect()
+    }
+    # quote ⊂ book: all 5 of the quote's trigrams appear in the book
+    assert got[(1, 2)][2] == 1.0 and got[(1, 2)][0] == got[(1, 2)][1] == 5
+    assert (2, 1) not in got  # asymmetry: the book is not contained
+    assert not any(3 in p for p in got)
+    # and Jaccard at a MUCH lower bar still misses the pair
+    jac = {
+        (r.id_a, r.id_b)
+        for r in jaccard_similarity_join(df, 30, shingle_n=3).collect()
+    }
+    assert (1, 2) not in jac
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tau_pct"):
+        containment_pairs(df, 0)

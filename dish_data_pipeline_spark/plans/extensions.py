@@ -532,6 +532,137 @@ LEFT JOIN hits h ON h.doc_id = c.doc_id
 """
 
 
+# --- Bloom-filter decontamination pre-filter ----------------------
+BLOOM_WORDS = 2048  # 129,024 bits: ~2e-4 FP at sf0.01, ~9% at sf0.1
+BLOOM_K = 3
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size Bloom pre-filter for benchmark decontamination: the
+    bench split's hashed 5-grams feed a 2048-word filter; every
+    corpus gram probes it map-side. Per doc: gram count, Bloom-
+    positive count (true hits + DETERMINISTIC false positives — the
+    oracle replicates the filter bit-for-bit), exact-hit count, and
+    the FP overcount the exact verify pass would discard. A
+    Bloom-negative doc (`clean`=1) is PROVABLY uncontaminated — at
+    100 TB that's the fraction of the corpus that never reaches the
+    exact semi-join."""
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+    from dish_data_pipeline_spark.ops.bloom import bloom_build, bloom_probe_hits
+    from dish_data_pipeline_spark.ops.portable import spark_phash
+    from dish_data_pipeline_spark.ops.text import TOKEN_RE
+
+    n = CONTAM_N
+    d = read(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    gram_h = spark_phash(f"concat_ws(chr(32), slice(_toks, i, {n}))")
+    grams_expr = (
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> struct(CAST(i AS BIGINT) AS pos, {gram_h} AS elem_hash)) "
+        "ELSE array() END"
+    )
+    corpus_grams = tracked_persist(
+        corpus.select("doc_id", toks.alias("_toks"))
+        .select("doc_id", F.explode(F.expr(grams_expr)).alias("_g"))
+        .select("doc_id", "_g.pos", "_g.elem_hash")
+    )
+    bench_hashes = tracked_persist(
+        bench.select(toks.alias("_toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(_toks) >= {n} THEN "
+                    f"transform(sequence(1, size(_toks) - {n - 1}), "
+                    f"i -> {gram_h}) ELSE array() END"
+                )
+            ).alias("elem_hash")
+        )
+        .distinct()
+    )
+    bf = bloom_build(bench_hashes, n_words=BLOOM_WORDS, n_hashes=BLOOM_K)
+    member = bloom_probe_hits(
+        corpus_grams, bf, ["doc_id", "pos", "elem_hash"],
+        n_words=BLOOM_WORDS, n_hashes=BLOOM_K,
+    )
+    flagged = member.join(
+        F.broadcast(bench_hashes.withColumn("_true", F.lit(1))),
+        "elem_hash", "left",
+    ).select(
+        "doc_id", "member", F.coalesce("_true", F.lit(0)).alias("_true")
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum("member").cast("bigint").alias("n_bloom_hits"),
+        F.sum("_true").cast("bigint").alias("n_true_hits"),
+    )
+    return (
+        corpus.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_bloom_hits", F.lit(0)).cast("bigint")
+            .alias("n_bloom_hits"),
+            F.coalesce("n_true_hits", F.lit(0)).cast("bigint")
+            .alias("n_true_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0))
+             - F.coalesce("n_true_hits", F.lit(0))).cast("bigint")
+            .alias("n_false_pos"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) == 0).cast("int")
+            .alias("clean"),
+        )
+    )
+
+
+def _sql_bloom_decontaminate(n: int = CONTAM_N) -> str:
+    from dish_data_pipeline_spark.ops.bloom import (
+        bloom_build_sql, bloom_probe_sql,
+    )
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+
+    ghash = duck_phash(f"array_to_string(t[i:i + {n - 1}], ' ')")
+    probe = bloom_probe_sql(
+        "cge", "bf", ["doc_id", "pos", "elem_hash"],
+        n_words=BLOOM_WORDS, n_hashes=BLOOM_K,
+    )
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+ctok AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+') AS t
+         FROM corpus),
+cge AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, {ghash} AS elem_hash
+        FROM ctok, UNNEST(generate_series(1, greatest(len(t) - {n - 1}, 0)))
+             AS u(i)),
+btok AS (SELECT regexp_extract_all(text, '[A-Za-z0-9]+') AS t FROM bench),
+bg AS (SELECT DISTINCT {ghash} AS elem_hash
+       FROM btok, UNNEST(generate_series(1, greatest(len(t) - {n - 1}, 0)))
+            AS u(i)),
+bf AS ({bloom_build_sql('bg', n_words=BLOOM_WORDS, n_hashes=BLOOM_K)}),
+probe AS ({probe}),
+perrow AS (
+  SELECT p.doc_id, p.member,
+         CASE WHEN p.elem_hash IN (SELECT elem_hash FROM bg)
+              THEN 1 ELSE 0 END AS istrue
+  FROM probe p),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(member) AS BIGINT) AS n_bloom_hits,
+         CAST(SUM(istrue) AS BIGINT) AS n_true_hits
+  FROM perrow GROUP BY doc_id)
+SELECT c.doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_bloom_hits, 0) AS n_bloom_hits,
+       COALESCE(a.n_true_hits, 0) AS n_true_hits,
+       COALESCE(a.n_bloom_hits, 0) - COALESCE(a.n_true_hits, 0)
+         AS n_false_pos,
+       CAST(COALESCE(a.n_bloom_hits, 0) = 0 AS INT) AS clean
+FROM corpus c LEFT JOIN agg a ON a.doc_id = c.doc_id
+"""
+
+
 # --- Target-mixture corpus sampling -------------------------------
 MIX_WEIGHTS = {"en": 0.5, "de": 0.3, "fr": 0.2}
 MIX_OUT_ROWS = 200
@@ -2598,4 +2729,9 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         sql_embedding_dedup(SQL_EMBEDDING_NEARDUP_CORPUS),
         "SemDeDup shape: SRP blocks -> cosine gate -> CC -> canonical",
         ("embedding", "dedup")),
+    "bloom_decontaminate": QueryDef(
+        q_bloom_decontaminate, _sql_bloom_decontaminate(),
+        "fixed-size Bloom pre-filter for decontamination, filter "
+        "bit-identical to oracle incl. false positives",
+        ("sketch", "dedup", "text")),
 }

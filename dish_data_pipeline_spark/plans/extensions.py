@@ -663,6 +663,64 @@ FROM corpus c LEFT JOIN agg a ON a.doc_id = c.doc_id
 """
 
 
+# --- Z-order layout clustering ------------------------------------
+ZORDER_BITS = 8
+ZORDER_BUCKETS = 64
+
+
+def q_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout manifest over orders, interleaving customer key
+    × order date (epoch days): 64 equal-width z-range buckets (files,
+    conceptually) with per-dimension min/max rectangles and cell
+    volume — the file-skipping statistics a writer persists after
+    ``repartitionByRange(zvalue)``. Tight rectangles on BOTH
+    dimensions are the whole point: either predicate prunes most
+    buckets, which single-column sorting cannot give."""
+    from dish_data_pipeline_spark.ops.layout import (
+        layout_extents, with_zvalue,
+    )
+
+    o = read(spark, sf_dir, "orders").selectExpr(
+        "CAST(o_custkey AS BIGINT) AS ck",
+        "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS td",
+    )
+    z = with_zvalue(o, ["ck", "td"], bits=ZORDER_BITS)
+    return layout_extents(
+        z, ZORDER_BUCKETS, bits=ZORDER_BITS, n_dims=2
+    ).select(
+        "bucket", "n_rows", "min_d0", "max_d0", "min_d1", "max_d1",
+        "extent_cells",
+    )
+
+
+def _sql_zorder_extents() -> str:
+    from dish_data_pipeline_spark.ops.layout import morton_expr, scaled_expr
+
+    s0 = scaled_expr("c", "mc", "xc", ZORDER_BITS, "//")
+    s1 = scaled_expr("t", "mt", "xt", ZORDER_BITS, "//")
+    z = morton_expr(["s0", "s1"], ZORDER_BITS, "//")
+    width = (1 << (2 * ZORDER_BITS)) // ZORDER_BUCKETS
+    return f"""
+WITH src AS (
+  SELECT CAST(o_custkey AS BIGINT) AS c,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+           AS t
+  FROM orders),
+b AS (SELECT MIN(c) AS mc, MAX(c) AS xc, MIN(t) AS mt, MAX(t) AS xt
+      FROM src),
+s AS (SELECT CAST({s0} AS BIGINT) AS s0, CAST({s1} AS BIGINT) AS s1
+      FROM src, b),
+z AS (SELECT s0, s1, CAST({z} AS BIGINT) AS zvalue FROM s)
+SELECT zvalue // {width} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(s0) AS min_d0, MAX(s0) AS max_d0,
+       MIN(s1) AS min_d1, MAX(s1) AS max_d1,
+       CAST((MAX(s0) - MIN(s0) + 1) * (MAX(s1) - MIN(s1) + 1) AS BIGINT)
+         AS extent_cells
+FROM z GROUP BY 1
+"""
+
+
 # --- Target-mixture corpus sampling -------------------------------
 MIX_WEIGHTS = {"en": 0.5, "de": 0.3, "fr": 0.2}
 MIX_OUT_ROWS = 200
@@ -2734,4 +2792,9 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "fixed-size Bloom pre-filter for decontamination, filter "
         "bit-identical to oracle incl. false positives",
         ("sketch", "dedup", "text")),
+    "zorder_extents": QueryDef(
+        q_zorder_extents, _sql_zorder_extents(),
+        "Z-order layout manifest: Morton-bucket min/max rectangles "
+        "for two-dimensional file skipping",
+        ("layout", "agg")),
 }

@@ -2099,6 +2099,36 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_WEIGHTS = {"train": 90, "val": 5, "test": 5}
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: near-dup clusters
+    (LSH pairs → connected components) hash to a split AS A UNIT, so
+    planted duplicates can never straddle the train/test boundary.
+    The oracle recomputes the clusters via WITH RECURSIVE
+    reachability and applies the identical salted-hash thresholds."""
+    from dish_data_pipeline_spark.ops.dedup_cluster import connected_components
+    from dish_data_pipeline_spark.ops.splits import leakage_safe_split
+
+    corpus = _docs_with_dupes(spark, sf_dir)
+    clusters = connected_components(
+        corpus.select("doc_id"), _minhash_pairs(corpus)
+    )
+    return leakage_safe_split(corpus, clusters, SPLIT_WEIGHTS)
+
+
+def _sql_leakage_split() -> str:
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+    from dish_data_pipeline_spark.ops.splits import split_case_sql
+
+    case = split_case_sql("cluster_id", SPLIT_WEIGHTS, "split-v1", duck_phash)
+    return f"""
+SELECT doc_id, cluster_id, {case} AS split
+FROM ({sql_dup_clusters(SQL_DOCS_WITH_DUPES)}) c
+"""
+
+
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed corpus-builder a training pipeline runs: quality
     gate → near-dup pairs among survivors → connected components →
@@ -2797,4 +2827,9 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "Z-order layout manifest: Morton-bucket min/max rectangles "
         "for two-dimensional file skipping",
         ("layout", "agg")),
+    "leakage_split": QueryDef(
+        q_leakage_split, _sql_leakage_split(),
+        "leakage-safe train/val/test split: near-dup clusters "
+        "co-assigned by salted cluster hash",
+        ("sampling", "dedup")),
 }

@@ -2099,6 +2099,23 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup over the planted-duplicate corpus: every
+    cross-doc duplicated word 5-gram span is deleted from the
+    rewritten text (planted exact copies mask each other completely;
+    organically shared boilerplate masks partially). The oracle
+    recomputes coverage and the rewrite with identical gram hashes."""
+    from dish_data_pipeline_spark.ops.spans import mask_duplicate_spans
+
+    return mask_duplicate_spans(_docs_with_dupes(spark, sf_dir), n=5)
+
+
+def _sql_dup_span_mask() -> str:
+    from dish_data_pipeline_spark.ops.spans import mask_duplicate_spans_sql
+
+    return mask_duplicate_spans_sql(SQL_DOCS_WITH_DUPES, n=5)
+
+
 SPLIT_WEIGHTS = {"train": 90, "val": 5, "test": 5}
 
 
@@ -2832,4 +2849,9 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "leakage-safe train/val/test split: near-dup clusters "
         "co-assigned by salted cluster hash",
         ("sampling", "dedup")),
+    "dup_span_mask": QueryDef(
+        q_dup_span_mask, _sql_dup_span_mask(),
+        "span-level dedup: cross-doc duplicated 5-gram spans deleted "
+        "from the rewritten text (Lee et al. 2022 shape)",
+        ("dedup", "text")),
 }

@@ -2099,6 +2099,119 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Collocation mining (lift = PMI without the log) --------------
+COLLOC_MIN_COUNT = 20
+COLLOC_TOPK = 50
+
+
+def q_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by lift — n_xy·N / (n_x·n_y), the
+    monotone PMI surrogate that never calls ln (libm ln is not
+    correctly rounded and differs across engines; lift is two exact
+    BIGINT products and ONE IEEE division, so it is hash-exact).
+    Marginals are derived FROM the pair counts (one corpus shuffle,
+    then vocab-bounded re-aggregations). Deterministic total order:
+    lift desc, then the pair itself."""
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    d = read(spark, sf_dir, "documents")
+    pairs = tracked_persist(
+        d.selectExpr(f"{TOKENIZE_SPARK} AS t")
+        .selectExpr(
+            "explode(CASE WHEN size(t) < 2 THEN "
+            "array() ELSE transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, "
+            "element_at(t, i + 1) AS w2)) END) AS b"
+        )
+        .selectExpr("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    )
+    left = pairs.groupBy("w1").agg(F.sum("n_xy").alias("n_x"))
+    right = pairs.groupBy("w2").agg(F.sum("n_xy").alias("n_y"))
+    total = pairs.agg(F.sum("n_xy").alias("n_total"))
+    return (
+        pairs.filter(F.col("n_xy") >= COLLOC_MIN_COUNT)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "w1", "w2", "n_xy", "n_x", "n_y",
+            "CAST(n_xy * n_total AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)"
+            " AS lift",
+        )
+        .orderBy(F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(COLLOC_TOPK)
+    )
+
+
+SQL_COLLOCATION_LIFT = f"""
+WITH tok AS (SELECT regexp_extract_all(text, '[A-Za-z0-9]+') AS t
+             FROM documents),
+bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+       FROM tok, UNNEST(generate_series(1, greatest(len(t) - 1, 0)))
+            AS u(i)),
+pairs AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+          FROM bg GROUP BY w1, w2),
+lm AS (SELECT w1, SUM(n_xy) AS n_x FROM pairs GROUP BY w1),
+rm AS (SELECT w2, SUM(n_xy) AS n_y FROM pairs GROUP BY w2),
+tot AS (SELECT SUM(n_xy) AS n_total FROM pairs)
+SELECT p.w1, p.w2, p.n_xy, l.n_x, r.n_y,
+       CAST(p.n_xy * t.n_total AS DOUBLE) / CAST(l.n_x * r.n_y AS DOUBLE)
+         AS lift
+FROM pairs p JOIN lm l ON l.w1 = p.w1 JOIN rm r ON r.w2 = p.w2, tot t
+WHERE p.n_xy >= {COLLOC_MIN_COUNT}
+ORDER BY lift DESC, p.w1 ASC, p.w2 ASC
+LIMIT {COLLOC_TOPK}
+"""
+
+
+# --- Per-language quality percentile calibration -------------------
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language score calibration: a raw quality signal (mean
+    word length here) is not comparable across languages, so gate on
+    the PER-LANGUAGE percentile rank instead of the raw value — the
+    standard fix when one threshold would gut one language and pass
+    everything in another. Exact integer ranks (unique doc_id
+    tiebreak) over one window exchange; the percentile is one IEEE
+    division."""
+    from pyspark.sql import Window
+
+    d = read(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang",
+        "CAST(LENGTH(text) AS DOUBLE) / CAST(GREATEST(size("
+        f"{TOKENIZE_SPARK}), 1) AS DOUBLE) AS wordlen",
+    )
+    w = Window.partitionBy("lang")
+    rn = F.row_number().over(
+        w.orderBy(F.col("wordlen").asc(), F.col("doc_id").asc())
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    return d.select(
+        "doc_id", "lang", "wordlen",
+        ((rn - F.lit(1)).cast("double")
+         / F.greatest(cnt - F.lit(1), F.lit(1)).cast("double"))
+        .alias("pct_rank"),
+    )
+
+
+SQL_QUALITY_CALIBRATION = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(LENGTH(text) AS DOUBLE)
+           / CAST(GREATEST(LENGTH(regexp_extract_all(text,
+               '[A-Za-z0-9]+')), 1) AS DOUBLE) AS wordlen
+  FROM documents)
+SELECT doc_id, lang, wordlen,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY wordlen ASC, doc_id ASC) - 1
+            AS DOUBLE)
+         / CAST(GREATEST(COUNT(*) OVER (PARTITION BY lang) - 1, 1)
+                AS DOUBLE) AS pct_rank
+FROM t
+"""
+
+
 def q_dup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level dedup over the planted-duplicate corpus: every
     cross-doc duplicated word 5-gram span is deleted from the
@@ -2854,4 +2967,14 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "span-level dedup: cross-doc duplicated 5-gram spans deleted "
         "from the rewritten text (Lee et al. 2022 shape)",
         ("dedup", "text")),
+    "collocation_lift": QueryDef(
+        q_collocation_lift, SQL_COLLOCATION_LIFT,
+        "top-50 collocations by lift (log-free PMI surrogate, "
+        "hash-exact)",
+        ("text", "agg")),
+    "quality_calibration": QueryDef(
+        q_quality_calibration, SQL_QUALITY_CALIBRATION,
+        "per-language percentile-rank calibration of a raw quality "
+        "signal",
+        ("text", "quality")),
 }

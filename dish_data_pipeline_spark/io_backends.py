@@ -128,6 +128,43 @@ class CommitConflict(RuntimeError):
     the table already existed on ``create``)."""
 
 
+def _footer_min_max(
+    abs_path: str, cols: Sequence[str]
+) -> dict[str, list]:
+    """Column min/max from a parquet file's row-group footer
+    statistics. Only JSON-stable scalar types are recorded (int,
+    float, str, bool) — a column whose stats are missing or
+    non-serializable is simply absent, and absence means "never
+    prune on this file" (always safe)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    idx = {
+        md.row_group(0).column(i).path_in_schema: i
+        for i in range(md.num_columns)
+    } if md.num_row_groups else {}
+    out: dict[str, list] = {}
+    for c in cols:
+        i = idx.get(c)
+        if i is None:
+            continue
+        mins: list = []
+        maxs: list = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins and all(
+            isinstance(v, (int, float, str, bool))
+            for v in (min(mins), max(maxs))
+        ):
+            out[c] = [min(mins), max(maxs)]
+    return out
+
+
 class ManifestParquetBackend:
     """Versioned-manifest Parquet table with optimistic concurrency.
 
@@ -190,9 +227,18 @@ class ManifestParquetBackend:
             return json.load(f)
 
     # -- data + commit ----------------------------------------------
-    def _write_data(self, df: DataFrame, path: str) -> tuple[list[str], str]:
+    def _write_data(
+        self,
+        df: DataFrame,
+        path: str,
+        stats_cols: Sequence[str] | None = None,
+    ) -> tuple[list[str], str, dict]:
         """Materialize ``df`` as immutable files under a fresh
-        ``data/<uuid>`` dir; return (relative file list, schema json)."""
+        ``data/<uuid>`` dir; return (relative file list, schema json,
+        per-file min/max stats for ``stats_cols``). Stats come from
+        the parquet FOOTERS (row-group metadata via pyarrow) — no
+        second Spark job over the data, the same source Delta/Iceberg
+        data skipping reads."""
         rel_dir = os.path.join("data", uuid.uuid4().hex)
         out = os.path.join(path, rel_dir)
         df.write.parquet(out)
@@ -201,7 +247,13 @@ class ManifestParquetBackend:
             for f in os.listdir(out)
             if f.endswith(".parquet")
         )
-        return files, df.schema.json()
+        stats = {}
+        if stats_cols:
+            for rel in files:
+                s = _footer_min_max(os.path.join(path, rel), stats_cols)
+                if s:
+                    stats[rel] = s
+        return files, df.schema.json(), stats
 
     def _try_commit(self, path: str, version: int, manifest: dict) -> bool:
         """Atomically claim ``version``; False if a rival got there."""
@@ -246,14 +298,24 @@ class ManifestParquetBackend:
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*files)
 
-    def create(self, df: DataFrame, path: str) -> None:
+    def create(
+        self,
+        df: DataFrame,
+        path: str,
+        stats_cols: Sequence[str] | None = None,
+    ) -> None:
+        """Create version 0. ``stats_cols`` opts the table into
+        per-file min/max stats in every future manifest (inherited by
+        MERGE and compaction) — the data-skipping contract."""
         os.makedirs(path, exist_ok=True)
         if self.latest_version(path) is not None:
             raise CommitConflict(f"table already exists at {path}")
-        files, schema = self._write_data(df, path)
+        files, schema, stats = self._write_data(df, path, stats_cols)
         if not self._try_commit(
             path, 0, {"version": 0, "parent": None, "files": files,
-                      "schema": schema}
+                      "schema": schema,
+                      "stats_cols": list(stats_cols or []),
+                      "stats": stats}
         ):
             raise CommitConflict(f"concurrent create at {path}")
 
@@ -279,14 +341,18 @@ class ManifestParquetBackend:
             if base is None:
                 raise FileNotFoundError(f"no table at {path}; create() first")
             target = self.read(spark, path, base)
-            files, schema = self._write_data(upsert(target, deduped, keys), path)
+            stats_cols = self._manifest(path, base).get("stats_cols") or []
+            files, schema, stats = self._write_data(
+                upsert(target, deduped, keys), path, stats_cols
+            )
             if _pre_commit_hook is not None:
                 _pre_commit_hook(attempt)
             if self._try_commit(
                 path,
                 base + 1,
                 {"version": base + 1, "parent": base, "files": files,
-                 "schema": schema},
+                 "schema": schema, "stats_cols": stats_cols,
+                 "stats": stats},
             ):
                 return
         raise CommitConflict(
@@ -294,7 +360,11 @@ class ManifestParquetBackend:
         )
 
     def compact(
-        self, spark: SparkSession, path: str, target_files: int = 1
+        self,
+        spark: SparkSession,
+        path: str,
+        target_files: int = 1,
+        zorder_by: Sequence[str] | None = None,
     ) -> int:
         """Small-files maintenance: rewrite the LATEST snapshot's
         rows into ``target_files`` files and commit the result as a
@@ -305,19 +375,100 @@ class ManifestParquetBackend:
         concurrent writer it ABORTS (returns -1; committing would
         replace the winner's rows with a stale snapshot) instead of
         retrying. Re-run when quiet; vacuum() afterwards reclaims
-        the superseded files. Returns the committed version."""
+        the superseded files. Returns the committed version.
+
+        ``zorder_by`` (two or more integer-castable columns) is the
+        ``OPTIMIZE ... ZORDER BY`` analog: rows are re-laid-out along
+        the Morton curve of those columns (``ops/layout.py``) before
+        writing, so the footer min/max stats this table records
+        become tight rectangles on EVERY listed column and
+        :meth:`scan` prunes files for predicates on any of them."""
         base = self.latest_version(path)
         if base is None:
             raise FileNotFoundError(f"no table at {path}")
-        df = self.read(spark, path, base).coalesce(target_files)
-        files, schema = self._write_data(df, path)
+        df = self.read(spark, path, base)
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from dish_data_pipeline_spark.ops.layout import with_zvalue
+
+            cols = df.columns
+            df = (
+                with_zvalue(df, list(zorder_by), bits=8, out_col="_zv")
+                .repartitionByRange(target_files, F.col("_zv"))
+                .sortWithinPartitions("_zv")
+                .select(*cols)
+            )
+        else:
+            df = df.coalesce(target_files)
+        stats_cols = self._manifest(path, base).get("stats_cols") or []
+        files, schema, stats = self._write_data(df, path, stats_cols)
         committed = self._try_commit(
             path,
             base + 1,
             {"version": base + 1, "parent": base, "files": files,
-             "schema": schema, "compaction": True},
+             "schema": schema, "compaction": True,
+             "stats_cols": stats_cols, "stats": stats},
         )
         return base + 1 if committed else -1
+
+    # -- data skipping ------------------------------------------------
+    def prune_files(
+        self,
+        path: str,
+        intervals: dict[str, tuple],
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Manifest-only file skipping: keep the files whose recorded
+        [min, max] OVERLAPS every requested ``col: (lo, hi)``
+        interval (``None`` bound = unbounded). Files without stats
+        for a column are always kept — pruning is sound, never
+        required. Returns (kept relative files, total files)."""
+        v = self.latest_version(path) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no table at {path}")
+        man = self._manifest(path, v)
+        stats = man.get("stats", {})
+        kept = []
+        for f in man["files"]:
+            fstats = stats.get(f, {})
+            ok = True
+            for col, (lo, hi) in intervals.items():
+                mm = fstats.get(col)
+                if mm is None:
+                    continue
+                if (lo is not None and mm[1] < lo) or (
+                    hi is not None and mm[0] > hi
+                ):
+                    ok = False
+                    break
+            if ok:
+                kept.append(f)
+        return kept, len(man["files"])
+
+    def scan(
+        self,
+        spark: SparkSession,
+        path: str,
+        intervals: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned snapshot read: every row matching the
+        intervals is guaranteed present (pruning only drops files
+        that PROVABLY contain no match); rows outside the intervals
+        may also be present — apply the exact predicate on top, as
+        any data-skipping reader does."""
+        from pyspark.sql.types import StructType
+
+        v = self.latest_version(path) if version is None else version
+        kept, _total = self.prune_files(path, intervals, v)
+        man = self._manifest(path, v)
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        if not kept:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in kept]
+        )
 
     def vacuum(self, path: str) -> list[str]:
         """Delete data files referenced by NO committed manifest

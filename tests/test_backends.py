@@ -457,7 +457,7 @@ def test_manifest_backend_compact(spark, tmp_path):
     rival = ManifestParquetBackend()
     base = be.latest_version(path)
     df = be.read(spark, path, base).coalesce(1)
-    files, schema = be._write_data(df, path)
+    files, schema, _stats = be._write_data(df, path)
     rival.merge_keep_latest(
         spark, path, spark.createDataFrame([Row(k="new", v=99, ts=9)]),
         ["k"], "ts",

@@ -1,0 +1,113 @@
+"""Manifest-backend data skipping: footer min/max stats, interval
+pruning soundness/completeness, z-order compaction tightening, and
+stats inheritance through MERGE."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """4-file table over k=0..399, v=k*3, file i holding k in
+    [i*100, i*100+99] (repartitionByRange on k → disjoint ranges)."""
+    be = ManifestParquetBackend()
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(400)
+        .selectExpr(
+            "CAST(id AS BIGINT) AS k",
+            "CAST(id * 3 AS BIGINT) AS v",
+            "CAST(1 AS BIGINT) AS ts",
+        )
+        .repartitionByRange(4, F.col("k"))
+        .sortWithinPartitions("k")
+    )
+    be.create(df, path, stats_cols=["k", "v"])
+    return be, path
+
+
+def test_manifest_records_footer_stats(table):
+    be, path = table
+    man = be._manifest(path, 0)
+    assert man["stats_cols"] == ["k", "v"]
+    assert set(man["stats"]) == set(man["files"])
+    los = sorted(s["k"][0] for s in man["stats"].values())
+    his = sorted(s["k"][1] for s in man["stats"].values())
+    assert los[0] == 0 and his[-1] == 399
+    # disjoint ascending ranges
+    assert all(lo <= hi for lo, hi in zip(los, his))
+
+
+def test_prune_is_sound_and_tight(spark, table):
+    be, path = table
+    kept, total = be.prune_files(path, {"k": (150, 160)})
+    assert total == 4 and len(kept) == 1
+    # completeness: every matching row survives the pruned scan
+    got = (
+        be.scan(spark, path, {"k": (150, 160)})
+        .filter("k BETWEEN 150 AND 160")
+        .count()
+    )
+    assert got == 11
+    # unbounded side + no-stats column never prunes wrongly
+    kept, _ = be.prune_files(path, {"k": (None, 99)})
+    assert len(kept) == 1
+    kept, _ = be.prune_files(path, {"nosuch": (1, 2)})
+    assert len(kept) == 4
+    # empty intersection → empty DataFrame with schema intact
+    empty = be.scan(spark, path, {"k": (4000, 5000)})
+    assert empty.count() == 0 and empty.columns == ["k", "v", "ts"]
+
+
+def test_stats_inherited_through_merge(spark, table):
+    be, path = table
+    be.merge_keep_latest(
+        spark, path,
+        spark.createDataFrame([Row(k=1000, v=1, ts=2)]),
+        ["k"], "ts",
+    )
+    man = be._manifest(path, 1)
+    assert man["stats_cols"] == ["k", "v"]
+    assert set(man["stats"]) == set(man["files"])
+    his = max(s["k"][1] for s in man["stats"].values())
+    assert his == 1000
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """Before: files cut on k only → a v-predicate hits every file.
+    After OPTIMIZE-ZORDER compaction: both k and v prune."""
+    be = ManifestParquetBackend()
+    path = str(tmp_path / "z")
+    # v deliberately anti-correlated with k so a k-sort is the worst
+    # case for v pruning
+    df = (
+        spark.range(4096)
+        .selectExpr(
+            "CAST(id AS BIGINT) AS k",
+            "CAST(4095 - id AS BIGINT) AS v",
+            "CAST(1 AS BIGINT) AS ts",
+        )
+        .repartitionByRange(8, F.col("k"))
+    )
+    be.create(df, path, stats_cols=["k", "v"])
+    kept_v_before, total = be.prune_files(path, {"v": (0, 63)})
+    assert total == 8
+
+    v = be.compact(spark, path, target_files=8, zorder_by=["k", "v"])
+    assert v == 1
+    kept_k, total = be.prune_files(path, {"k": (0, 63)}, version=1)
+    kept_v, _ = be.prune_files(path, {"v": (0, 63)}, version=1)
+    assert total == 8
+    assert len(kept_k) < 8 and len(kept_v) < 8
+    # completeness after relayout
+    assert (
+        be.scan(spark, path, {"v": (0, 63)}, version=1)
+        .filter("v < 64").count() == 64
+    )
+    # rows preserved exactly
+    assert be.read(spark, path, 1).count() == 4096

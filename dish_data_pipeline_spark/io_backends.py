@@ -359,6 +359,40 @@ class ManifestParquetBackend:
             f"lost the commit race {self.max_retries + 1} times at {path}"
         )
 
+    def append(self, df: DataFrame, path: str) -> int:
+        """Transactional append: commit the parent snapshot's files
+        PLUS ``df``'s fresh files as a new version. Appends carry no
+        read-modify-write dependency, so losing a version race is
+        always retryable without recompute — re-read the new latest
+        and re-commit the SAME data files against it (unlike MERGE,
+        whose result depends on the base it read). The ingest path a
+        streaming ``foreachBatch`` or batch loader uses. Returns the
+        committed version."""
+        base = self.latest_version(path)
+        if base is None:
+            raise FileNotFoundError(f"no table at {path}; create() first")
+        # stats_cols is fixed at create() and inherited by every
+        # commit, so reading it from any manifest is safe; the data
+        # files are written ONCE — only the commit loop retries
+        stats_cols = self._manifest(path, base).get("stats_cols") or []
+        files, _schema, stats = self._write_data(df, path, stats_cols)
+        for _ in range(self.max_retries + 1):
+            base = self.latest_version(path)
+            man = self._manifest(path, base)
+            if self._try_commit(
+                path,
+                base + 1,
+                {"version": base + 1, "parent": base,
+                 "files": man["files"] + files,
+                 "schema": man["schema"],
+                 "stats_cols": stats_cols,
+                 "stats": {**man.get("stats", {}), **stats}},
+            ):
+                return base + 1
+        raise CommitConflict(
+            f"lost the append race {self.max_retries + 1} times at {path}"
+        )
+
     def compact(
         self,
         spark: SparkSession,

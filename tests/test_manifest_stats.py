@@ -111,3 +111,53 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     )
     # rows preserved exactly
     assert be.read(spark, path, 1).count() == 4096
+
+
+def test_append_commits_new_files_and_keeps_stats(spark, table):
+    be, path = table
+    v = be.append(
+        spark.createDataFrame([Row(k=900, v=1, ts=1)]), path
+    )
+    assert v == 1
+    assert be.read(spark, path).count() == 401
+    assert be.read(spark, path, 0).count() == 400  # snapshot intact
+    man = be._manifest(path, 1)
+    # empty part files carry no row groups → no stats (sound: they
+    # are never pruned); every non-empty file must have stats
+    assert set(man["stats"]) <= set(man["files"])
+    assert max(s["k"][1] for s in man["stats"].values()) == 900
+    # appended files prunable immediately: only the k=900 file (plus
+    # any statless empties) survives this interval
+    kept, total = be.prune_files(path, {"k": (880, 920)})
+    assert total == len(man["files"])
+    assert [f for f in kept if f in man["stats"]] == [
+        f for f, s in man["stats"].items() if s["k"][0] == 900
+    ]
+
+
+def test_append_race_retries_without_rewriting_data(spark, table):
+    """A rival committing between our write and our commit must not
+    lose either append: ours retries against the new latest."""
+    be, path = table
+    rival = ManifestParquetBackend()
+    orig = be._try_commit
+    state = {"fired": False}
+
+    def racing_commit(path_, version, manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            rival.append(
+                spark.createDataFrame([Row(k=2000, v=1, ts=1)]), path_
+            )
+        return orig(path_, version, manifest)
+
+    be._try_commit = racing_commit
+    try:
+        v = be.append(
+            spark.createDataFrame([Row(k=3000, v=2, ts=1)]), path
+        )
+    finally:
+        be._try_commit = orig
+    assert v == 2  # lost v1 to the rival, committed v2
+    ks = {r["k"] for r in be.read(spark, path).filter("k >= 2000").collect()}
+    assert ks == {2000, 3000}  # both appends survive

@@ -2416,6 +2416,94 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Per-label centroids + pairwise centroid cosine ---------------
+CENTROID_SCALE = 1_000_000_000  # floor-quantization (tie-free) denom
+
+
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cluster geometry: per-label centroid
+    (element-wise mean) and the cosine between every label pair —
+    the cross-source/cross-timewindow drift statistic in embedding
+    space (token-space drift is `corpus_drift`). Components
+    accumulate as floor-quantized BIGINTs (no decimal-cast rounding
+    ties), the mean is a fixed two-division chain, and the cosine
+    reuses the sequential-left-fold dot contract — hash-exact."""
+    from dish_data_pipeline_spark.ops.similarity import dot
+
+    e = read(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(
+            F.expr(
+                f"sum(CAST(floor(CAST(val AS DOUBLE) * {CENTROID_SCALE}) "
+                "AS BIGINT))"
+            ).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .selectExpr(
+            "label", "pos", "n",
+            f"CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 AS c",
+        )
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))), "
+                "s -> s.c)"
+            ).alias("cvec"),
+            F.max("n").alias("n_vecs"),
+        )
+    )
+    a = cent.selectExpr(
+        "label AS label_a", "cvec AS ca", "n_vecs AS n_a"
+    )
+    b = cent.selectExpr(
+        "label AS label_b", "cvec AS cb", "n_vecs AS n_b"
+    )
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            (dot("ca", "cb")
+             / (F.sqrt(dot("ca", "ca")) * F.sqrt(dot("cb", "cb"))))
+            .alias("cosine"),
+        )
+    )
+
+
+SQL_LABEL_CENTROID_SIM = f"""
+WITH comp AS (
+  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+agg AS (
+  SELECT label, pos,
+         SUM(CAST(floor(val * {CENTROID_SCALE}) AS BIGINT)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM comp GROUP BY label, pos),
+cent AS (
+  SELECT label,
+         list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9 ORDER BY pos)
+           AS cvec,
+         MAX(n) AS n_vecs
+  FROM agg GROUP BY label),
+dotf AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         a.n_vecs AS n_a, b.n_vecs AS n_b,
+         list_reduce(list_transform(a.cvec, (x, i) ->
+           x * b.cvec[i]), (acc, v) -> acc + v) AS d_ab,
+         list_reduce(list_transform(a.cvec, (x, i) ->
+           x * a.cvec[i]), (acc, v) -> acc + v) AS d_aa,
+         list_reduce(list_transform(b.cvec, (x, i) ->
+           x * b.cvec[i]), (acc, v) -> acc + v) AS d_bb
+  FROM cent a JOIN cent b ON a.label < b.label)
+SELECT label_a, label_b, n_a, n_b,
+       d_ab / (sqrt(d_aa) * sqrt(d_bb)) AS cosine
+FROM dotf
+"""
+
+
 # --- Embedding norms (array math, exact oracle) -------------------
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read(spark, sf_dir, "embeddings")
@@ -2977,4 +3065,9 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "per-language percentile-rank calibration of a raw quality "
         "signal",
         ("text", "quality")),
+    "label_centroid_sim": QueryDef(
+        q_label_centroid_sim, SQL_LABEL_CENTROID_SIM,
+        "per-label embedding centroids + pairwise centroid cosine "
+        "(embedding-space drift)",
+        ("embedding", "agg")),
 }

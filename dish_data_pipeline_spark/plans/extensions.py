@@ -2099,57 +2099,6 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Cohort retention matrix ---------------------------------------
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic cohort retention over the event stream: users grouped
-    by first-activity day, per (cohort, day-offset) distinct active
-    users and the retention rate vs cohort size. Two shuffles (the
-    per-user min and the cohort-cell distinct-count) regardless of
-    event volume; all-integer date arithmetic + one IEEE division."""
-    e = read(spark, sf_dir, "events").selectExpr(
-        "user_id", "to_date(ts) AS d"
-    )
-    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
-    cells = (
-        e.join(first, "user_id")
-        .selectExpr(
-            "user_id", "cohort_day",
-            "datediff(d, cohort_day) AS offset_days",
-        )
-        .groupBy("cohort_day", "offset_days")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
-    )
-    sizes = first.groupBy("cohort_day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
-    )
-    return (
-        cells.join(sizes, "cohort_day")
-        .select(
-            "cohort_day", "offset_days", "n_active", "cohort_size",
-            (F.col("n_active").cast("double")
-             / F.col("cohort_size").cast("double")).alias("retention"),
-        )
-    )
-
-
-SQL_COHORT_RETENTION = """
-WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
-first AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id),
-cells AS (
-  SELECT f.cohort_day, date_diff('day', f.cohort_day, e.d) AS offset_days,
-         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
-  FROM e JOIN first f ON f.user_id = e.user_id
-  GROUP BY 1, 2),
-sizes AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
-          FROM first GROUP BY cohort_day)
-SELECT c.cohort_day, CAST(c.offset_days AS INTEGER) AS offset_days,
-       c.n_active, s.cohort_size,
-       CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
-         AS retention
-FROM cells c JOIN sizes s ON s.cohort_day = c.cohort_day
-"""
-
-
 # --- Collocation mining (lift = PMI without the log) --------------
 COLLOC_MIN_COUNT = 20
 COLLOC_TOPK = 50
@@ -3121,9 +3070,4 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "per-label embedding centroids + pairwise centroid cosine "
         "(embedding-space drift)",
         ("embedding", "agg")),
-    "cohort_retention": QueryDef(
-        q_cohort_retention, SQL_COHORT_RETENTION,
-        "cohort retention matrix: first-activity cohorts x day "
-        "offset, distinct-user cells",
-        ("timeseries", "agg")),
 }

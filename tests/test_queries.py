@@ -58,3 +58,26 @@ def test_rotation_head_is_least_recently_verified():
         "plans/rotation.py is stale — run: python tools/gen_rotation_head.py"
     )
     assert set(DRIVER_ROTATION_ORDER) == set(names)
+
+
+def test_catalog_module_keys_disjoint():
+    """A name defined in two catalog modules silently shadows one of
+    them in the ** merge (hit once: a second cohort_retention) — the
+    lost query keeps its green history while its code stops running."""
+    from dish_data_pipeline_spark.plans.analytics import ANALYTICS_QUERIES
+    from dish_data_pipeline_spark.plans.breadth import BREADTH_QUERIES
+    from dish_data_pipeline_spark.plans.extensions import EXTENSION_QUERIES
+    from dish_data_pipeline_spark.plans.parity import PARITY_QUERIES
+    from dish_data_pipeline_spark.plans.tpch_extra import TPCH_EXTRA_QUERIES
+
+    seen: dict[str, str] = {}
+    for mod_name, d in [
+        ("parity", PARITY_QUERIES),
+        ("breadth", BREADTH_QUERIES),
+        ("analytics", ANALYTICS_QUERIES),
+        ("tpch_extra", TPCH_EXTRA_QUERIES),
+        ("extensions", EXTENSION_QUERIES),
+    ]:
+        for k in d:
+            assert k not in seen, f"{k} defined in {seen[k]} AND {mod_name}"
+            seen[k] = mod_name

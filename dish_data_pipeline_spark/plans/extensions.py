@@ -1668,7 +1668,12 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("a").orderBy(
         F.col("n_co").desc(), F.col("b").asc()
     )
-    sel = (
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    # consumed twice (probe + reversed build of the mutual check):
+    # persist the k·n-bounded selection so the co-occurrence
+    # self-join + window subtree runs once
+    sel = tracked_persist(
         co.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= TRIANGLE_TOPK)
         .select("a", "b")
@@ -1677,8 +1682,6 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.join(sel.selectExpr("b AS a", "a AS b"), ["a", "b"], "left_semi")
         .filter(F.col("a") < F.col("b"))
     )
-    from dish_data_pipeline_spark.cache_registry import tracked_persist
-
     e = tracked_persist(mutual)
     wed = (
         e.selectExpr("a", "b AS x")

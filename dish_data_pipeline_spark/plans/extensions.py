@@ -2216,6 +2216,88 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Winsorization (exact per-group percentile capping) -----------
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier capping for model-ready features: clamp order totals
+    to their market segment's exact [p5, p95]. Percentiles are
+    NEAREST-RANK (type-1) order statistics — rank ceil(p·n/100) as
+    pure integer arithmetic over one window exchange (row_number +
+    count on the segment), so no per-group array state (the
+    collect-and-sort device would hold a whole segment in one task
+    at 100 TB) and no interpolation arithmetic to drift. The capped
+    value is a two-sided clamp of identical doubles — hash-exact."""
+    from pyspark.sql import Window
+
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    c = read(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select("o_orderkey", F.col("c_mktsegment").alias("seg"), "price")
+    w = Window.partitionBy("seg")
+    ranked = j.select(
+        "o_orderkey", "seg", "price",
+        F.row_number()
+        .over(w.orderBy(F.col("price").asc(), F.col("o_orderkey").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+    )
+    bounds = (
+        ranked.groupBy("seg")
+        .agg(
+            F.max(
+                F.when(
+                    F.expr(f"rn = ({WINSOR_LO_PCT} * n + 99) div 100"),
+                    F.col("price"),
+                )
+            ).alias("p_lo"),
+            F.max(
+                F.when(
+                    F.expr(f"rn = ({WINSOR_HI_PCT} * n + 99) div 100"),
+                    F.col("price"),
+                )
+            ).alias("p_hi"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(bounds), "seg")
+        .select(
+            "o_orderkey", "seg", "price", "p_lo", "p_hi",
+            F.expr("least(greatest(price, p_lo), p_hi)").alias("w_price"),
+        )
+    )
+
+
+SQL_WINSORIZED_PRICES = f"""
+WITH j AS (
+  SELECT o_orderkey, c_mktsegment AS seg,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+ranked AS (
+  SELECT o_orderkey, seg, price,
+         row_number() OVER (PARTITION BY seg
+                            ORDER BY price ASC, o_orderkey ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+  FROM j),
+bounds AS (
+  SELECT seg,
+         MAX(CASE WHEN rn = ({WINSOR_LO_PCT} * n + 99) // 100
+             THEN price END) AS p_lo,
+         MAX(CASE WHEN rn = ({WINSOR_HI_PCT} * n + 99) // 100
+             THEN price END) AS p_hi
+  FROM ranked GROUP BY seg)
+SELECT r.o_orderkey, r.seg, r.price, b.p_lo, b.p_hi,
+       least(greatest(r.price, b.p_lo), b.p_hi) AS w_price
+FROM ranked r JOIN bounds b ON b.seg = r.seg
+"""
+
+
 # --- Collocation mining (lift = PMI without the log) --------------
 COLLOC_MIN_COUNT = 20
 COLLOC_TOPK = 50
@@ -3020,6 +3102,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "triangle count + clustering coefficient via oriented-edge "
         "wedge closure",
         ("graph", "agg")),
+    "winsorized_prices": QueryDef(
+        q_winsorized_prices, SQL_WINSORIZED_PRICES,
+        "exact per-segment p5/p95 winsorization via nearest-rank "
+        "window selection",
+        ("quality", "agg")),
     "join_overlap_estimate": QueryDef(
         q_join_overlap_estimate, _sql_join_overlap(),
         "KMV set-operation sketch: union/Jaccard/intersection of join keys",

@@ -139,3 +139,91 @@ def pagerank(
         "pr_q",
         (F.col("pr_q").cast("double") / F.lit(float(PR_SCALE))).alias("pr"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    n_rounds: int = 6,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """k-core peeling: repeatedly delete nodes of degree < ``k``
+    (and their edges) for ``n_rounds`` FIXED rounds — the dense-core
+    extraction that strips hangers-on from a similarity or
+    interaction graph (Seidman, "Network structure and minimum
+    degree", Social Networks 1983). Output: the surviving nodes with
+    their within-subgraph degree, ``(node, core_degree)``.
+
+    A fixed round count (not run-to-fixpoint) keeps the operator
+    oracle-expressible by UNROLLING — the same device as the
+    fixed-iteration PageRank: each round is one degree aggregation +
+    one two-sided semi-join filter, plain chained SQL. Peeling is
+    monotone (kept sets only shrink), so if round r removes nothing
+    the result is final; ``n_rounds`` bounds the cascade depth, and
+    real similarity graphs cascade shallowly. All-integer — exact in
+    both engines by construction.
+
+    Scale shape: per round, one map-side-combined degree count and
+    two semi-joins of the edge relation against the (node-sized)
+    kept set, ``localCheckpoint``ed so plan depth stays O(1)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()
+    for _ in range(n_rounds):
+        deg = (
+            e.selectExpr("a AS node")
+            .unionAll(e.selectExpr("b AS node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        kept = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(kept.selectExpr("node AS a"), "a", "left_semi")
+            .join(kept.selectExpr("node AS b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return (
+        e.selectExpr("a AS node")
+        .unionAll(e.selectExpr("b AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )
+
+
+def kcore_sql(
+    edges_cte: str,
+    k: int = 2,
+    n_rounds: int = 6,
+    node_out: str = "node",
+) -> str:
+    """DuckDB twin: the peeling rounds unrolled as chained CTEs over
+    an edge relation named ``edges_cte`` with columns (a, b).
+    ``node_out`` renames the output node column (cast to BIGINT)."""
+    rounds = []
+    prev = edges_cte
+    for i in range(n_rounds):
+        # MATERIALIZED: each round references its predecessor 4× —
+        # inlining would expand the chain exponentially
+        rounds.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+  GROUP BY node),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN k{i} ka ON ka.node = e.a
+  JOIN k{i} kb ON kb.node = e.b)""")
+        prev = f"e{i}"
+    body = ",\n".join(rounds)
+    return f"""{body}
+SELECT CAST(node AS BIGINT) AS {node_out},
+       CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+GROUP BY node HAVING COUNT(*) >= {k}"""

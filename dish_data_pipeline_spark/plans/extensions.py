@@ -1637,21 +1637,14 @@ def q_trade_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIANGLE_TOPK = 5
 
 
-def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting + local clustering coefficient over the
-    supplier co-fulfillment graph, sparsified as a MUTUAL top-5
-    graph: an edge survives only when each endpoint ranks the other
-    among its 5 strongest co-fulfillment partners (count desc,
-    id-asc tiebreak — deterministic). Fixed-k mutual sparsification
-    is the standard way to keep graph density scale-stable: a raw
-    co-occurrence threshold either saturates small corpora into a
-    complete graph or empties large ones. Then the classic
-    oriented-edge device: with every edge stored once as a<b, wedges
-    (a,b)·(a,c) with b<c close into a triangle iff (b,c) is an edge
-    — each triangle found EXACTLY once, no /6 correction, wedge join
-    bounded by Σ deg² ≤ k²·n. Coefficient = 2T/(d(d−1)): exact
-    BIGINTs, one IEEE division."""
+def _mutual_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual top-5 supplier co-fulfillment graph: undirected edges
+    (a, b), a < b, each endpoint ranking the other in its 5
+    strongest co-partners (count desc, id asc). Persisted — callers
+    consume it repeatedly."""
     from pyspark.sql import Window
+
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
 
     li = (
         read(spark, sf_dir, "lineitem")
@@ -1668,8 +1661,6 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("a").orderBy(
         F.col("n_co").desc(), F.col("b").asc()
     )
-    from dish_data_pipeline_spark.cache_registry import tracked_persist
-
     # consumed twice (probe + reversed build of the mutual check):
     # persist the k·n-bounded selection so the co-occurrence
     # self-join + window subtree runs once
@@ -1682,7 +1673,41 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.join(sel.selectExpr("b AS a", "a AS b"), ["a", "b"], "left_semi")
         .filter(F.col("a") < F.col("b"))
     )
-    e = tracked_persist(mutual)
+    return tracked_persist(mutual)
+
+
+SQL_MUTUAL_TOPK_CTES = f"""li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+cnt AS (
+  SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS n_co
+  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+            AND x.l_suppkey <> y.l_suppkey
+  GROUP BY 1, 2),
+sel AS (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (PARTITION BY a
+             ORDER BY n_co DESC, b ASC) AS rn
+    FROM cnt) WHERE rn <= {TRIANGLE_TOPK}),
+co AS MATERIALIZED (
+  SELECT s.a, s.b FROM sel s
+  JOIN sel r ON r.a = s.b AND r.b = s.a
+  WHERE s.a < s.b)"""
+
+
+def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    supplier co-fulfillment graph, sparsified as a MUTUAL top-5
+    graph: an edge survives only when each endpoint ranks the other
+    among its 5 strongest co-fulfillment partners (count desc,
+    id-asc tiebreak — deterministic). Fixed-k mutual sparsification
+    is the standard way to keep graph density scale-stable: a raw
+    co-occurrence threshold either saturates small corpora into a
+    complete graph or empties large ones. Then the classic
+    oriented-edge device: with every edge stored once as a<b, wedges
+    (a,b)·(a,c) with b<c close into a triangle iff (b,c) is an edge
+    — each triangle found EXACTLY once, no /6 correction, wedge join
+    bounded by Σ deg² ≤ k²·n. Coefficient = 2T/(d(d−1)): exact
+    BIGINTs, one IEEE division."""
+    e = _mutual_topk_graph(spark, sf_dir)
     wed = (
         e.selectExpr("a", "b AS x")
         .join(e.selectExpr("a", "b AS y"), "a")
@@ -1714,21 +1739,7 @@ def q_supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SUPPLIER_TRIANGLES = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-cnt AS (
-  SELECT x.l_suppkey AS a, y.l_suppkey AS b, COUNT(*) AS n_co
-  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
-            AND x.l_suppkey <> y.l_suppkey
-  GROUP BY 1, 2),
-sel AS (
-  SELECT a, b FROM (
-    SELECT a, b, row_number() OVER (PARTITION BY a
-             ORDER BY n_co DESC, b ASC) AS rn
-    FROM cnt) WHERE rn <= {TRIANGLE_TOPK}),
-co AS (
-  SELECT s.a, s.b FROM sel s
-  JOIN sel r ON r.a = s.b AND r.b = s.a
-  WHERE s.a < s.b),
+WITH {SQL_MUTUAL_TOPK_CTES},
 tri AS (
   SELECT w1.a, w1.b AS x, w2.b AS y
   FROM co w1 JOIN co w2 ON w1.a = w2.a AND w1.b < w2.b
@@ -1748,6 +1759,35 @@ SELECT CAST(d.node AS BIGINT) AS s_suppkey, d.degree,
            / CAST(d.degree * (d.degree - 1) AS DOUBLE)
        ELSE CAST(NULL AS DOUBLE) END AS clustering
 FROM deg d LEFT JOIN tn t ON t.node = d.node
+"""
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def q_supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the mutual top-5 co-fulfillment graph: peel
+    degree-<2 suppliers for 6 fixed rounds (the unrolled-iterative
+    oracle device — see ops/graph.kcore), leaving the cyclic dense
+    backbone the triangle census runs inside. Returns each surviving
+    supplier with its within-core degree."""
+    from dish_data_pipeline_spark.ops.graph import kcore
+
+    return kcore(
+        _mutual_topk_graph(spark, sf_dir), k=KCORE_K, n_rounds=KCORE_ROUNDS
+    ).selectExpr("CAST(node AS BIGINT) AS s_suppkey", "core_degree")
+
+
+def _sql_supplier_kcore() -> str:
+    from dish_data_pipeline_spark.ops.graph import kcore_sql
+
+    inner = kcore_sql(
+        "co", k=KCORE_K, n_rounds=KCORE_ROUNDS, node_out="s_suppkey"
+    )
+    return f"""
+WITH {SQL_MUTUAL_TOPK_CTES},
+{inner}
 """
 
 
@@ -3107,6 +3147,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "exact per-segment p5/p95 winsorization via nearest-rank "
         "window selection",
         ("quality", "agg")),
+    "supplier_kcore": QueryDef(
+        q_supplier_kcore, _sql_supplier_kcore(),
+        "2-core peel of the mutual top-5 graph (unrolled-round "
+        "iterative oracle)",
+        ("graph", "iterative")),
     "join_overlap_estimate": QueryDef(
         q_join_overlap_estimate, _sql_join_overlap(),
         "KMV set-operation sketch: union/Jaccard/intersection of join keys",

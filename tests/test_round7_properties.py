@@ -485,3 +485,51 @@ def test_containment_pairs_finds_quote_jaccard_misses(spark):
 
     with _pytest.raises(ValueError, match="tau_pct"):
         containment_pairs(df, 0)
+
+
+def test_kcore_peels_paths_keeps_cycles(spark):
+    from dish_data_pipeline_spark.ops.graph import kcore
+
+    # triangle 1-2-3 with a pendant path 3-4-5: the path cascades
+    # away under k=2, the triangle survives with degrees 2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "a int, b int"
+    )
+    got = {r["node"]: r["core_degree"]
+           for r in kcore(edges, k=2, n_rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_fixed_rounds_bound_cascade(spark):
+    from dish_data_pipeline_spark.ops.graph import kcore
+
+    # a pure path of 6 nodes needs 3 peel rounds to vanish under
+    # k=2; with only 1 round the middle survives (fixed-round
+    # contract), with 3 it is empty
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "a int, b int"
+    )
+    assert kcore(edges, k=2, n_rounds=3).count() == 0
+    partial = {r["node"] for r in kcore(edges, k=2, n_rounds=1).collect()}
+    assert partial == {3, 4}
+
+
+def test_kcore_matches_duckdb_twin_on_random_graph(spark):
+    import random
+
+    import duckdb
+
+    from dish_data_pipeline_spark.ops.graph import kcore, kcore_sql
+
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(30), 2)))
+                    for _ in range(60)})
+    df = spark.createDataFrame(edges, "a int, b int")
+    got = {(r["node"], r["core_degree"])
+           for r in kcore(df, k=3, n_rounds=5).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(a INT, b INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    sql = "WITH " + kcore_sql("e", k=3, n_rounds=5)
+    oracle = {(int(a), int(d)) for a, d in con.execute(sql).fetchall()}
+    assert got == oracle

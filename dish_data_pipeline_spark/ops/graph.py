@@ -174,6 +174,7 @@ def kcore(
     e = edges.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
     ).localCheckpoint()
+    n_edges = e.count()
     for _ in range(n_rounds):
         deg = (
             e.selectExpr("a AS node")
@@ -188,6 +189,13 @@ def kcore(
             .select("a", "b")
             .localCheckpoint()
         )
+        # fixpoint early-exit (1 scalar per round, like the CC
+        # engines): peeling is monotone, so an unchanged edge count
+        # means every remaining round is a no-op — the result still
+        # equals the full n_rounds unroll the oracle computes
+        prev, n_edges = n_edges, e.count()
+        if n_edges == prev:
+            break
     return (
         e.selectExpr("a AS node")
         .unionAll(e.selectExpr("b AS node"))

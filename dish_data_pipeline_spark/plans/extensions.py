@@ -2575,6 +2575,84 @@ WHERE rank <= 10
 """
 
 
+# --- Reciprocal-rank fusion of two ANN tiers ----------------------
+RRF_K = 60
+RRF_TOPK = 5
+
+
+def q_knn_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the SRP-LSH and IVF candidate lists by
+    reciprocal-rank fusion — score = Σ 1/(60 + rank) over the tiers
+    that returned the pair (Cormack et al., SIGIR 2009). RRF is the
+    standard way to combine retrievers WITHOUT calibrating their
+    score scales: only ranks enter, so a cosine tier and (at 100 TB)
+    a lexical/BM25 tier fuse identically. Each term is one IEEE
+    division of exact integers, summed in fixed spelling order —
+    hash-exact. Final top-5 per query, score desc / id-asc tiebreak."""
+    from pyspark.sql import Window
+
+    from dish_data_pipeline_spark.ops.similarity import (
+        ivf_topk, lsh_bucket_topk,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    lsh = lsh_bucket_topk(
+        widen(emb, spark), KNN_QUERY_IDS, k=10
+    ).selectExpr("query_id", "neighbor_id", "rank AS r_lsh")
+    ivf = ivf_topk(
+        emb, KNN_QUERY_IDS, k=10, n_centroids=10, n_probe=10
+    ).selectExpr("query_id", "neighbor_id", "rank AS r_ivf")
+    j = lsh.join(ivf, ["query_id", "neighbor_id"], "full_outer")
+    rrf = F.expr(
+        f"COALESCE(CAST(1 AS DOUBLE) / CAST({RRF_K} + r_lsh AS DOUBLE), "
+        "CAST(0 AS DOUBLE)) + "
+        f"COALESCE(CAST(1 AS DOUBLE) / CAST({RRF_K} + r_ivf AS DOUBLE), "
+        "CAST(0 AS DOUBLE))"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        j.withColumn("rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+        .selectExpr(
+            "query_id", "neighbor_id",
+            "CAST(r_lsh AS INT) AS r_lsh", "CAST(r_ivf AS INT) AS r_ivf",
+            "rrf", "CAST(fused_rank AS INT) AS fused_rank",
+        )
+    )
+
+
+def _sql_knn_rrf() -> str:
+    return f"""
+WITH lsh AS (SELECT query_id, neighbor_id, rank
+             FROM ({sql_knn_lsh(KNN_QUERY_IDS)}) t),
+ivf AS (SELECT query_id, neighbor_id, rank
+        FROM ({SQL_KNN_BRUTEFORCE}) t),
+j AS (
+  SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+         COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+         l.rank AS r_lsh, i.rank AS r_ivf
+  FROM lsh l FULL OUTER JOIN ivf i
+    ON l.query_id = i.query_id AND l.neighbor_id = i.neighbor_id),
+s AS (
+  SELECT query_id, neighbor_id,
+         CAST(r_lsh AS INT) AS r_lsh, CAST(r_ivf AS INT) AS r_ivf,
+         COALESCE(CAST(1 AS DOUBLE) / CAST({RRF_K} + r_lsh AS DOUBLE),
+                  CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / CAST({RRF_K} + r_ivf AS DOUBLE),
+                    CAST(0 AS DOUBLE)) AS rrf
+  FROM j)
+SELECT query_id, neighbor_id, r_lsh, r_ivf, rrf,
+       CAST(fused_rank AS INT) AS fused_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rrf DESC, neighbor_id ASC) AS fused_rank
+  FROM s) t
+WHERE fused_rank <= {RRF_TOPK}
+"""
+
+
 # --- Int8-quantized top-k -----------------------------------------
 def q_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by symmetric-int8 quantized dot product: 4× smaller
@@ -3079,6 +3157,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_knn_ivf, SQL_KNN_BRUTEFORCE,
         "IVF ANN top-k (exhaustive probe ⇒ equals brute force)",
         ("similarity",)),
+    "knn_rrf": QueryDef(
+        q_knn_rrf, _sql_knn_rrf(),
+        "reciprocal-rank fusion of the LSH and IVF candidate lists "
+        "(hybrid retrieval)",
+        ("similarity", "lsh")),
     "embedding_norms": QueryDef(
         q_embedding_norms, SQL_EMBEDDING_NORMS,
         "array math: exact L2 norms", ("similarity",)),

@@ -1107,6 +1107,86 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dist") == 1)
 
 
+def q_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution, the composition a master-data
+    pipeline runs: exact-dedup the key space → deletion-neighborhood
+    edit-distance-1 blocking → connected components over the match
+    graph → every key mapped to its entity (min-id label) with the
+    canonical spelling and member count. The DuckDB twin recomputes
+    the matches brute-force (all-pairs levenshtein — an independent
+    algorithm) and the clusters with WITH RECURSIVE reachability, so
+    the hash match proves blocking completeness AND cluster
+    transitivity in one statement."""
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+    from dish_data_pipeline_spark.ops.dedup_cluster import connected_components
+    from dish_data_pipeline_spark.ops.fuzzykey import edit1_pairs
+
+    dictionary = (
+        read(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+    )
+    typos = dictionary.filter(F.col("p_partkey") % 4 == 0).select(
+        F.expr(
+            "concat(substring(p_name, 1, 3), substring(p_name, 5))"
+        ).alias("p_name"),
+        (F.col("p_partkey") + 1000000).alias("p_partkey"),
+    )
+    keys = tracked_persist(dictionary.unionByName(typos))
+    pairs = edit1_pairs(keys, "p_partkey", "p_name").filter(
+        F.col("dist") == 1
+    )
+    clusters = connected_components(
+        keys.selectExpr("p_partkey AS doc_id"), pairs
+    ).selectExpr("doc_id AS p_partkey", "cluster_id AS entity_id")
+    labeled = keys.join(clusters, "p_partkey")
+    canon = labeled.filter(
+        F.col("p_partkey") == F.col("entity_id")
+    ).selectExpr("entity_id", "p_name AS canonical_name")
+    sizes = labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        labeled.join(canon, "entity_id")
+        .join(sizes, "entity_id")
+        .select(
+            "p_partkey", "p_name", "entity_id", "canonical_name",
+            "n_members",
+        )
+    )
+
+
+def _sql_part_entities() -> str:
+    return f"""
+WITH RECURSIVE
+keys AS MATERIALIZED (
+  SELECT p_partkey AS id, p_name AS s FROM ({SQL_PART_NAME_DICT}) src
+  WHERE p_name IS NOT NULL),
+pairs AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM keys a JOIN keys b ON a.id < b.id
+  WHERE levenshtein(a.s, b.s) = 1),
+sym(a, b) AS (SELECT id_a, id_b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+walk(id, r) AS (
+  SELECT id, id FROM keys
+  UNION
+  SELECT w.id, s.b FROM walk w JOIN sym s ON s.a = w.r),
+lab AS (SELECT id, CAST(MIN(r) AS BIGINT) AS entity_id
+        FROM walk GROUP BY id),
+labeled AS (
+  SELECT k.id AS p_partkey, k.s AS p_name, l.entity_id
+  FROM keys k JOIN lab l ON l.id = k.id),
+canon AS (SELECT entity_id, p_name AS canonical_name FROM labeled
+          WHERE p_partkey = entity_id),
+sizes AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM labeled GROUP BY entity_id)
+SELECT t.p_partkey, t.p_name, t.entity_id, c.canonical_name, z.n_members
+FROM labeled t JOIN canon c ON c.entity_id = t.entity_id
+JOIN sizes z ON z.entity_id = t.entity_id
+"""
+
+
 SQL_PART_NAME_DICT = """
 WITH dict AS (
   SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name)
@@ -3235,6 +3315,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "2-core peel of the mutual top-5 graph (unrolled-round "
         "iterative oracle)",
         ("graph", "iterative")),
+    "part_entities": QueryDef(
+        q_part_entities, _sql_part_entities(),
+        "entity resolution: ED1 blocking -> connected components -> "
+        "canonical spelling per entity",
+        ("dedup", "join", "graph")),
     "join_overlap_estimate": QueryDef(
         q_join_overlap_estimate, _sql_join_overlap(),
         "KMV set-operation sketch: union/Jaccard/intersection of join keys",

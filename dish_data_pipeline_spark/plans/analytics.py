@@ -769,6 +769,72 @@ def q_stream_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEBOUNCE_REPLAY_GAP_SEC = 14400  # 4 h: ~half the chain suppressed
+DEBOUNCE_REPLAY_FILTER = "user_id % 7 = 0"  # bounds the O(kept·n) oracle
+
+
+def q_stream_debounce_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third stateful-streaming certification, third operator family
+    (timer-anchored suppression): ``streaming.stateful
+    .stream_debounce`` — kept-anchored alerting debounce whose
+    last-kept whole-second timestamp crosses the micro-batch
+    boundary through the state store. Kept-anchored semantics are
+    inherently sequential (each decision depends on the previous
+    KEPT event, not the previous event), which no window chain
+    expresses — the DuckDB twin walks the exact recurrence with a
+    recursive next-kept-event CTE: next = min-(ts, event_id) event
+    whose whole-second floor is ≥ last kept floor + gap (argmin via
+    NOT EXISTS — neither aggregates nor, in DuckDB 1.0, reliable
+    list/string accumulation in lambda folds are available, and the
+    walk costs O(kept·n) per key, so the replay runs on a
+    deterministic user slice that keeps the oracle seconds-scale).
+    Per-event-type chains, 4-hour gap."""
+    from dish_data_pipeline_spark.streaming.stateful import stream_debounce
+
+    e = (
+        read(spark, sf_dir, "events")
+        .filter(DEBOUNCE_REPLAY_FILTER)
+        .select("event_type", "event_id", "ts")
+    )
+    return _replay_as_stream(
+        spark,
+        e,
+        "ts",
+        lambda stream: stream_debounce(
+            stream, DEBOUNCE_REPLAY_GAP_SEC, key_cols=("event_type",)
+        ),
+        "stream_debounce_replay_sink",
+    )
+
+
+# Oracle device: recursive next-kept-event walk. A list_reduce fold
+# would be the natural spelling, but DuckDB 1.0 silently drops
+# accumulated LIST- and long-VARCHAR-typed struct fields across
+# list_reduce iterations (scalar fields fold correctly — verified
+# empirically), so the sequential recurrence is expressed as
+# recursion with NOT-EXISTS argmin instead.
+SQL_STREAM_DEBOUNCE_REPLAY = f"""
+WITH RECURSIVE
+ev AS MATERIALIZED (
+  SELECT event_type AS k, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tsf
+  FROM events WHERE {DEBOUNCE_REPLAY_FILTER}),
+kept(k, event_id, ts, tsf) AS (
+  SELECT k, event_id, ts, tsf FROM ev e
+  WHERE NOT EXISTS (SELECT 1 FROM ev e2 WHERE e2.k = e.k
+        AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id < e.event_id)))
+  UNION ALL
+  SELECT e.k, e.event_id, e.ts, e.tsf
+  FROM kept x JOIN ev e
+    ON e.k = x.k AND e.tsf >= x.tsf + {DEBOUNCE_REPLAY_GAP_SEC}
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev e2
+    WHERE e2.k = x.k AND e2.tsf >= x.tsf + {DEBOUNCE_REPLAY_GAP_SEC}
+      AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id < e.event_id))))
+SELECT k AS event_type, event_id, ts FROM kept
+"""
+
+
 FUNNEL_REPLAY_STEPS = ["signup", "view", "click", "purchase"]
 
 
@@ -1099,6 +1165,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         q_stream_funnel_replay, _sql_stream_funnel_replay(),
         "stateful streaming funnel (per-user stage state machine, "
         "2 micro-batches) vs chained-MIN oracle",
+        ("streaming", "timeseries")),
+    "stream_debounce_replay": QueryDef(
+        q_stream_debounce_replay, SQL_STREAM_DEBOUNCE_REPLAY,
+        "stateful streaming debounce (kept-anchored, 2 micro-"
+        "batches) vs recursive next-kept-event oracle",
         ("streaming", "timeseries")),
     "audio_features": QueryDef(
         q_audio_features, SQL_AUDIO_FEATURES,

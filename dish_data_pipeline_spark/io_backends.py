@@ -446,6 +446,34 @@ class ManifestParquetBackend:
         )
         return base + 1 if committed else -1
 
+    def changes(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change data feed between two committed versions: the keyed
+        row-level diff (insert/delete/update classification via
+        ``operators.diff.snapshot_diff``, unchanged rows excluded) of
+        snapshot ``from_version`` vs ``to_version`` (default latest).
+        Because snapshots are immutable and manifests are cheap, this
+        is the Delta CDF capability with zero extra write-path cost —
+        the diff is computed from the two snapshots at read time
+        rather than logged per commit; at 100 TB prefer small version
+        distances (the diff scans both snapshots)."""
+        from dish_data_pipeline_spark.operators.diff import snapshot_diff
+
+        to_v = self.latest_version(path) if to_version is None else to_version
+        if to_v is None or from_version > to_v:
+            raise ValueError(
+                f"bad version range [{from_version}, {to_v}] at {path}"
+            )
+        old = self.read(spark, path, from_version)
+        new = self.read(spark, path, to_v)
+        return snapshot_diff(old, new, keys, include_unchanged=False)
+
     # -- data skipping ------------------------------------------------
     def prune_files(
         self,

@@ -161,3 +161,25 @@ def test_append_race_retries_without_rewriting_data(spark, table):
     assert v == 2  # lost v1 to the rival, committed v2
     ks = {r["k"] for r in be.read(spark, path).filter("k >= 2000").collect()}
     assert ks == {2000, 3000}  # both appends survive
+
+
+def test_changes_between_versions(spark, table):
+    """CDF: insert + update + delete-free merge classified row-level
+    between any two committed versions."""
+    be, path = table
+    be.merge_keep_latest(
+        spark, path,
+        spark.createDataFrame(
+            [Row(k=1000, v=1, ts=2), Row(k=0, v=999, ts=2)]
+        ),
+        ["k"], "ts",
+    )
+    diff = {r["k"]: r["change_type"]
+            for r in be.changes(spark, path, ["k"], 0, 1).collect()}
+    assert diff == {1000: "insert", 0: "update"}
+    # full-range equals latest-default; empty range is empty
+    assert be.changes(spark, path, ["k"], 0).count() == 2
+    assert be.changes(spark, path, ["k"], 1, 1).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        be.changes(spark, path, ["k"], 5, 1)

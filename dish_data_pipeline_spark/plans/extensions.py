@@ -2814,7 +2814,13 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Per-label centroids + pairwise centroid cosine ---------------
-CENTROID_SCALE = 1_000_000_000  # floor-quantization (tie-free) denom
+# Floor-quantization (tie-free) denominator. The division below is
+# spelled `1e9` — scientific notation parses as DOUBLE in BOTH
+# engines, while `1000000000.0` would parse as DECIMAL (1-ULP
+# conversion hazard; see ops/pq._lit_list) — so pin the two spellings
+# together.
+CENTROID_SCALE = 1_000_000_000
+assert float(CENTROID_SCALE) == 1e9
 
 
 def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -371,10 +371,28 @@ class ManifestParquetBackend:
         base = self.latest_version(path)
         if base is None:
             raise FileNotFoundError(f"no table at {path}; create() first")
+        man0 = self._manifest(path, base)
+        # compare (name, type) shape, not the raw schema JSON —
+        # nullability and field metadata legitimately differ between
+        # a createDataFrame batch and the stored table schema
+        from pyspark.sql.types import StructType
+
+        table_schema = StructType.fromJson(json.loads(man0["schema"]))
+        shape = [(f.name, f.dataType.simpleString()) for f in df.schema]
+        want = [(f.name, f.dataType.simpleString()) for f in table_schema]
+        if shape != want:
+            # the commit reuses the table schema verbatim; silently
+            # appending differently-shaped files would make reads
+            # null-fill or fail later, far from the cause
+            raise ValueError(
+                f"append schema {shape} differs from table schema "
+                f"{want} at {path}; evolve via "
+                "merge_keep_latest/upsert_evolve instead"
+            )
         # stats_cols is fixed at create() and inherited by every
         # commit, so reading it from any manifest is safe; the data
         # files are written ONCE — only the commit loop retries
-        stats_cols = self._manifest(path, base).get("stats_cols") or []
+        stats_cols = man0.get("stats_cols") or []
         files, _schema, stats = self._write_data(df, path, stats_cols)
         for _ in range(self.max_retries + 1):
             base = self.latest_version(path)

@@ -2360,13 +2360,21 @@ def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = o.join(
         F.broadcast(c), o.o_custkey == c.c_custkey
     ).select("o_orderkey", F.col("c_mktsegment").alias("seg"), "price")
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
     w = Window.partitionBy("seg")
-    ranked = j.select(
-        "o_orderkey", "seg", "price",
-        F.row_number()
-        .over(w.orderBy(F.col("price").asc(), F.col("o_orderkey").asc()))
-        .alias("rn"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+    # consumed twice (bounds aggregate + final rejoin), and the
+    # second consumer sits under a BroadcastExchange branch where
+    # exchange reuse does NOT fire — persist so the window subtree
+    # runs once
+    ranked = tracked_persist(
+        j.select(
+            "o_orderkey", "seg", "price",
+            F.row_number()
+            .over(w.orderBy(F.col("price").asc(), F.col("o_orderkey").asc()))
+            .alias("rn"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        )
     )
     bounds = (
         ranked.groupBy("seg")

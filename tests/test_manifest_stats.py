@@ -183,3 +183,11 @@ def test_changes_between_versions(spark, table):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         be.changes(spark, path, ["k"], 5, 1)
+
+
+def test_append_rejects_schema_drift(spark, table):
+    be, path = table
+    with pytest.raises(ValueError, match="schema"):
+        be.append(
+            spark.createDataFrame([Row(k=1, extra="x")]), path
+        )

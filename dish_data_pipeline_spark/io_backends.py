@@ -386,8 +386,8 @@ class ManifestParquetBackend:
             # null-fill or fail later, far from the cause
             raise ValueError(
                 f"append schema {shape} differs from table schema "
-                f"{want} at {path}; evolve via "
-                "merge_keep_latest/upsert_evolve instead"
+                f"{want} at {path}; align the batch to the table "
+                "schema (or recreate the table) before appending"
             )
         # stats_cols is fixed at create() and inherited by every
         # commit, so reading it from any manifest is safe; the data

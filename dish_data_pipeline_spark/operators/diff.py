@@ -101,3 +101,119 @@ def diff_summary(
     return classified.groupBy("change_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )
+
+
+# Exact decimal accumulation makes the maintained sums
+# order-independent AND algebraically invertible: +x then -x returns
+# the accumulator to exactly its prior value, which IEEE doubles do
+# not guarantee. decimal(38,6) matches plans.common.dsum.
+_DEC = "decimal(38,6)"
+
+
+def grouped_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    measures: Sequence[str],
+) -> DataFrame:
+    """Materialize the *maintainable* grouped-aggregate shape:
+    ``group_cols`` + ``n_rows`` (BIGINT) + ``sum_<m>``
+    (DECIMAL(38,6)) per measure. This is the state
+    :func:`incremental_agg_update` consumes and re-emits, so a
+    materialized aggregate can be rolled forward version after
+    version without ever rescanning the base table. COUNT and SUM
+    are the self-maintainable aggregates (AVG = sum/count derives
+    at read time); MIN/MAX are deliberately absent — a delete can
+    invalidate them without a base rescan."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[F.sum(F.col(m).cast(_DEC)).alias(f"sum_{m}") for m in measures],
+    )
+
+
+def incremental_agg_update(
+    agg_old: DataFrame,
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    measures: Sequence[str],
+) -> DataFrame:
+    """Roll a materialized grouped aggregate forward from a change
+    feed — incremental view maintenance, the 100 TB alternative to
+    recomputing a summary over the full base table on every commit.
+
+    ``agg_old`` is :func:`grouped_agg` output over the previous
+    snapshot; ``delta`` is :func:`snapshot_diff` output (or
+    ``io_backends.ManifestParquetBackend.changes``) whose
+    ``compare_cols`` covered BOTH ``group_cols`` and ``measures``.
+    Each delta row becomes signed contributions: deletes and updates
+    retract ``(-1, -old values)`` from the OLD row's group, inserts
+    and updates add ``(+1, +new values)`` to the NEW row's group —
+    so an update that moves a row between groups maintains both
+    groups correctly, and an in-place update nets to a pure sum
+    adjustment. Groups whose count reaches zero drop out; groups
+    born in the delta appear via the full-outer join.
+
+    Exactness: contributions accumulate in DECIMAL(38,6), so the
+    rolled-forward state equals ``grouped_agg`` recomputed on the
+    new snapshot bit-for-bit (the ``incremental_agg_orders`` catalog
+    oracle asserts exactly this equivalence).
+
+    Scale shape: the delta (small by construction) aggregates to at
+    most its own group count, then one join against the aggregate
+    table — both sides orders of magnitude smaller than the base
+    table, and AQE broadcasts the delta side when it fits. Cost is
+    O(|delta| + |groups|), independent of base-table size. The delta
+    is persisted here because BOTH signed branches consume it — when
+    it arrives as a lazy ``snapshot_diff`` plan, the expensive diff
+    join would otherwise execute twice (Spark reuses exchanges, not
+    arbitrary shared subtrees across a Union)."""
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    delta = tracked_persist(delta)
+    ct = F.col("change_type")
+    retract = delta.filter(ct.isin("delete", "update")).select(
+        *[F.col(f"old_{g}").alias(g) for g in group_cols],
+        F.lit(-1).cast("bigint").alias("_dn"),
+        *[
+            (-F.col(f"old_{m}").cast(_DEC)).alias(f"_d_{m}")
+            for m in measures
+        ],
+    )
+    apply_ = delta.filter(ct.isin("insert", "update")).select(
+        *[F.col(f"new_{g}").alias(g) for g in group_cols],
+        F.lit(1).cast("bigint").alias("_dn"),
+        *[F.col(f"new_{m}").cast(_DEC).alias(f"_d_{m}") for m in measures],
+    )
+    adj = (
+        retract.unionByName(apply_)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_dn").alias("_dn"),
+            *[F.sum(f"_d_{m}").alias(f"_d_{m}") for m in measures],
+        )
+    )
+    # null-safe join keys: a NULL group value is a real group for
+    # groupBy, and a plain equi-join would orphan its adjustments
+    a = agg_old.alias("a")
+    d = adj.alias("d")
+    cond = F.lit(True)
+    for g in group_cols:
+        cond = cond & F.col(f"a.{g}").eqNullSafe(F.col(f"d.{g}"))
+    joined = a.join(d, cond, "full_outer")
+    zero = F.lit(0).cast(_DEC)
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"a.{g}"), F.col(f"d.{g}")).alias(g)
+            for g in group_cols
+        ],
+        (
+            F.coalesce(F.col("a.n_rows"), F.lit(0))
+            + F.coalesce(F.col("d._dn"), F.lit(0))
+        ).cast("bigint").alias("n_rows"),
+        *[
+            (
+                F.coalesce(F.col(f"a.sum_{m}"), zero)
+                + F.coalesce(F.col(f"d._d_{m}"), zero)
+            ).cast(_DEC).alias(f"sum_{m}")
+            for m in measures
+        ],
+    ).filter(F.col("n_rows") > 0)

@@ -624,6 +624,76 @@ def q_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_summary(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance demonstrated end-to-end: the
+    per-priority (count, revenue-sum) aggregate of the OLD ``orders``
+    snapshot is rolled forward through the snapshot delta (inserts =
+    every 97th key, deletes = every 101st, repriced updates = every
+    7th, and every 77th key MOVES to a synthetic '9-MOVED' priority
+    to exercise cross-group retraction) — never rescanning the new
+    snapshot. The oracle computes the aggregate directly over the
+    new snapshot, so the driver's hash compare certifies
+    delta-maintenance ≡ full recompute, exactly (DECIMAL
+    accumulation; see :func:`operators.diff.incremental_agg_update`).
+    Cost is O(|delta| + |groups|) regardless of base-table size."""
+    from dish_data_pipeline_spark.operators.diff import (
+        grouped_agg,
+        incremental_agg_update,
+        snapshot_diff,
+    )
+
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.col("o_totalprice") * F.lit(1.1),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 77 == 0, F.lit("9-MOVED")
+            ).otherwise(F.col("o_orderpriority")),
+        )
+    )
+    agg_old = grouped_agg(old, ["o_orderpriority"], ["o_totalprice"])
+    delta = snapshot_diff(
+        old,
+        new,
+        ["o_orderkey"],
+        ["o_totalprice", "o_orderpriority"],
+        include_unchanged=False,
+    )
+    rolled = incremental_agg_update(
+        agg_old, delta, ["o_orderpriority"], ["o_totalprice"]
+    )
+    return rolled.select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+WITH new_s AS (
+  SELECT CASE WHEN o_orderkey % 77 = 0 THEN '9-MOVED'
+              ELSE o_orderpriority END AS o_orderpriority,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM new_s GROUP BY o_orderpriority
+"""
+
+
 SQL_DIFF_SUMMARY = """
 WITH old_s AS (
   SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
@@ -659,6 +729,10 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
         q_diff_summary, SQL_DIFF_SUMMARY,
         "reconciliation per-change-type counts (unchanged never materialized)",
         ("join", "cdc", "agg")),
+    "incremental_agg_orders": QueryDef(
+        q_incremental_agg, SQL_INCREMENTAL_AGG,
+        "incremental view maintenance: aggregate rolled forward from CDF delta",
+        ("cdc", "agg", "incremental")),
     "asof_signup": QueryDef(
         q_asof_signup, SQL_ASOF_SIGNUP,
         "as-of join: latest signup before each event", ("join", "asof")),

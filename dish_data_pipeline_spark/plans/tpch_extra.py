@@ -664,7 +664,51 @@ ORDER BY s_name ASC
 """
 
 
+# --- Pareto skyline: cheapest part at every size frontier ---------
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of ``part`` on (retail price ↓, size ↑): the
+    parts for which no other part is both cheaper-or-equal and
+    larger-or-equal with one strict. Runs the distributed two-phase
+    prefix-max skyline (:mod:`ops.skyline`) — groupBy-reduced
+    candidates, range-partitioned parallel running max, P-row driver
+    carry — while the oracle states dominance as a single ordered
+    window scan, so the hash compare certifies the distributed
+    decomposition against the sequential definition. No float
+    arithmetic (comparisons only) — deterministic cross-engine."""
+    from dish_data_pipeline_spark.ops.skyline import skyline_2d
+
+    p = read(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    return skyline_2d(
+        p, "p_retailprice", "p_size", minimize_x=True, maximize_y=True
+    )
+
+
+SQL_PART_SKYLINE = """
+WITH pts AS (
+  SELECT p_partkey, p_size, p_retailprice FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+xa AS (
+  SELECT p_retailprice AS x, MAX(p_size) AS ymax
+  FROM pts GROUP BY p_retailprice),
+run AS (
+  SELECT x, ymax,
+         MAX(ymax) OVER (ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prev
+  FROM xa),
+fx AS (SELECT x, ymax FROM run WHERE prev IS NULL OR ymax > prev)
+SELECT p.p_partkey, p.p_size, p.p_retailprice
+FROM pts p JOIN fx ON p.p_retailprice = fx.x AND p.p_size = fx.ymax
+"""
+
+
 TPCH_EXTRA_QUERIES: dict[str, QueryDef] = {
+    "part_skyline": QueryDef(
+        q_part_skyline, SQL_PART_SKYLINE,
+        "Pareto skyline (price vs size) via distributed prefix-max",
+        ("window", "skyline", "topk")),
     "min_cost_supplier": QueryDef(
         q_min_cost_supplier, SQL_MIN_COST_SUPPLIER,
         "TPC-H Q2-shape per-part min-cost supplier", ("join", "window", "topk")),

@@ -550,6 +550,30 @@ class ManifestParquetBackend:
             *[os.path.join(path, f) for f in kept]
         )
 
+    def expire_versions(self, path: str, keep_last: int = 7) -> list[int]:
+        """Retention expiry: drop the manifests of all but the newest
+        ``keep_last`` versions, shrinking the time-travel horizon so
+        a following :meth:`vacuum` can reclaim the data files only
+        those versions referenced — the log-retention half of Delta's
+        ``VACUUM`` story. The latest version is never expirable.
+        Single-maintainer operation like vacuum: a reader pinned to
+        an expired version gets FileNotFoundError on its next
+        manifest fetch. Returns the expired version numbers."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        log = self._log_dir(path)
+        if not os.path.isdir(log):
+            return []
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(log)
+            if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+        )
+        expired = versions[:-keep_last]
+        for v in expired:
+            os.remove(self._manifest_path(path, v))
+        return expired
+
     def vacuum(self, path: str) -> list[str]:
         """Delete data files referenced by NO committed manifest
         (losers of commit races, crashed writers). Single-maintainer

@@ -235,3 +235,91 @@ SELECT CAST(node AS BIGINT) AS {node_out},
        CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
   SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
 GROUP BY node HAVING COUNT(*) >= {k}"""
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node,
+    bounded at ``max_hops`` — the reachability / blast-radius query
+    (which parties are within k trades of a sanctioned entity; which
+    documents sit within k near-dup links of a contaminated one).
+    Returns ``(node, hops INT)`` with one row per reached node;
+    seeds themselves are hops 0. Unreached nodes are absent.
+
+    Frontier expansion: round h joins the PREVIOUS frontier (not the
+    whole reached set) against the edge relation, dedups, and
+    anti-joins the reached set so every node is labeled with its
+    first (minimal) hop count — textbook level-synchronous BFS. A
+    FIXED hop bound keeps it oracle-expressible by unrolling (the
+    PageRank/k-core device); the early exit when a frontier empties
+    is sound because later rounds of an empty frontier are no-ops.
+
+    Scale shape: per round, one hash join of edges against the
+    frontier (AQE broadcasts small frontiers), one distinct, one
+    anti-join against the reached set; frontier and reached set are
+    ``localCheckpoint``ed so plan depth stays O(1). The driver sees
+    one scalar count per round. All comparisons, no arithmetic —
+    exact in any engine."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    e = tracked_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist
+
+
+def bfs_hops_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    max_hops: int = 3,
+    node_out: str = "node",
+) -> str:
+    """DuckDB twin: the BFS rounds unrolled as chained CTEs over an
+    edge relation ``edges_cte`` (src, dst) and a seed relation
+    ``seeds_cte`` (node). Emits every reached node with its minimal
+    hop count — identical semantics to :func:`bfs_hops` (which may
+    early-exit, a no-op difference)."""
+    parts = [
+        f"d0 AS MATERIALIZED (SELECT DISTINCT node, 0 AS hops FROM {seeds_cte})",
+        "f0 AS (SELECT node FROM d0)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(f"""n{h} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node
+  FROM f{h - 1} f JOIN {edges_cte} e ON e.src = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM d{h - 1} d WHERE d.node = e.dst)),
+d{h} AS MATERIALIZED (
+  SELECT node, hops FROM d{h - 1}
+  UNION ALL SELECT node, {h} AS hops FROM n{h}),
+f{h} AS (SELECT node FROM n{h})""")
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT node AS {node_out}, CAST(hops AS INT) AS hops FROM d{max_hops}"""

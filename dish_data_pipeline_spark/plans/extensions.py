@@ -1714,6 +1714,68 @@ def q_trade_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REACH_HOPS = 3
+
+
+def q_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius reachability: minimum hop distance (≤ 3) from a
+    deterministic seed set (every 97th customer) over the 1995
+    undirected customer↔supplier trade graph — "which parties are
+    within k trades of these entities", the sanction-screening /
+    contamination-spread query. Level-synchronous frontier BFS
+    (:func:`ops.graph.bfs_hops`); the oracle unrolls the same three
+    rounds as chained CTEs with NOT-EXISTS anti-joins, so the
+    distributed frontier expansion is value-verified hop by hop.
+    Comparisons only — no arithmetic to drift."""
+    from dish_data_pipeline_spark.ops.graph import bfs_hops
+
+    o = (
+        read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1996-01-01")
+        .select("o_orderkey", "o_custkey")
+    )
+    li = read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    pairs = joined.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+    ).distinct()
+    edges = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    seeds = (
+        joined.filter(F.col("o_custkey") % 97 == 1)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .distinct()
+    )
+    return bfs_hops(
+        edges, seeds, max_hops=REACH_HOPS, src_col="a", dst_col="b"
+    )
+
+
+def _sql_trade_reach() -> str:
+    from dish_data_pipeline_spark.ops.graph import bfs_hops_sql
+
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate < DATE '1996-01-01'),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+seeds AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS node
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate < DATE '1996-01-01' AND o_custkey % 97 = 1),
+{bfs_hops_sql("edges", "seeds", max_hops=REACH_HOPS)}
+"""
+
+
 TRIANGLE_TOPK = 5
 
 
@@ -3313,6 +3375,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_trade_pagerank_directed, _sql_trade_pagerank_directed(),
         "directed-graph PageRank with integer dangling-mass "
         "redistribution (suppliers are sinks)",
+        ("graph", "iterative")),
+    "trade_reach": QueryDef(
+        q_trade_reach, _sql_trade_reach(),
+        "multi-source BFS hop distance (blast radius <= 3) on the trade graph",
         ("graph", "iterative")),
     "supplier_triangles": QueryDef(
         q_supplier_triangles, SQL_SUPPLIER_TRIANGLES,

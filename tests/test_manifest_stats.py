@@ -191,3 +191,34 @@ def test_append_rejects_schema_drift(spark, table):
         be.append(
             spark.createDataFrame([Row(k=1, extra="x")]), path
         )
+
+
+def test_expire_versions_and_vacuum_reclaim(spark, table):
+    be, path = table
+    # v1, v2: two appends, each writing fresh data dirs
+    be.append(spark.createDataFrame([Row(k=901, v=1, ts=1)]), path)
+    be.append(spark.createDataFrame([Row(k=902, v=2, ts=1)]), path)
+    # overwrite-style merge producing v3 that rewrites everything
+    be.merge_keep_latest(
+        spark, path, spark.createDataFrame([Row(k=1, v=999, ts=9)]), ["k"], "ts"
+    )
+    assert be.latest_version(path) == 3
+    expired = be.expire_versions(path, keep_last=1)
+    assert expired == [0, 1, 2]
+    # latest snapshot intact; expired versions unreadable
+    assert be.read(spark, path).count() == 402
+    with pytest.raises(FileNotFoundError):
+        be.read(spark, path, 0)
+    # the rewrite dropped every pre-v3 file — vacuum reclaims the
+    # dirs only expired manifests referenced
+    deleted = be.vacuum(path)
+    assert deleted, "expected expired-only data dirs to be reclaimed"
+    assert be.read(spark, path).count() == 402
+
+
+def test_expire_versions_never_drops_latest(spark, table):
+    be, path = table
+    assert be.expire_versions(path, keep_last=5) == []
+    assert be.latest_version(path) == 0
+    with pytest.raises(ValueError):
+        be.expire_versions(path, keep_last=0)

@@ -533,3 +533,57 @@ def test_kcore_matches_duckdb_twin_on_random_graph(spark):
     sql = "WITH " + kcore_sql("e", k=3, n_rounds=5)
     oracle = {(int(a), int(d)) for a, d in con.execute(sql).fetchall()}
     assert got == oracle
+
+
+def test_bfs_hops_chain_distances(spark):
+    from dish_data_pipeline_spark.ops.graph import bfs_hops
+
+    # path 1-2-3-4-5, undirected; seed {1}: hops capped at 3
+    und = [(i, i + 1) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {(r["node"], r["hops"])
+           for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3)}
+
+
+def test_bfs_hops_early_exit_and_min_label(spark):
+    from dish_data_pipeline_spark.ops.graph import bfs_hops
+
+    # two seeds; node 3 reachable from both — takes the MINIMUM hop;
+    # component {9,10} unreachable; frontier empties before max_hops
+    und = [(1, 2), (2, 3), (4, 3), (9, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], "node int")
+    got = {(r["node"], r["hops"])
+           for r in bfs_hops(edges, seeds, max_hops=9).collect()}
+    assert got == {(1, 0), (4, 0), (2, 1), (3, 1)}
+
+
+def test_bfs_hops_matches_duckdb_twin_on_random_graph(spark):
+    import random
+
+    import duckdb
+
+    from dish_data_pipeline_spark.ops.graph import bfs_hops, bfs_hops_sql
+
+    rng = random.Random(13)
+    und = sorted({tuple(sorted(rng.sample(range(40), 2)))
+                  for _ in range(50)})
+    edges_list = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges_list, "src int, dst int")
+    seeds = spark.createDataFrame([(0,), (7,)], "node int")
+    got = {(r["node"], r["hops"])
+           for r in bfs_hops(df, seeds, max_hops=3).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src INT, dst INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges_list)
+    con.execute("CREATE TABLE s(node INT)")
+    con.executemany("INSERT INTO s VALUES (?)", [(0,), (7,)])
+    sql = "WITH " + bfs_hops_sql("e", "s", max_hops=3)
+    oracle = {(int(n), int(h)) for n, h in con.execute(sql).fetchall()}
+    assert got == oracle

@@ -312,3 +312,42 @@ def recover_interrupted_swap(path: str) -> str:
     for p in tmps:
         shutil.rmtree(p, ignore_errors=True)
     return "missing"
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    *bucket_cols: str,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED (and by default sorted) parquet
+    table in the session catalog — the co-location contract that
+    removes the shuffle from every subsequent equi-join or
+    aggregation on the bucket columns.
+
+    At 100 TB this is the difference between re-shuffling a fact
+    table on every join against it and shuffling it ONCE at write
+    time: two tables bucketed by the same columns into the same
+    bucket count join with zero Exchange in the plan (asserted by
+    ``tests/test_bucketed.py``), and sorting within buckets lets
+    SortMergeJoin skip its sort. Spark's bucketing is hash(pmod)
+    based and stable across writes, so incremental loads land in the
+    right bucket files.
+
+    Uses ``saveAsTable`` because bucket metadata lives in the
+    catalog, not the parquet footers — path-based ``spark.read
+    .parquet`` of the same files would NOT see the bucketing."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not bucket_cols:
+        raise ValueError("at least one bucket column required")
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.saveAsTable(table)

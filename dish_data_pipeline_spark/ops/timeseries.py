@@ -398,3 +398,81 @@ def rolling_robust_zscore(
             "is_anomaly"
         ),
     )
+
+
+#: EWMA value quantization: qv = floor(value · EWMA_QUANT) BIGINT.
+EWMA_QUANT = 1000
+
+
+def ewma(
+    resampled: DataFrame,
+    key_col: str,
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    window_rows: int = 16,
+) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2), truncated to
+    the trailing ``window_rows`` rows — trend smoothing that reacts
+    to level shifts faster than a flat rolling mean. Output adds an
+    ``ewma DOUBLE`` column.
+
+    Determinism contract (the reason this EWMA is oracle-exact where
+    float recurrences cannot be): values quantize to
+    ``floor(v · EWMA_QUANT)`` BIGINTs, and the weighted numerator is
+    the INTEGER fold ``Σ qv[i] · 2^i`` over the frame-ordered window
+    array (0-based ``i``, newest row receiving the largest weight
+    ``2^(m-1)``) with denominator ``(2^m − 1) · EWMA_QUANT`` — both
+    exact BIGINTs in any evaluation order, so the single final IEEE
+    division is bit-identical cross-engine. Dividing numerator and
+    denominator by ``2^(m-1)`` recovers the textbook truncated
+    α = 1/2 weights; the scaling cancels. Overflow bound:
+    ``max|qv| · 2^window_rows`` must stay below 2^63 —
+    ``window_rows`` ≤ 40 enforced, safe for |value| ≤ 10⁶ at the
+    default quantization.
+
+    NULL-valued rows are dropped BEFORE windowing (they neither
+    weight nor occupy a frame slot) — chosen because Spark's
+    ``collect_list`` and DuckDB's ``list()`` disagree on NULL
+    handling inside window frames; pre-filtering makes both engines
+    see identical arrays. Compose after :func:`resample` /
+    :func:`gap_fill`, whose outputs are non-null.
+
+    Scale shape: one window exchange on the key (shared with any
+    adjacent per-key window), map-side array fold, no driver state.
+    """
+    if not 1 <= window_rows <= 40:
+        raise ValueError(
+            f"window_rows must be in [1, 40] (BIGINT overflow bound), "
+            f"got {window_rows}"
+        )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    qv = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(EWMA_QUANT))
+    ).cast("bigint")
+    out = (
+        resampled.filter(F.col(value_col).isNotNull())
+        .withColumn("_arr", F.collect_list(qv).over(w))
+        .withColumn(
+            "_num",
+            F.expr(
+                "aggregate("
+                "  zip_with(_arr, sequence(0, size(_arr) - 1),"
+                "           (v, i) -> named_struct('v', v, 'i', i)),"
+                "  cast(0 as bigint),"
+                "  (acc, s) -> acc + s.v * shiftleft(cast(1 as bigint), s.i))"
+            ),
+        )
+        .withColumn(
+            "_den",
+            F.expr("shiftleft(cast(1 as bigint), size(_arr)) - 1"),
+        )
+    )
+    return out.withColumn(
+        "ewma",
+        F.col("_num").cast("double")
+        / (F.col("_den") * F.lit(EWMA_QUANT)).cast("double"),
+    ).drop("_arr", "_num", "_den")

@@ -1714,6 +1714,33 @@ def q_trade_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEARCH_PATTERN = "window table"
+
+
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-indexed literal substring search (`pg_trgm` / code-
+    search shape): inverted (doc, trigram) index → all-trigrams
+    candidate intersection → exact containment verify on candidates
+    only, plus the portable length-difference occurrence count. The
+    oracle is the full containment SCAN, so the driver certifies
+    index-plus-verify ≡ scan — no false positives survive, no
+    occurrence is missed. See :mod:`ops.trgm` for the 100 TB shape
+    (index materialized once per corpus version, reused per query)."""
+    from dish_data_pipeline_spark.ops.trgm import trigram_search
+
+    d = read(spark, sf_dir, "documents").select("doc_id", "text")
+    return trigram_search(d, SEARCH_PATTERN)
+
+
+SQL_SUBSTRING_SEARCH = f"""
+SELECT doc_id AS id,
+       CAST((length(text) - length(replace(text, '{SEARCH_PATTERN}', '')))
+            // {len(SEARCH_PATTERN)} AS INT) AS n_occurrences
+FROM documents
+WHERE contains(text, '{SEARCH_PATTERN}')
+"""
+
+
 REACH_HOPS = 3
 
 
@@ -3380,6 +3407,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_trade_reach, _sql_trade_reach(),
         "multi-source BFS hop distance (blast radius <= 3) on the trade graph",
         ("graph", "iterative")),
+    "substring_search": QueryDef(
+        q_substring_search, SQL_SUBSTRING_SEARCH,
+        "trigram-inverted-index substring search vs full-scan oracle",
+        ("text", "index")),
     "supplier_triangles": QueryDef(
         q_supplier_triangles, SQL_SUPPLIER_TRIANGLES,
         "triangle count + clustering coefficient via oriented-edge "

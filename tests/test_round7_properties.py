@@ -587,3 +587,69 @@ def test_bfs_hops_matches_duckdb_twin_on_random_graph(spark):
     sql = "WITH " + bfs_hops_sql("e", "s", max_hops=3)
     oracle = {(int(n), int(h)) for n, h in con.execute(sql).fetchall()}
     assert got == oracle
+
+
+def test_trigram_search_false_positive_rejected(spark):
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.trgm import trigram_search
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="abcdef twice abcdef"),
+            Row(doc_id=2, text="has abcd and cdef but not joined"),
+            Row(doc_id=3, text="nothing relevant"),
+        ]
+    )
+    got = {(r.id, r.n_occurrences)
+           for r in trigram_search(docs, "abcdef").collect()}
+    # doc 2 contains every trigram of 'abcdef' except bcd? it has
+    # abc,bcd(abcd),cde,def(cdef) — ALL trigrams, yet not the
+    # substring: the candidate set includes it, verification drops it
+    assert got == {(1, 2)}
+
+
+def test_trigram_search_short_pattern_full_scan(spark):
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.trgm import trigram_search
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="xyxy"), Row(doc_id=2, text="zz")]
+    )
+    got = {(r.id, r.n_occurrences)
+           for r in trigram_search(docs, "xy").collect()}
+    assert got == {(1, 2)}
+
+
+def test_trigram_search_prebuilt_index_equivalent(spark):
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.trgm import (
+        trigram_index,
+        trigram_search,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(
+            ["spark sql engine", "sql spark", "engine room", "spa rks"])]
+    )
+    idx = trigram_index(docs).persist()
+    a = {(r.id, r.n_occurrences)
+         for r in trigram_search(docs, "spark").collect()}
+    b = {(r.id, r.n_occurrences)
+         for r in trigram_search(docs, "spark", index=idx).collect()}
+    idx.unpersist()
+    assert a == b == {(0, 1), (1, 1)}
+
+
+def test_trigram_array_short_text_empty(spark):
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.trgm import trigram_index
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="ab"), Row(doc_id=2, text="abc")]
+    )
+    rows = trigram_index(docs).collect()
+    assert [(r.id, r.tg) for r in rows] == [(2, "abc")]

@@ -595,6 +595,52 @@ FROM z
 """
 
 
+EWMA_WINDOW = 16
+
+
+def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend smoothing over the hourly per-type series: truncated
+    α = 1/2 exponentially weighted moving average
+    (:func:`ops.timeseries.ewma`). The weighted sum is the integer
+    fold Σ qv·2^i over the frame-ordered window array, so the
+    distributed window and the oracle's ``list()``-window
+    ``list_transform`` fold produce bit-identical doubles from one
+    final division — an oracle-exact EWMA, which a float recurrence
+    could never be."""
+    from dish_data_pipeline_spark.ops.timeseries import ewma, resample
+
+    e = read(spark, sf_dir, "events")
+    r = resample(e, "ts", "event_type", "value", GAP_STEP_SEC)
+    return ewma(
+        r,
+        "event_type",
+        value_col="avg_value",
+        window_rows=EWMA_WINDOW,
+    ).select("event_type", "bucket", "avg_value", "ewma")
+
+
+SQL_EWMA_EVENTS = f"""
+WITH b AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {GAP_STEP_SEC}) * {GAP_STEP_SEC}
+           AS bucket,
+         {sql_davg('value')} AS avg_value
+  FROM events GROUP BY 1, 2),
+q AS (
+  SELECT event_type, bucket, avg_value,
+         list(CAST(floor(avg_value * 1000.0) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+           AS l
+  FROM b WHERE avg_value IS NOT NULL)
+SELECT event_type, bucket, avg_value,
+       CAST(list_sum(list_transform(
+              l, (x, i) -> x * (CAST(1 AS BIGINT) << (i - 1)))) AS DOUBLE)
+       / CAST(((CAST(1 AS BIGINT) << len(l)) - 1) * 1000 AS DOUBLE) AS ewma
+FROM q
+"""
+
+
 def q_robust_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/MAD) anomaly gate over the same hourly grid as
     ``anomaly_events`` — the two flags side by side show exactly
@@ -1147,6 +1193,10 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         q_debounce_events, SQL_DEBOUNCE_EVENTS,
         "per-key burst collapse (10-min chain gap, first event kept)",
         ("window", "timeseries", "dedup")),
+    "ewma_events": QueryDef(
+        q_ewma_events, SQL_EWMA_EVENTS,
+        "oracle-exact truncated EWMA (integer 2^i fold) per event type",
+        ("timeseries", "window")),
     "anomaly_events": QueryDef(
         q_anomaly_events, SQL_ANOMALY_EVENTS,
         "resample → gap fill → trailing z-score anomaly flags",

@@ -141,3 +141,55 @@ def test_rolling_zscore_known_values(spark):
     expect = (10.0 - mean) / math.sqrt(var)
     assert abs(out2[3].zscore - expect) < 1e-12
     assert out2[3].is_anomaly is True
+
+
+def test_ewma_hand_computed_series(spark):
+    from dish_data_pipeline_spark.ops.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 4.0)],
+        "k string, bucket int, value double",
+    )
+    got = {r.bucket: r.ewma for r in ewma(df, "k", window_rows=8).collect()}
+    # qv = 1000, 2000, 4000; folds: [1000]/1; [1000+2*2000]/3;
+    # [1000 + 2*2000 + 4*4000]/7 — denominators (2^m - 1) * 1000
+    assert got[1] == 1000 / (1 * 1000)
+    assert got[2] == 5000 / (3 * 1000)
+    assert got[3] == 21000 / (7 * 1000)
+
+
+def test_ewma_window_truncates(spark):
+    from dish_data_pipeline_spark.ops.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", i, 1.0 * i) for i in range(1, 6)],
+        "k string, bucket int, value double",
+    )
+    got = {r.bucket: r.ewma for r in ewma(df, "k", window_rows=2).collect()}
+    # bucket 5: frame [4.0, 5.0] → (4000 + 2*5000) / (3 * 1000)
+    assert got[5] == 14000 / 3000
+
+
+def test_ewma_nulls_dropped_not_slotted(spark):
+    from dish_data_pipeline_spark.ops.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("a", 1, 2.0), ("a", 2, None), ("a", 3, 6.0)],
+        "k string, bucket int, value double",
+    )
+    rows = ewma(df, "k", window_rows=2).collect()
+    got = {r.bucket: r.ewma for r in rows}
+    assert 2 not in got
+    # bucket 3's frame is [2.0, 6.0] — the NULL neither weights nor
+    # occupies a slot
+    assert got[3] == (2000 + 2 * 6000) / (3 * 1000)
+
+
+def test_ewma_rejects_overflowable_window(spark):
+    import pytest as _pytest
+
+    from dish_data_pipeline_spark.ops.timeseries import ewma
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, bucket int, value double")
+    with _pytest.raises(ValueError, match="window_rows"):
+        ewma(df, "k", window_rows=41)

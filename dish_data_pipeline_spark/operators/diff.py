@@ -103,6 +103,38 @@ def diff_summary(
     )
 
 
+def apply_changes(
+    target: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Apply a :func:`snapshot_diff` delta onto ``target`` — the CDC
+    consumer side: replicate a table by shipping only the delta and
+    reconstructing the new snapshot at the destination.
+    ``delta`` carries ``change_type`` + ``new_<c>`` columns for
+    ``value_cols``; inserts and updates land with their new values,
+    deletes disappear, untouched rows pass through by anti-join.
+
+    Round-trip contract: ``apply_changes(old, snapshot_diff(old,
+    new, ...), ...)`` equals ``new`` exactly (row-identical — values
+    are carried, never recomputed), which the ``cdc_apply_orders``
+    oracle certifies by comparing against the new snapshot built
+    directly. Scale shape: one anti-join of target against the
+    (small) delta's keys plus a union — the delta side broadcasts
+    under AQE; cost is O(|target| scan + |delta|), no wide shuffle
+    of untouched data."""
+    ct = F.col("change_type")
+    touched = delta.select(*keys)
+    upserts = delta.filter(ct.isin("insert", "update")).select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in value_cols]
+    )
+    kept = target.select(*keys, *value_cols).join(
+        touched, list(keys), "left_anti"
+    )
+    return kept.unionByName(upserts)
+
+
 # Exact decimal accumulation makes the maintained sums
 # order-independent AND algebraically invertible: +x then -x returns
 # the accumulator to exactly its prior value, which IEEE doubles do

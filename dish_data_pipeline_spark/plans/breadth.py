@@ -680,6 +680,50 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round trip: the snapshot delta (same derived old/new
+    ``orders`` pair as ``snapshot_diff_orders``) is applied back
+    onto the OLD snapshot — untouched rows pass by anti-join,
+    inserts/updates land with carried values, deletes vanish. The
+    oracle builds the NEW snapshot directly, so the hash compare
+    certifies ship-the-delta replication reconstructs the table
+    exactly (:func:`operators.diff.apply_changes`)."""
+    from dish_data_pipeline_spark.operators.diff import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * F.lit(1.1)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    delta = snapshot_diff(
+        old,
+        new,
+        ["o_orderkey"],
+        ["o_totalprice", "o_orderstatus"],
+        include_unchanged=False,
+    )
+    return apply_changes(
+        old, delta, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+SQL_CDC_APPLY = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderstatus
+FROM orders WHERE o_orderkey % 101 <> 0
+"""
+
+
 SQL_INCREMENTAL_AGG = """
 WITH new_s AS (
   SELECT CASE WHEN o_orderkey % 77 = 0 THEN '9-MOVED'
@@ -733,6 +777,10 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
         q_incremental_agg, SQL_INCREMENTAL_AGG,
         "incremental view maintenance: aggregate rolled forward from CDF delta",
         ("cdc", "agg", "incremental")),
+    "cdc_apply_orders": QueryDef(
+        q_cdc_apply, SQL_CDC_APPLY,
+        "CDC delta applied onto the old snapshot reconstructs the new exactly",
+        ("cdc", "join")),
     "asof_signup": QueryDef(
         q_asof_signup, SQL_ASOF_SIGNUP,
         "as-of join: latest signup before each event", ("join", "asof")),

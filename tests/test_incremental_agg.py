@@ -88,3 +88,37 @@ def test_chained_maintenance_two_deltas(spark):
         delta = snapshot_diff(old, new, ["k"], ["g", "v"], include_unchanged=False)
         state = incremental_agg_update(state, delta, ["g"], ["v"])
     assert _rows(state) == _rows(grouped_agg(d2, ["g"], ["v"]))
+
+
+def test_apply_changes_roundtrip(spark):
+    from dish_data_pipeline_spark.operators.diff import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old_rows = [Row(k=i, a=f"v{i}", b=float(i)) for i in range(20)]
+    new_rows = [
+        Row(k=r.k, a=r.a + "!" if r.k % 3 == 0 else r.a, b=r.b)
+        for r in old_rows
+        if r.k % 5 != 0
+    ] + [Row(k=100, a="new", b=9.0)]
+    old = spark.createDataFrame(old_rows)
+    new = spark.createDataFrame(new_rows)
+    delta = snapshot_diff(old, new, ["k"], ["a", "b"], include_unchanged=False)
+    rebuilt = apply_changes(old, delta, ["k"], ["a", "b"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_apply_changes_empty_delta_is_identity(spark):
+    from dish_data_pipeline_spark.operators.diff import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    rows = [Row(k=1, a="x", b=1.0), Row(k=2, a="y", b=2.0)]
+    df = spark.createDataFrame(rows)
+    delta = snapshot_diff(df, df, ["k"], ["a", "b"], include_unchanged=False)
+    rebuilt = apply_changes(df, delta, ["k"], ["a", "b"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, rows))

@@ -44,6 +44,7 @@ def skyline_2d(
     minimize_x: bool = True,
     maximize_y: bool = True,
     partitions: int | None = None,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """All rows of ``df`` on the (x, y) Pareto frontier.
 
@@ -51,6 +52,14 @@ def skyline_2d(
     dominates and cannot sit on a frontier ordered by comparisons).
     Duplicate frontier points all survive. Output columns = input
     columns.
+
+    The final rehydration semi-join broadcasts the frontier by
+    default — a 2D skyline of real tradeoff data is tiny (measured:
+    AQE leaves this join as a full-table SortMergeJoin otherwise),
+    and broadcasting removes the only input-sized shuffle in the
+    plan. Pass ``broadcast_frontier=False`` for adversarial
+    (anti-correlated) inputs whose frontier approaches the distinct-x
+    count.
     """
     sx = F.col(x_col) if minimize_x else -F.col(x_col)
     sy = F.col(y_col) if maximize_y else -F.col(y_col)
@@ -99,6 +108,8 @@ def skyline_2d(
     frontier = local.filter(
         F.col("_prev").isNull() | (F.col("_ymax") > F.col("_prev"))
     ).select("_sx", "_ymax")
+    if broadcast_frontier:
+        frontier = F.broadcast(frontier)
     return pts.join(
         frontier,
         (sx == F.col("_sx")) & (sy == F.col("_ymax")),

@@ -78,7 +78,12 @@ def skyline_2d(
         .orderBy("_sx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = ranged.withColumn("_prev", F.max("_ymax").over(w))
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    # consumed twice (P-row partition-max collect + frontier filter)
+    # — persist so the candidate reduction and window run once, not
+    # two full passes over the base table
+    local = tracked_persist(ranged.withColumn("_prev", F.max("_ymax").over(w)))
     # one row per range partition — bounded by the partition count,
     # never by data size (same device as the k-means centroid
     # collect); the exclusive prefix closes the cross-partition carry

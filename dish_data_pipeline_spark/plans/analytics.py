@@ -1184,7 +1184,188 @@ FROM j
 """
 
 
+# --- Interval overlap: peak concurrency (sweep line) --------------
+def q_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneously-open event intervals per type.
+
+    Each event opens a half-open interval ``[ts, ts + 60 +
+    event_id % 3600 seconds)`` (a deterministic synthetic duration —
+    the table carries no end timestamp). Distributed sweep line via
+    :func:`ops.interval.max_concurrency`: two-phase range-partitioned
+    prefix SUM, no single-partition window even though there are only
+    a handful of event types."""
+    from dish_data_pipeline_spark.ops.interval import max_concurrency
+
+    e = read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    iv = e.select(
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        F.expr(
+            "timestampadd(SECOND, CAST(60 + event_id % 3600 AS BIGINT), ts)"
+        ).alias("end_ts"),
+    )
+    return max_concurrency(iv, "start_ts", "end_ts", ["event_type"])
+
+
+SQL_CONCURRENT_EVENTS = """
+WITH iv AS (
+  SELECT event_type, ts AS s,
+         ts + (60 + event_id % 3600) * INTERVAL 1 SECOND AS e
+  FROM events WHERE ts IS NOT NULL),
+deltas AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv),
+run AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS r
+  FROM deltas)
+SELECT event_type,
+       CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
+       CAST(MAX(r) AS BIGINT) AS max_concurrent
+FROM run GROUP BY event_type
+"""
+
+
+# --- Markov transition counts over per-user event sequences -------
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix of per-user event sequences:
+    ``(prev_type, next_type, n, p_next)`` where ``p_next`` is the
+    row-normalized transition probability. ``p_next`` is one BIGINT ÷
+    BIGINT IEEE division (deterministic, no quantization device
+    needed). NULL-``ts`` rows are excluded — Spark windows sort nulls
+    first, DuckDB windows sort them last, so they'd sequence
+    differently."""
+    e = read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = t.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("prev_type")
+    return counts.withColumn(
+        "p_next",
+        F.col("n").cast("double") / F.sum("n").over(wt).cast("double"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events WHERE ts IS NOT NULL),
+c AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) /
+       CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_next
+FROM c
+"""
+
+
+# --- Integer-exact correlation / regression per group -------------
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation + OLS slope/intercept of
+    FLOOR(extendedprice) on quantity. Built-in ``corr()`` /
+    ``regr_slope()`` accumulate doubles and are nondeterministic
+    across partitionings; and even exact DECIMAL(38,6) moment sums
+    fail the oracle hash — the y² sum (~7e13 with 4 decimal digits)
+    exceeds double's 53-bit mantissa, and Spark and DuckDB round the
+    decimal→double cast differently (measured 1-ulp splits). So both
+    sides floor-quantize y to integer dollars (floor has no rounding
+    ties): all five moment sums are then exact BIGINTs, each
+    int64→double cast in the closing formula is a single correctly-
+    rounded conversion on both engines, and the formula itself is
+    the same IEEE expression. Safe domain: |y|≤1e6 and ~1e9 rows per
+    group keep Σy² below int64 max."""
+    li = read(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.floor(F.col("l_extendedprice")).cast("bigint")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    nd = d("n")
+    cov_n = nd * d("sxy") - d("sx") * d("sy")
+    varx_n = nd * d("sxx") - d("sx") * d("sx")
+    vary_n = nd * d("syy") - d("sy") * d("sy")
+    slope = cov_n / varx_n
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (d("sx") / nd).alias("mean_qty"),
+        (d("sy") / nd).alias("mean_price_floor"),
+        slope.alias("slope"),
+        ((d("sy") - slope * d("sx")) / nd).alias("intercept"),
+        (cov_n / F.sqrt(varx_n * vary_n)).alias("pearson_r"),
+    )
+
+
+SQL_STATS_CORR = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT) *
+                  CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT) *
+                  CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(SUM(CAST(l_quantity AS BIGINT) *
+                  CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_price_floor,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy AS DOUBLE) -
+        ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+            (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS pearson_r
+FROM m
+"""
+
+
 ANALYTICS_QUERIES: dict[str, QueryDef] = {
+    "concurrent_events": QueryDef(
+        q_concurrent_events, SQL_CONCURRENT_EVENTS,
+        "peak concurrent intervals per type — distributed sweep line "
+        "(two-phase range-partitioned prefix sum)",
+        ("window", "timeseries", "interval")),
+    "event_transitions": QueryDef(
+        q_event_transitions, SQL_EVENT_TRANSITIONS,
+        "first-order Markov transition counts + probabilities over "
+        "per-user event sequences",
+        ("window", "agg")),
+    "stats_corr": QueryDef(
+        q_stats_corr, SQL_STATS_CORR,
+        "per-group Pearson r + OLS slope/intercept from exact decimal "
+        "moment sums",
+        ("agg", "stats")),
     "gap_fill_events": QueryDef(
         q_gap_fill_events, SQL_GAP_FILL_EVENTS,
         "hourly resample + grid completion + forward fill per event type",

@@ -764,7 +764,91 @@ FROM j GROUP BY 1
 """
 
 
+# --- Higher-order array function suite -----------------------------
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function breadth over per-order lineitem
+    arrays: transform / filter / exists / forall / aggregate (fold) /
+    zip_with / slice / array_max / array_distinct / array_sort.
+
+    Determinism: arrays are pinned to (``l_linenumber``,
+    ``l_quantity``, ``l_extendedprice``) order — the testdata reuses
+    linenumbers within an order, so ``sort_array`` of the full struct
+    and the SQL twin's three-key ``ORDER BY`` break ties identically; quantities are
+    integral → BIGINT, prices fold as exact integer cents
+    (``round(p*100)``), and array outputs serialize via
+    ``array_join`` so the driver hash-compares plain strings.
+    The DuckDB twin builds the same ordered lists with
+    ``list(x ORDER BY l_linenumber)`` and closes the fold as plain
+    integer aggregates (values, not mechanics, are the contract)."""
+    li = read(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 97 == 0
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            )
+        ).alias("ls")
+    )
+    qty = "transform(ls, x -> CAST(x.l_quantity AS BIGINT))"
+    cents = "transform(ls, x -> CAST(round(x.l_extendedprice * 100) AS BIGINT))"
+    return g.select(
+        "l_orderkey",
+        F.size("ls").alias("n_items"),
+        F.expr(f"array_join(transform({qty}, v -> CAST(v AS STRING)), ',')")
+        .alias("qty_csv"),
+        F.expr(f"aggregate({qty}, 0L, (a, v) -> a + v)").alias("qty_total"),
+        F.expr(f"size(filter({qty}, v -> v > 25))").alias("n_big"),
+        F.expr(f"exists({qty}, v -> v < 5)").alias("any_small"),
+        F.expr(f"forall({cents}, v -> v > 0)").alias("all_paid"),
+        F.expr(
+            f"aggregate(zip_with({qty}, {cents}, (q, p) -> q * p), "
+            "0L, (a, v) -> a + v)"
+        ).alias("rev_cents"),
+        F.expr(
+            f"array_join(transform(slice({qty}, 1, 2), "
+            "v -> CAST(v AS STRING)), ',')"
+        ).alias("first_two"),
+        F.expr(f"array_max({qty})").alias("qty_max"),
+        F.expr(
+            f"array_join(transform(array_sort(array_distinct({qty})), "
+            "v -> CAST(v AS STRING)), ',')"
+        ).alias("qty_distinct_csv"),
+    )
+
+
+SQL_ARRAY_FUNCS = """
+WITH g AS (
+  SELECT l_orderkey,
+         list(CAST(l_quantity AS BIGINT)
+              ORDER BY l_linenumber, l_quantity, l_extendedprice) AS qty,
+         list(CAST(round(l_extendedprice * 100) AS BIGINT)
+              ORDER BY l_linenumber, l_quantity, l_extendedprice) AS cents
+  FROM lineitem WHERE l_orderkey % 97 = 0
+  GROUP BY l_orderkey)
+SELECT l_orderkey,
+       CAST(len(qty) AS INTEGER) AS n_items,
+       array_to_string(qty, ',') AS qty_csv,
+       CAST(list_sum(qty) AS BIGINT) AS qty_total,
+       CAST(len(list_filter(qty, v -> v > 25)) AS INTEGER) AS n_big,
+       len(list_filter(qty, v -> v < 5)) > 0 AS any_small,
+       len(list_filter(cents, v -> v <= 0)) = 0 AS all_paid,
+       CAST(list_sum(list_transform(range(1, len(qty) + 1),
+            i -> qty[i] * cents[i])) AS BIGINT) AS rev_cents,
+       array_to_string(qty[1:2], ',') AS first_two,
+       CAST(list_max(qty) AS BIGINT) AS qty_max,
+       array_to_string(list_sort(list_distinct(qty)), ',')
+         AS qty_distinct_csv
+FROM g
+"""
+
+
 BREADTH_QUERIES: dict[str, QueryDef] = {
+    "array_funcs": QueryDef(
+        q_array_funcs, SQL_ARRAY_FUNCS,
+        "higher-order array functions (transform/filter/exists/forall/"
+        "aggregate/zip_with/slice) over linenumber-ordered arrays",
+        ("functions", "array")),
     "snapshot_diff_orders": QueryDef(
         q_snapshot_diff, SQL_SNAPSHOT_DIFF,
         "keyed snapshot reconciliation: insert/delete/update delta",

@@ -1350,7 +1350,88 @@ FROM m
 """
 
 
+# --- Top session paths (clickstream prefix mining) ----------------
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common session-opening paths: sessionize per user
+    (30-min gap, same device as ``q_sessionize``), take each
+    session's first three event types in (sec, event_id) order,
+    join as ``a>b>c``, and count sessions per path — the prefix-path
+    report that feeds funnel design. Top 20 with a (count DESC,
+    path ASC) deterministic tiebreak. NULL event types are
+    sentinel-coalesced — both engines' join/array_to_string silently
+    skip NULL elements, which would alias distinct paths."""
+    e = read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    b = e.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.coalesce("event_type", F.lit("∅")).alias("etype"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    lag_sec = F.lag("sec").over(w)
+    flagged = b.withColumn(
+        "flag",
+        F.when(
+            lag_sec.isNull() | (F.col("sec") - lag_sec > 1800), 1
+        ).otherwise(0),
+    )
+    seq = flagged.withColumn(
+        "seq",
+        F.sum("flag").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sessions = seq.groupBy("user_id", "seq").agg(
+        F.sort_array(
+            F.collect_list(F.struct("sec", "event_id", "etype"))
+        ).alias("evs")
+    )
+    paths = sessions.select(
+        F.array_join(
+            F.expr("transform(slice(evs, 1, 3), x -> x.etype)"), ">"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH b AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         coalesce(event_type, '∅') AS etype
+  FROM events WHERE ts IS NOT NULL),
+f AS (
+  SELECT *, CASE WHEN LAG(sec) OVER w IS NULL
+                   OR sec - LAG(sec) OVER w > 1800
+                 THEN 1 ELSE 0 END AS flag
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+s AS (
+  SELECT *, SUM(flag) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seq
+  FROM f),
+g AS (
+  SELECT user_id, seq,
+         list(etype ORDER BY sec, event_id) AS types
+  FROM s GROUP BY user_id, seq)
+SELECT array_to_string(types[1:3], '>') AS path,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM g GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+
 ANALYTICS_QUERIES: dict[str, QueryDef] = {
+    "session_paths": QueryDef(
+        q_session_paths, SQL_SESSION_PATHS,
+        "top session-opening event-type paths (sessionize → 3-prefix "
+        "→ count, deterministic top-20)",
+        ("window", "session", "topk")),
     "concurrent_events": QueryDef(
         q_concurrent_events, SQL_CONCURRENT_EVENTS,
         "peak concurrent intervals per type — distributed sweep line "

@@ -843,7 +843,133 @@ FROM g
 """
 
 
+# --- Order-independent partition checksums -------------------------
+def q_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month content checksums of ``orders`` — the replication-
+    verification primitive that pairs with `snapshot_diff` /
+    `cdc_apply`: two replicas compare the (tiny) checksum relation
+    and re-ship only diverging partitions instead of diffing 100 TB
+    row by row.
+
+    Each row folds to a canonical string (NULLs sentinel-coalesced —
+    ``concat_ws`` silently drops NULLs; totalprice as exact integer
+    cents; the timestamp as its DATE string so both engines format
+    identically), hashes through the portable 60-bit md5 device
+    (``ops/portable.py``), and combines order-independently two ways:
+    BIT_XOR (order- and overflow-free, but blind to duplicate-pair
+    insertions) and a mod-2^31-1 sum (duplicate-sensitive; exact in
+    int64 up to ~4.3e9 rows per partition). Map-side combinable, one
+    shuffle of |months| rows."""
+    from dish_data_pipeline_spark.ops.portable import spark_phash
+
+    o = read(spark, sf_dir, "orders")
+    canon = (
+        "concat_ws('|', coalesce(cast(o_orderkey as string), '∅'), "
+        "coalesce(cast(o_custkey as string), '∅'), "
+        "coalesce(o_orderstatus, '∅'), "
+        "coalesce(cast(cast(round(o_totalprice * 100) as bigint) "
+        "as string), '∅'), "
+        "coalesce(cast(cast(o_orderdate as date) as string), '∅'), "
+        "coalesce(o_orderpriority, '∅'))"
+    )
+    h = spark_phash(canon)
+    return (
+        o.select(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month"),
+            F.expr(h).alias("_h"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("xor_hash"),
+            F.sum(F.col("_h") % F.lit(2_147_483_647)).alias("modsum_hash"),
+        )
+    )
+
+
+def _sql_partition_checksum() -> str:
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+
+    canon = (
+        "concat_ws('|', coalesce(CAST(o_orderkey AS VARCHAR), '∅'), "
+        "coalesce(CAST(o_custkey AS VARCHAR), '∅'), "
+        "coalesce(o_orderstatus, '∅'), "
+        "coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT) "
+        "AS VARCHAR), '∅'), "
+        "coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '∅'), "
+        "coalesce(o_orderpriority, '∅'))"
+    )
+    return f"""
+WITH h AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         {duck_phash(canon)} AS hv
+  FROM orders)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(hv) AS BIGINT) AS xor_hash,
+       CAST(SUM(hv % 2147483647) AS BIGINT) AS modsum_hash
+FROM h GROUP BY month
+"""
+
+
+# --- JSON key profiling --------------------------------------------
+def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over a semi-structured column: explode every
+    JSON object key in ``events.props`` and profile it — row
+    coverage, distinct-value count, numeric min/max (NULL for
+    non-numeric values via the non-ANSI cast). The Spark side uses
+    ``json_object_keys`` + lateral explode (invalid/non-object JSON
+    yields NULL and drops out, same as DuckDB's ``json_keys``)."""
+    e = read(spark, sf_dir, "events")
+    total = e.count()
+    keys = e.select(
+        F.explode(F.expr("json_object_keys(props)")).alias("key"),
+        F.col("props"),
+    ).withColumn(
+        "val",
+        F.expr("get_json_object(props, concat('$.', key))"),
+    )
+    return keys.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias(
+            "row_coverage"
+        ),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min(F.col("val").cast("bigint")).alias("min_int"),
+        F.max(F.col("val").cast("bigint")).alias("max_int"),
+    )
+
+
+SQL_JSON_KEY_PROFILE = """
+WITH k AS (
+  SELECT unnest(json_keys(props)) AS key, props FROM events),
+v AS (
+  SELECT key,
+         json_extract_string(props, '$.' || key) AS val
+  FROM k)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS DOUBLE) /
+       (SELECT CAST(COUNT(*) AS DOUBLE) FROM events) AS row_coverage,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+       MIN(TRY_CAST(val AS BIGINT)) AS min_int,
+       MAX(TRY_CAST(val AS BIGINT)) AS max_int
+FROM v GROUP BY key
+"""
+
+
 BREADTH_QUERIES: dict[str, QueryDef] = {
+    "partition_checksum": QueryDef(
+        q_partition_checksum, _sql_partition_checksum(),
+        "order-independent per-month content checksums (portable "
+        "60-bit hash; BIT_XOR + mod-prime sum) for replica verification",
+        ("agg", "diff", "hash")),
+    "json_key_profile": QueryDef(
+        q_json_key_profile, SQL_JSON_KEY_PROFILE,
+        "JSON key discovery + per-key coverage/distinct/min/max profile",
+        ("json", "quality", "agg")),
     "array_funcs": QueryDef(
         q_array_funcs, SQL_ARRAY_FUNCS,
         "higher-order array functions (transform/filter/exists/forall/"

@@ -9,9 +9,11 @@ Schema convention for multimodal tables:
 Loading real media uses ``spark.read.format("binaryFile")`` (path,
 modificationTime, length, content). Decode / feature-extraction run
 as Arrow-batched ``mapInPandas`` over the binary column. The decode
-kernels are REAL for netpbm (P5/P6), uncompressed 24-bit BMP, and
-PCM RIFF/WAVE audio — pure-Python parsers of the public format
-layouts, dependency-free — with images routing other formats to PIL
+kernels are REAL for netpbm (P5/P6), uncompressed 24-bit BMP, 8-bit
+non-interlaced PNG (stdlib zlib inflate + all five scanline
+filters; encoder twin ``png_from_array``), and PCM RIFF/WAVE audio
+— pure-Python parsers of the public format layouts,
+dependency-free — with images routing other formats to PIL
 when importable; only unknown formats without a library raise
 ``NotImplementedError`` (loud by design). The Spark-side plumbing
 (schema, batching, partitioning) is additionally tested with a
@@ -154,6 +156,208 @@ def decode_bmp(content: bytes):
     return bgr[:, :, ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/
+    up-left to the linear estimate a + b - c, ties a → b → c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes):
+    """Decode an 8-bit non-interlaced PNG to a uint8 ndarray — H×W
+    (grayscale), H×W×2 (gray+alpha), H×W×3 (RGB, incl. paletted),
+    or H×W×4 (RGBA). Pure Python + stdlib ``zlib`` + numpy from the
+    public format layout (RFC 2083): signature, length-prefixed
+    chunks (IHDR geometry, PLTE palette, concatenated IDAT deflate
+    stream, IEND), then per-scanline unfiltering of the five filter
+    types (None/Sub/Up/Average/Paeth). Chunk CRCs are not verified —
+    decode integrity, not transport, is this kernel's contract.
+    Sub/Average/Paeth unfilter sequentially along the row (inherent
+    data dependence — this is a per-image kernel inside an
+    Arrow-batched worker, not a Spark-side loop)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (8-byte signature)")
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # data + 4-byte CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, compression={comp}, "
+            f"interlace={interlace}); only 8-bit non-interlaced"
+        )
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG raster: want {(stride + 1) * height} filtered bytes, "
+            f"got {len(raw)}"
+        )
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    bpp = channels
+    rpos = 0
+    for y in range(height):
+        f = raw[rpos]
+        line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+        rpos += 1 + stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    arr = np.frombuffer(bytes(out), dtype=np.uint8)
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG missing/malformed PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = arr.reshape(height, width)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]
+    if channels == 1:
+        return arr.reshape(height, width)
+    return arr.reshape(height, width, channels)
+
+
+def png_from_array(arr, row_filters=None) -> bytes:
+    """Encode a uint8 ndarray (H×W gray or H×W×{2,3,4}) as a REAL
+    8-bit non-interlaced PNG — the packing twin of
+    :func:`decode_png` (same role as ``wav_from_samples`` for the
+    audio tier). ``row_filters`` optionally pins the filter byte per
+    scanline (int or per-row list from {0..4}); default None filters
+    everything with 0. Exercising all five forward filters and
+    decoding back proves the unfilter paths, not just the happy
+    None-filter case."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        height, width, channels = a.shape[0], a.shape[1], 1
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+        height, width, channels = a.shape
+    else:
+        raise ValueError(f"unsupported array shape {a.shape}")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if row_filters is None:
+        row_filters = [0] * height
+    elif isinstance(row_filters, int):
+        row_filters = [row_filters] * height
+    if len(row_filters) != height:
+        raise ValueError("row_filters length != image height")
+    stride = width * channels
+    flat = a.reshape(height, stride)
+    body = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        f = int(row_filters[y])
+        cur = flat[y].tobytes()
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = bytes(
+                (cur[i] - (cur[i - channels] if i >= channels else 0))
+                & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:
+            enc = bytes((cur[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:
+            enc = bytes(
+                (
+                    cur[i]
+                    - (
+                        ((cur[i - channels] if i >= channels else 0)
+                         + prev[i])
+                        >> 1
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        elif f == 4:
+            enc = bytes(
+                (
+                    cur[i]
+                    - _paeth(
+                        cur[i - channels] if i >= channels else 0,
+                        prev[i],
+                        prev[i - channels] if i >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        body.append(f)
+        body += enc
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", crc
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(content: bytes) -> object:
     """Decode image bytes to an ``ndarray`` (H × W [× C], uint8).
 
@@ -171,6 +375,8 @@ def decode_image(content: bytes) -> object:
         return decode_ppm(content)
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
     if has_pil():
         import io
 

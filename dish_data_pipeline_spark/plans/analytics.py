@@ -1007,6 +1007,115 @@ FROM lagged GROUP BY 1
 """
 
 
+# --- Image tier: real PNG pack → decode → pixel features ----------
+def q_image_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMAGE tier end to end through a REAL codec: each event
+    type's value series (ordered by ts, event_id; NULLs dropped;
+    floor-clamped to 0..255) becomes a 32-wide uint8 raster, PACKED
+    into a real 8-bit grayscale PNG (`png_from_samples` twin
+    ``png_from_array``) with the scanline filter CYCLING through all
+    five PNG filter types (None/Sub/Up/Average/Paeth — so the oracle
+    certifies every unfilter path, not just the trivial one), then
+    DECODED back by the pure-Python `decode_png` kernel and reduced
+    to exact integer pixel statistics. The DuckDB twin computes the
+    same statistics directly on the quantized series — a hash match
+    proves deflate-compress → filter → unfilter → decompress is
+    lossless. Same device as `audio_features` (pack→parse vs direct
+    SQL)."""
+    import numpy as np
+    import pandas as pd
+
+    from dish_data_pipeline_spark.ops.multimodal import (
+        decode_png,
+        png_from_array,
+    )
+
+    W = 32
+    e = read(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
+        px = (
+            np.clip(np.floor(pdf["value"].to_numpy(dtype=float)), 0, 255)
+            .astype(np.uint8)
+        )
+        h = len(px) // W
+        if h == 0:  # mirror the oracle's HAVING h > 0
+            return pd.DataFrame({"event_type": [], "content": []})
+        arr = px[: h * W].reshape(h, W)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "content": [
+                    png_from_array(
+                        arr, row_filters=[y % 5 for y in range(h)]
+                    )
+                ],
+            }
+        )
+
+    blobs = e.groupBy("event_type").applyInPandas(
+        pack, "event_type string, content binary"
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for t, blob in zip(pdf["event_type"], pdf["content"]):
+                a = decode_png(bytes(blob)).astype(np.int64)
+                rows.append(
+                    (
+                        t,
+                        int(a.shape[0]),
+                        int(a.shape[1]),
+                        int(a.sum()),
+                        int(a.min()),
+                        int(a.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "event_type", "height", "width",
+                    "pix_sum", "pix_min", "pix_max",
+                ],
+            )
+
+    out = blobs.mapInPandas(
+        stats,
+        "event_type string, height bigint, width bigint, "
+        "pix_sum bigint, pix_min bigint, pix_max bigint",
+    )
+    return out.withColumn(
+        "mean_pix",
+        F.col("pix_sum").cast("double")
+        / (F.col("height") * F.col("width")).cast("double"),
+    )
+
+
+SQL_IMAGE_PNG_FEATURES = """
+WITH s AS (
+  SELECT event_type,
+         GREATEST(0, LEAST(255, CAST(floor(value) AS BIGINT))) AS px,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) // 32 AS h
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(32 AS BIGINT) AS width,
+       CAST(SUM(px) AS BIGINT) AS pix_sum,
+       CAST(MIN(px) AS BIGINT) AS pix_min,
+       CAST(MAX(px) AS BIGINT) AS pix_max,
+       CAST(SUM(px) AS DOUBLE) /
+       CAST(MAX(h) * 32 AS DOUBLE) AS mean_pix
+FROM s WHERE rn <= h * 32 AND h > 0
+GROUP BY event_type
+"""
+
+
 # --- Funnel conversion --------------------------------------------
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel over the event stream: users who signed
@@ -1483,6 +1592,12 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "stateful streaming debounce (kept-anchored, 2 micro-"
         "batches) vs recursive next-kept-event oracle",
         ("streaming", "timeseries")),
+    "image_png_features": QueryDef(
+        q_image_png_features, SQL_IMAGE_PNG_FEATURES,
+        "image tier end-to-end through a REAL PNG codec: pack "
+        "(all 5 scanline filters) → pure-Python decode → exact pixel "
+        "statistics vs direct SQL on the quantized series",
+        ("multimodal", "binary")),
     "audio_features": QueryDef(
         q_audio_features, SQL_AUDIO_FEATURES,
         "audio tier end-to-end: pack PCM WAV blobs, pure-Python "

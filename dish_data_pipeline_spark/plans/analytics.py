@@ -13,6 +13,7 @@ from dish_data_pipeline_spark.plans.common import (
     DEC,
     ZSCORE_SCALE,
     QueryDef,
+    davg,
     dsum,
     read,
     sql_davg,
@@ -1116,6 +1117,147 @@ GROUP BY event_type
 """
 
 
+# --- ML preprocessing: group-mean imputation -----------------------
+def q_impute_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL imputation with the per-group mean — the standard
+    feature-cleanup step before training. The fill value is the
+    deterministic ``davg`` (exact decimal sum ÷ count, one IEEE
+    division); output is the imputed rows only (bounded by the
+    missing count), with the group and fill recorded for audit.
+    Groups with NO observed values impute nothing (no mean exists) —
+    the IS NOT NULL gate drops them identically on both sides.
+    The testdata carries no NULLs, so missingness is PLANTED with a
+    deterministic mask (``event_id % 23 = 0``) — masked rows are
+    treated as unobserved, the means come from the observed
+    complement only (as real imputation must), and the masked rows
+    come back filled."""
+    e = read(spark, sf_dir, "events")
+    masked = F.col("event_id") % 23 == 0
+    means = (
+        e.filter(~masked)
+        .groupBy("event_type")
+        .agg(davg(F.col("value")).alias("fill_value"))
+    )
+    return (
+        e.filter(masked & F.col("value").isNotNull())
+        .join(F.broadcast(means), "event_type", "left")
+        .filter(F.col("fill_value").isNotNull())
+        .select("event_id", "event_type", "fill_value")
+    )
+
+
+SQL_IMPUTE_VALUES = f"""
+WITH m AS (
+  SELECT event_type, {sql_davg('value')} AS fill_value
+  FROM events WHERE event_id % 23 <> 0 GROUP BY event_type)
+SELECT event_id, e.event_type, fill_value
+FROM events e LEFT JOIN m ON e.event_type = m.event_type
+WHERE e.event_id % 23 = 0 AND e.value IS NOT NULL
+  AND fill_value IS NOT NULL
+"""
+
+
+# --- ML preprocessing: min-max feature scaling ----------------------
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type min-max scaling of ``value`` to [0, 1] — the
+    broadcast-the-extremes normalization pass (one tiny agg + one
+    map-side join, no window over the full table). min/max are exact
+    order statistics; the scale expression is the same two-operand
+    IEEE arithmetic on both engines, so no quantization device is
+    needed. Degenerate groups (min = max) scale to NULL (0/0 →
+    guarded explicitly; Spark's non-ANSI x/0 and DuckDB's disagree).
+    Output sampled by event_id to keep the relation driver-sized."""
+    e = read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("event_id") % 17 == 0)
+    )
+    ext = (
+        read(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    return e.join(F.broadcast(ext), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+        ).alias("scaled"),
+    )
+
+
+SQL_MINMAX_SCALE = """
+WITH ext AS (
+  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT event_id, e.event_type,
+       CASE WHEN hi > lo THEN (value - lo) / (hi - lo) END AS scaled
+FROM events e JOIN ext ON e.event_type = ext.event_type
+WHERE e.value IS NOT NULL AND e.event_id % 17 = 0
+"""
+
+
+# --- Islands: longest consecutive-day activity streak ---------------
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic gaps-and-islands problem: each user's LONGEST run
+    of consecutive active days. Distinct active days → the
+    ``day_number − dense-row-number`` island key (constant within a
+    consecutive run, integer-exact) → per-island lengths → per-user
+    max with the earliest streak start as tiebreak evidence. Two
+    keyed shuffles, no self-join. Users with ≥ 2-day streaks only
+    (keeps the relation informative and the result bounded)."""
+    e = read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    days = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "island",
+        F.datediff(F.col("day"), F.lit("1970-01-01"))
+        - F.row_number().over(w),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w2))
+        .filter((F.col("rn") == 1) & (F.col("len") >= 2))
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            "streak_start",
+        )
+    )
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL),
+isl AS (
+  SELECT user_id, day,
+         DATEDIFF('day', DATE '1970-01-01', day)
+         - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM days),
+streaks AS (
+  SELECT user_id, island,
+         CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(day) AS streak_start
+  FROM isl GROUP BY user_id, island),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY len DESC, streak_start ASC) AS rn
+  FROM streaks)
+SELECT user_id, len AS longest_streak, streak_start
+FROM best WHERE rn = 1 AND len >= 2
+"""
+
+
 # --- Funnel conversion --------------------------------------------
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel over the event stream: users who signed
@@ -1592,6 +1734,21 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "stateful streaming debounce (kept-anchored, 2 micro-"
         "batches) vs recursive next-kept-event oracle",
         ("streaming", "timeseries")),
+    "impute_values": QueryDef(
+        q_impute_values, SQL_IMPUTE_VALUES,
+        "NULL imputation with the deterministic per-group mean "
+        "(broadcast fill, imputed rows only)",
+        ("quality", "ml", "join")),
+    "minmax_scale": QueryDef(
+        q_minmax_scale, SQL_MINMAX_SCALE,
+        "per-group min-max feature scaling (broadcast extremes, "
+        "degenerate groups → NULL)",
+        ("ml", "join")),
+    "activity_streaks": QueryDef(
+        q_activity_streaks, SQL_ACTIVITY_STREAKS,
+        "gaps-and-islands: longest consecutive-day streak per user "
+        "(day − row_number island key)",
+        ("window", "agg")),
     "image_png_features": QueryDef(
         q_image_png_features, SQL_IMAGE_PNG_FEATURES,
         "image tier end-to-end through a REAL PNG codec: pack "

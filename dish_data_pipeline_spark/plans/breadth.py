@@ -12,7 +12,7 @@ import datetime as dt
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dish_data_pipeline_spark.operators.asof import asof_join
@@ -843,6 +843,190 @@ FROM g
 """
 
 
+# --- Explicit GROUPING SETS + grouping_id --------------------------
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS beyond CUBE/ROLLUP — the four sets
+    ((status), (priority), (status, priority), ()) with the standard
+    ``grouping_id`` bitmask distinguishing a rolled-up NULL from a
+    data NULL. Expressed through ``spark.sql`` (grouping sets have no
+    DataFrame-API spelling); both engines emit the same SQL-standard
+    bitmask (status bit 2, priority bit 1)."""
+    o = read(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       count(1) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+         AS total_price
+FROM orders_gs
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+"""
+    )
+
+
+SQL_GROUPING_SETS_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+"""
+
+
+# --- Distribution-rank window suite ---------------------------------
+def q_percentile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile(7) / nth_value breadth (the
+    distribution half of the ranking family; ``rank_suite`` covers
+    the counting half). The window order (value DESC, event_id) is a
+    total order, so tie semantics never diverge; percent_rank and
+    cume_dist are single integer-ratio IEEE divisions on both
+    engines."""
+    e = read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.percent_rank().over(w).alias("prank"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.ntile(7).over(w).alias("septile"),
+            F.nth_value("event_id", 3).over(w).alias("third_id"),
+        )
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
+SQL_PERCENTILE_SUITE = """
+SELECT event_id, event_type, prank, cdist,
+       CAST(septile AS INT) AS septile, third_id
+FROM (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER w AS rn,
+         PERCENT_RANK() OVER w AS prank,
+         CUME_DIST() OVER w AS cdist,
+         NTILE(7) OVER w AS septile,
+         NTH_VALUE(event_id, 3) OVER w AS third_id
+  FROM events
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY value DESC, event_id ASC)) t
+WHERE rn <= 50
+"""
+
+
+# --- Per-group statistical mode -------------------------------------
+def q_mode_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority modal order month with a deterministic (count
+    DESC, month ASC) tiebreak, plus its share of the group — the
+    window-over-counts spelling that stays exact where a built-in
+    ``mode()`` leaves ties engine-defined."""
+    o = read(spark, sf_dir, "orders")
+    m = o.select(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("month"),
+    )
+    counts = m.groupBy("o_orderpriority", "month").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("month")
+    )
+    wt = Window.partitionBy("o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("total", F.sum("n").over(wt))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("month").alias("modal_month"),
+            F.col("n").alias("modal_n"),
+            (F.col("n").cast("double") / F.col("total").cast("double"))
+            .alias("modal_share"),
+        )
+    )
+
+
+SQL_MODE_STAT = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY n DESC, month ASC) AS rn,
+         SUM(n) OVER (PARTITION BY o_orderpriority) AS total
+  FROM c)
+SELECT o_orderpriority, month AS modal_month, n AS modal_n,
+       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS modal_share
+FROM r WHERE rn = 1
+"""
+
+
+# --- Map-type function suite ----------------------------------------
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type breadth: map_from_entries / element_at / map_filter /
+    transform_values / map_keys over a per-user event_type→count map
+    (users sampled by key hash). Map iteration order is
+    engine-defined, so every map-valued output serializes through
+    the key-sorted entry list (the array analogue of the
+    ``array_join`` device); the DuckDB twin computes the same values
+    from the plain grouped relation — values, not map mechanics, are
+    the contract."""
+    e = read(spark, sf_dir, "events").filter(
+        F.col("user_id") % 101 == 0
+    )
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    g = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return g.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("n_click"),
+        F.expr("size(map_filter(m, (k, v) -> v >= 3))").alias("n_heavy"),
+        F.array_join(F.expr("map_keys(m)"), ",").alias("types_csv"),
+        F.expr(
+            "array_join(transform(map_entries("
+            "transform_values(m, (k, v) -> v * 2)), "
+            "e -> concat(e.key, ':', CAST(e.value AS STRING))), ',')"
+        ).alias("doubled_csv"),
+    )
+
+
+SQL_MAP_FUNCS = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id % 101 = 0
+  GROUP BY user_id, event_type)
+SELECT user_id,
+       CAST(COUNT(*) AS INTEGER) AS n_types,
+       CAST(COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END), 0)
+            AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (n >= 3) AS INTEGER) AS n_heavy,
+       string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
+       string_agg(event_type || ':' || CAST(n * 2 AS VARCHAR), ','
+                  ORDER BY event_type) AS doubled_csv
+FROM c GROUP BY user_id
+"""
+
+
 # --- Order-independent partition checksums -------------------------
 def q_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-month content checksums of ``orders`` — the replication-
@@ -961,6 +1145,24 @@ FROM v GROUP BY key
 
 
 BREADTH_QUERIES: dict[str, QueryDef] = {
+    "grouping_sets_orders": QueryDef(
+        q_grouping_sets_orders, SQL_GROUPING_SETS_ORDERS,
+        "explicit GROUPING SETS with the grouping_id bitmask "
+        "(rolled-up NULL vs data NULL)",
+        ("agg", "olap")),
+    "percentile_suite": QueryDef(
+        q_percentile_suite, SQL_PERCENTILE_SUITE,
+        "percent_rank/cume_dist/ntile/nth_value distribution windows",
+        ("window",)),
+    "mode_stat": QueryDef(
+        q_mode_stat, SQL_MODE_STAT,
+        "per-group statistical mode with deterministic tiebreak + share",
+        ("agg", "window", "stats")),
+    "map_funcs": QueryDef(
+        q_map_funcs, SQL_MAP_FUNCS,
+        "MAP-type functions (map_from_entries/element_at/map_filter/"
+        "transform_values) with key-sorted serialization",
+        ("functions", "map")),
     "partition_checksum": QueryDef(
         q_partition_checksum, _sql_partition_checksum(),
         "order-independent per-month content checksums (portable "

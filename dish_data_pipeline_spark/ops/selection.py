@@ -1,0 +1,236 @@
+"""Distributed exact selection (k-th smallest / exact quantile)
+without a global sort.
+
+``percentile()`` needs a total order (single-partition sort at
+scale) and ``approx_percentile`` is, by design, approximate AND
+accumulation-path-dependent — neither gives a 100 TB-safe EXACT
+median. Selection doesn't need sorting: the classic distributed
+answer is iterative histogram narrowing (the same idea as
+BigQuery/Teradata quantile pushdown):
+
+1. One aggregation pass bins every in-range value into B equal-width
+   bins per group → a ``|groups| × B`` count table (map-side
+   combined, driver-bounded).
+2. The driver walks each group's histogram to the bin containing the
+   target rank, subtracts the mass below it, and narrows
+   ``[lo, hi]`` to that bin.
+3. Repeat. Each round divides the candidate range by B; when the
+   in-range candidate count is small, one final filtered collect
+   picks the exact element.
+
+Convergence: ~log_B(distinct values) rounds (3-4 passes at B = 128
+for double data), each a full-width scan-and-aggregate — no shuffle
+of the data itself, no per-group sort, state bounded by
+``|groups| × B``. The result is the exact k-th smallest DATA VALUE,
+so it is engine-independent no matter how the binning path went —
+which is what makes a single-node SQL oracle possible.
+
+Reference scope: the reference pipeline has no quantile operator;
+this is a §2.13 extension (robust statistics over 100 TB columns).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: bins per narrowing round; 128 keeps the per-round driver exchange
+#: at |groups|·128 rows while still dividing the range fast.
+DEFAULT_BINS = 128
+
+#: once a group's in-range candidates fit here, stop narrowing and
+#: resolve exactly from a final filtered collect.
+COLLECT_THRESHOLD = 4096
+
+
+def exact_quantile(
+    df: DataFrame,
+    value_col: str,
+    p: float,
+    group_cols: Sequence[str] = (),
+    bins: int = DEFAULT_BINS,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Exact lower-nearest-rank quantile per group: the
+    ``k = max(1, ceil(p·n))``-th smallest value (NULLs excluded) —
+    for ``p = 0.5`` the lower median, always an actual data value.
+
+    Returns a DataFrame ``(*group_cols, n BIGINT, q DOUBLE)`` built
+    on the driver (the per-group answer is one number; state is
+    bounded by ``|groups| × bins`` throughout — this operator is for
+    many-rows-per-group shapes, not million-group ones).
+
+    Boundary values equal to a narrowed interval's upper edge can
+    re-enter the next round's closed filter; they are strictly
+    larger than every true candidate, so they can only pad the top
+    of the histogram/final sort ABOVE rank k — selection is
+    unaffected. Adversarial mass at the extremes of the double
+    exponent range can exhaust ``max_rounds`` before the candidate
+    count fits the collect threshold; the final resolve is then
+    larger but still exact (real-data convergence: 3-4 rounds).
+    """
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    group_cols = list(group_cols)
+    spark = df.sparkSession
+    vc = F.col(value_col).cast("double")
+    # NaN excluded explicitly: Spark's min/max order NaN as the
+    # LARGEST double, which would poison the bin width
+    pts = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(vc)
+    ).select(*group_cols, vc.alias("_v"))
+    # round 0: per-group count + range
+    base = {
+        tuple(r[c] for c in group_cols): (r["n"], r["lo"], r["hi"])
+        for r in pts.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_v").alias("lo"),
+            F.max("_v").alias("hi"),
+        )
+        .collect()
+    }
+    # state per group: remaining rank within [lo, hi] (1-based), and
+    # how many candidates remain in range
+    state = {}
+    for key, (n, lo, hi) in base.items():
+        k = max(1, math.ceil(p * n))
+        state[key] = {"lo": lo, "hi": hi, "k": k, "n_range": n, "ans": None}
+        if lo == hi:
+            state[key]["ans"] = lo
+
+    def _open(keys):
+        return [key for key in keys if state[key]["ans"] is None]
+
+    def _key_filter(keys):
+        if not group_cols:
+            return F.lit(True)
+        cond = F.lit(False)
+        for key in keys:
+            this = F.lit(True)
+            for c, v in zip(group_cols, key):
+                this = this & (F.col(c) == F.lit(v))
+            cond = cond | this
+        return cond
+
+    for _ in range(max_rounds):
+        open_keys = _open(state)
+        if not open_keys:
+            break
+        big = [
+            key
+            for key in open_keys
+            if state[key]["n_range"] > COLLECT_THRESHOLD
+        ]
+        if not big:
+            break
+        # build per-group bin expressions from broadcast literals:
+        # bin = clamp(floor((v - lo) / width * bins))
+        lo_expr = F.lit(None).cast("double")
+        w_expr = F.lit(None).cast("double")
+        for key in big:
+            s = state[key]
+            m = _key_filter([key])
+            lo_expr = F.when(m, F.lit(s["lo"])).otherwise(lo_expr)
+            w_expr = F.when(
+                m, F.lit((s["hi"] - s["lo"]) or 1.0)
+            ).otherwise(w_expr)
+        binned = (
+            pts.filter(_key_filter(big))
+            .withColumn("_lo", lo_expr)
+            .withColumn("_w", w_expr)
+            .filter(
+                (F.col("_v") >= F.col("_lo"))
+                & (F.col("_v") <= F.col("_lo") + F.col("_w"))
+            )
+            .withColumn(
+                "_bin",
+                F.least(
+                    F.lit(bins - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("_v") - F.col("_lo"))
+                            / F.col("_w")
+                            * bins
+                        ).cast("int"),
+                    ),
+                ),
+            )
+        )
+        hist = {
+            key: {}
+            for key in big
+        }
+        for r in (
+            binned.groupBy(*group_cols, "_bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ):
+            hist[tuple(r[c] for c in group_cols)][r["_bin"]] = r["c"]
+        progressed = False
+        for key in big:
+            s = state[key]
+            counts = hist[key]
+            width = (s["hi"] - s["lo"]) or 1.0
+            cum = 0
+            for b in range(bins):
+                c = counts.get(b, 0)
+                if cum + c >= s["k"]:
+                    new_lo = s["lo"] + width * b / bins
+                    new_hi = s["lo"] + width * (b + 1) / bins
+                    s["k"] -= cum
+                    if c == s["n_range"] and new_lo <= s["lo"] and (
+                        new_hi >= s["hi"]
+                    ):
+                        # bin failed to narrow (degenerate FP width)
+                        s["n_range"] = c
+                        break
+                    if new_lo == new_hi:
+                        s["ans"] = new_lo
+                    s["lo"], s["hi"], s["n_range"] = new_lo, new_hi, c
+                    progressed = True
+                    break
+                cum += c
+        if not progressed:
+            break
+    # final exact resolve for all still-open groups in ONE collect:
+    # every group's survivors are <= COLLECT_THRESHOLD (or narrowing
+    # stalled on a degenerate range — also tiny by then)
+    open_keys = _open(state)
+    if open_keys:
+        cond = F.lit(False)
+        for key in open_keys:
+            s = state[key]
+            m = _key_filter([key])
+            cond = cond | (
+                m & (F.col("_v") >= s["lo"]) & (F.col("_v") <= s["hi"])
+            )
+        rows = pts.filter(cond).collect()
+        by_key: dict[tuple, list] = {key: [] for key in open_keys}
+        for r in rows:
+            key = tuple(r[c] for c in group_cols)
+            if key in by_key:
+                by_key[key].append(r["_v"])
+        for key in open_keys:
+            vals = sorted(by_key[key])
+            state[key]["ans"] = vals[state[key]["k"] - 1]
+    out_rows = [
+        (*key, base[key][0], float(state[key]["ans"])) for key in state
+    ]
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    sample = pts.schema
+    schema = StructType(
+        [sample[c] for c in group_cols]
+        + [StructField("n", LongType()), StructField("q", DoubleType())]
+    )
+    return spark.createDataFrame(out_rows, schema)

@@ -1258,6 +1258,34 @@ FROM best WHERE rn = 1 AND len >= 2
 """
 
 
+# --- Distributed exact median (selection without sorting) ----------
+def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type lower median via
+    :func:`ops.selection.exact_quantile` — iterative histogram
+    narrowing (3-4 scan-and-aggregate rounds, |groups|×128 driver
+    state, no global sort, no single-partition window). The answer
+    is the exact k-th smallest DATA VALUE (k = ceil(n/2)), so the
+    oracle's brute-force sorted-rank spelling must agree bit-for-bit
+    no matter how the narrowing path went."""
+    from dish_data_pipeline_spark.ops.selection import exact_quantile
+
+    e = read(spark, sf_dir, "events")
+    return exact_quantile(e, "value", 0.5, ["event_type"])
+
+
+SQL_EXACT_MEDIAN = """
+WITH v AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+SELECT event_type, CAST(n AS BIGINT) AS n, value AS q
+FROM v
+WHERE rn = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT))
+"""
+
+
 # --- Funnel conversion --------------------------------------------
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel over the event stream: users who signed
@@ -1734,6 +1762,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "stateful streaming debounce (kept-anchored, 2 micro-"
         "batches) vs recursive next-kept-event oracle",
         ("streaming", "timeseries")),
+    "exact_median": QueryDef(
+        q_exact_median, SQL_EXACT_MEDIAN,
+        "distributed EXACT median (iterative histogram narrowing, no "
+        "global sort) vs brute-force sorted-rank oracle",
+        ("agg", "stats", "selection")),
     "impute_values": QueryDef(
         q_impute_values, SQL_IMPUTE_VALUES,
         "NULL imputation with the deterministic per-group mean "

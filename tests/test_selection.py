@@ -1,0 +1,77 @@
+"""Distributed exact selection (ops/selection.exact_quantile):
+brute-force equivalence, ties, tiny groups, NULL/NaN handling, and
+the narrowing path actually engaging (n > collect threshold)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import dish_data_pipeline_spark.ops.selection as sel
+from dish_data_pipeline_spark.ops.selection import exact_quantile
+
+
+def _brute(vals, p):
+    s = sorted(vals)
+    return s[max(1, math.ceil(p * len(s))) - 1]
+
+
+def test_grouped_median_matches_brute(spark):
+    rows = [("a", float(v)) for v in [5, 1, 9, 3, 7]] + [
+        ("b", float(v)) for v in [2, 2, 2, 8]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: (r["n"], r["q"])
+        for r in exact_quantile(df, "v", 0.5, ["g"]).collect()
+    }
+    assert out == {"a": (5, 5.0), "b": (4, 2.0)}
+
+
+def test_null_and_nan_excluded(spark):
+    rows = [("a", 1.0), ("a", None), ("a", float("nan")), ("a", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    (r,) = exact_quantile(df, "v", 0.5, ["g"]).collect()
+    assert (r["n"], r["q"]) == (2, 1.0)
+
+
+def test_single_value_and_all_equal(spark):
+    rows = [("a", 4.0)] + [("b", 7.0)] * 9
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r["q"] for r in exact_quantile(df, "v", 0.5, ["g"]).collect()
+    }
+    assert out == {"a": 4.0, "b": 7.0}
+
+
+def test_narrowing_path_engages(spark, monkeypatch):
+    """Force the histogram rounds (collect threshold below n) and
+    check exactness on an adversarially skewed distribution."""
+    monkeypatch.setattr(sel, "COLLECT_THRESHOLD", 50)
+    vals = [float(i * i) for i in range(1000)] + [1e12, -1e12]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    (r,) = exact_quantile(df, "v", 0.5, []).collect()
+    assert r["q"] == _brute(vals, 0.5)
+    assert r["n"] == len(vals)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    p=st.sampled_from([0.1, 0.25, 0.5, 0.9, 1.0]),
+)
+def test_matches_bruteforce(spark, vals, p):
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    (r,) = exact_quantile(df, "v", p, []).collect()
+    assert r["q"] == _brute(vals, p)

@@ -3279,7 +3279,63 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Python UDTF: word-run detection (row → rows) -------------------
+def q_udtf_word_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal ≥2-repeat word runs through a REAL Spark-4 Python
+    UDTF (``ops/udtf_ops.WordRuns``) invoked via SQL LATERAL — the
+    §2.11 table-function surface. The generator is a three-variable
+    stateful scan per document; the oracle must reconstruct the same
+    rows with the full gaps-and-islands machinery (position −
+    row_number island key + two window passes), so the hash match
+    crosses two genuinely different algorithms. Sampled subset keeps
+    the per-row-Python path bounded (this is deliberately the slow
+    path — repetition_stats is the vectorized production twin)."""
+    from dish_data_pipeline_spark.ops.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    d = read(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    d.createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+SELECT s.doc_id, s.run_idx, s.word, s.start_pos, s.run_len
+FROM docs_udtf, LATERAL word_runs(doc_id, text) s
+"""
+    )
+
+
+SQL_UDTF_WORD_RUNS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL),
+pos AS (
+  SELECT doc_id, i AS p, t[i] AS word
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r),
+isl AS (
+  SELECT doc_id, word, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id, word
+                                ORDER BY p) AS island
+  FROM pos),
+runs AS (
+  SELECT doc_id, word,
+         CAST(MIN(p) AS INT) AS start_pos,
+         CAST(COUNT(*) AS INT) AS run_len
+  FROM isl GROUP BY doc_id, word, island
+  HAVING COUNT(*) >= 2),
+kept AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY start_pos) AS INT)
+              AS run_idx
+  FROM runs WHERE word <> '')
+SELECT doc_id, run_idx, word, start_pos, run_len FROM kept
+"""
+
+
 EXTENSION_QUERIES: dict[str, QueryDef] = {
+    "udtf_word_runs": QueryDef(
+        q_udtf_word_runs, SQL_UDTF_WORD_RUNS,
+        "Spark-4 Python UDTF (LATERAL table function): stateful "
+        "word-run detection vs a gaps-and-islands SQL twin",
+        ("udtf", "text", "functions")),
     "text_stats": QueryDef(
         q_text_stats, SQL_TEXT_STATS,
         "length/token/punctuation statistics", ("text",)),

@@ -722,6 +722,7 @@ def _replay_as_stream(
     order_col: str,
     transform,
     sink_name: str,
+    extra_batches: tuple = (),
 ) -> DataFrame:
     """Run a STREAMING transform over a batch relation, for real:
     split ``df`` into two parquet files at the median of
@@ -730,7 +731,13 @@ def _replay_as_stream(
     streaming ``transform``, drain with availableNow into a memory
     sink, and return the materialized result. The two-batch split
     forces every stateful operator's cross-batch path — state
-    written by batch 1 must be read back by batch 2."""
+    written by batch 1 must be read back by batch 2.
+
+    ``extra_batches``: additional same-schema relations appended as
+    LATER micro-batches — watermark-advancing sentinels for
+    append-mode aggregations, whose results only flush once a
+    SUBSEQUENT batch's watermark passes them (the caller filters the
+    sentinels back out of the result)."""
     import os
     import shutil
     import tempfile
@@ -743,7 +750,8 @@ def _replay_as_stream(
     try:
         for i, part in enumerate(
             (df.filter(F.col(order_col) <= mid),
-             df.filter(F.col(order_col) > mid))
+             df.filter(F.col(order_col) > mid),
+             *extra_batches)
         ):
             tmp = os.path.join(stream_dir, f"_stage{i}")
             part.coalesce(1).write.parquet(tmp)
@@ -1114,6 +1122,91 @@ SELECT event_type,
        CAST(MAX(h) * 32 AS DOUBLE) AS mean_pix
 FROM s WHERE rn <= h * 32 AND h > 0
 GROUP BY event_type
+"""
+
+
+# --- Streaming session windows, replay-certified -------------------
+def q_stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth stateful-streaming certification, fourth operator
+    family (watermark-driven APPEND-mode aggregation):
+    ``streaming.pipeline.sessionized_counts`` — native
+    ``session_window`` gap sessions whose state merges across
+    micro-batch boundaries. Append mode only flushes a session once
+    the WATERMARK passes its end, and with availableNow the
+    watermark freezes at the last batch's event time — so the replay
+    appends two far-future sentinel batches: the first advances the
+    watermark past every real session (they flush while the second
+    is processed), the second exists so the first gets a watermark
+    behind it too... which it never needs — sentinel sessions are
+    deliberately left unflushed and filtered out by key. Boundary
+    semantics verified empirically: a gap EXACTLY equal to the
+    threshold MERGES (inclusive), session_end = last event + gap —
+    the oracle's chain break is therefore ``diff > gap``, same as
+    the batch `sessionize` convention."""
+    import datetime as _dt
+
+    from dish_data_pipeline_spark.streaming.pipeline import (
+        sessionized_counts,
+    )
+
+    e = (
+        read(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & (F.col("user_id") % 10 == 0))
+        # watermarks require TIMESTAMP_LTZ; the session is pinned to
+        # UTC, so this NTZ cast is a faithful reinterpretation and
+        # the output wall-clock values match the oracle's naive ts
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    ts_type = e.schema["ts"].dataType
+    hi = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent1, sent2 = (
+        spark.createDataFrame(
+            [(-1,)], "user_id bigint"
+        ).select(
+            "user_id",
+            F.lit(hi + _dt.timedelta(days=10 * (i + 1)))
+            .cast(ts_type)
+            .alias("ts"),
+        )
+        for i in range(2)
+    )
+    # sentinel 1 rides INSIDE the second data batch (it sorts above
+    # the median), so three micro-batches suffice: per-batch trigger
+    # overhead dominates this replay's wall time
+    out = _replay_as_stream(
+        spark,
+        e.unionByName(sent1),
+        "ts",
+        lambda s: sessionized_counts(
+            s, ts_col="ts", gap="30 minutes",
+            watermark="1 second", key_col="user_id",
+        ),
+        "stream_sessionize_replay_sink",
+        extra_batches=(sent2,),
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+SQL_STREAM_SESSIONIZE_REPLAY = """
+WITH b AS (
+  SELECT user_id, ts FROM events
+  WHERE ts IS NOT NULL AND user_id % 10 = 0),
+f AS (
+  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS flag
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, SUM(flag) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS seq
+  FROM f)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, seq
 """
 
 
@@ -1762,6 +1855,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "stateful streaming debounce (kept-anchored, 2 micro-"
         "batches) vs recursive next-kept-event oracle",
         ("streaming", "timeseries")),
+    "stream_sessionize_replay": QueryDef(
+        q_stream_sessionize_replay, SQL_STREAM_SESSIONIZE_REPLAY,
+        "streaming session_window sessions (append mode, watermark-"
+        "flushed via sentinel batches) vs batch gap-chain oracle",
+        ("streaming", "session", "window")),
     "exact_median": QueryDef(
         q_exact_median, SQL_EXACT_MEDIAN,
         "distributed EXACT median (iterative histogram narrowing, no "

@@ -48,6 +48,64 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    by_cols: Sequence[str] = (),
+    grid_seconds: int | None = None,
+) -> DataFrame:
+    """Point-in-interval INNER join (``start <= t < end``, plus
+    equality on ``by_cols``) as an EQUI-join — the scale-safe
+    spelling of a range join.
+
+    A naive range join plans as BroadcastNestedLoopJoin (quadratic,
+    a 100 TB non-starter). The standard fix is grid banding: pick a
+    grid no finer than the longest interval, replicate each interval
+    onto every grid cell it touches (≤ 2 cells when the grid bound
+    holds), band each point to its one cell, equi-join on
+    ``(by_cols…, cell)``, and re-check the exact range predicate on
+    the (small) candidate pairs. One shuffle per side on the
+    composite key; replication ≤ ceil(duration/grid) + 1 per
+    interval.
+
+    ``grid_seconds`` defaults to the observed max interval duration
+    (one tiny aggregate). Output: all ``points`` columns + all
+    ``intervals`` columns (caller disambiguates names beforehand).
+    NULL endpoints/timestamps never match (range predicate is
+    NULL-rejecting), mirroring SQL join semantics.
+    """
+    by_cols = list(by_cols)
+    if grid_seconds is None:
+        row = intervals.agg(
+            F.max(
+                F.unix_timestamp(F.col(end_col))
+                - F.unix_timestamp(F.col(start_col))
+            ).alias("g")
+        ).collect()[0]
+        grid_seconds = max(1, int(row["g"] or 1))
+    g = int(grid_seconds)
+    iv = intervals.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / g),
+                F.floor(F.unix_timestamp(F.col(end_col)) / g),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "_cell", F.floor(F.unix_timestamp(F.col(point_ts)) / g)
+    )
+    joined = pt.join(iv, ["_cell", *by_cols]).filter(
+        (F.col(start_col) <= F.col(point_ts))
+        & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("_cell")
+
+
 def max_concurrency(
     df: DataFrame,
     start_col: str,

@@ -1600,6 +1600,61 @@ FROM run GROUP BY event_type
 """
 
 
+# --- Point-in-interval join: instantaneous concurrency -------------
+def q_open_intervals_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instantaneous concurrency at probe times: for each sampled
+    event, how many OTHER same-type intervals (the same synthetic
+    ``[ts, ts + 60 + event_id % 3600 s)`` device as
+    ``concurrent_events``) are open at its timestamp. Runs through
+    :func:`ops.interval.interval_join` — the grid-banded EQUI-join
+    spelling of a range join (≤ 2-cell replication, one shuffle per
+    side, exact predicate re-checked on candidates) where the naive
+    spelling would plan a BroadcastNestedLoopJoin. Inner-join
+    semantics: probes with zero open co-intervals don't appear (the
+    oracle joins the same way)."""
+    from dish_data_pipeline_spark.ops.interval import interval_join
+
+    e = read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    iv = e.select(
+        "event_type",
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("iv_start"),
+        F.expr(
+            "timestampadd(SECOND, CAST(60 + event_id % 3600 AS BIGINT), ts)"
+        ).alias("iv_end"),
+    )
+    probes = e.filter(F.col("event_id") % 13 == 0).select(
+        "event_type", "event_id", "ts"
+    )
+    pairs = interval_join(
+        probes, iv, "ts", "iv_start", "iv_end", ["event_type"],
+        grid_seconds=3660,
+    )
+    return (
+        pairs.filter(F.col("iv_id") != F.col("event_id"))
+        .groupBy("event_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+
+
+SQL_OPEN_INTERVALS_AT_EVENT = """
+WITH iv AS (
+  SELECT event_type, event_id AS iv_id, ts AS s,
+         ts + (60 + event_id % 3600) * INTERVAL 1 SECOND AS e
+  FROM events WHERE ts IS NOT NULL),
+p AS (
+  SELECT event_type, event_id, ts FROM events
+  WHERE ts IS NOT NULL AND event_id % 13 = 0)
+SELECT p.event_id, p.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_open
+FROM p JOIN iv
+  ON p.event_type = iv.event_type
+ AND iv.s <= p.ts AND p.ts < iv.e
+ AND iv.iv_id <> p.event_id
+GROUP BY p.event_id, p.event_type
+"""
+
+
 # --- Markov transition counts over per-user event sequences -------
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order transition matrix of per-user event sequences:
@@ -1809,6 +1864,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "peak concurrent intervals per type — distributed sweep line "
         "(two-phase range-partitioned prefix sum)",
         ("window", "timeseries", "interval")),
+    "open_intervals_at_event": QueryDef(
+        q_open_intervals_at_event, SQL_OPEN_INTERVALS_AT_EVENT,
+        "point-in-interval join via grid banding (instantaneous "
+        "concurrency at probe times, no BroadcastNestedLoop)",
+        ("join", "interval", "window")),
     "event_transitions": QueryDef(
         q_event_transitions, SQL_EVENT_TRANSITIONS,
         "first-order Markov transition counts + probabilities over "

@@ -94,6 +94,55 @@ def test_null_endpoints_excluded(spark):
     assert row["max_concurrent"] == 1
 
 
+def test_interval_join_matches_bruteforce(spark):
+    from dish_data_pipeline_spark.ops.interval import interval_join
+
+    ivals = [("a", 1, 0, 10), ("a", 2, 5, 6), ("a", 3, 9, 30), ("b", 4, 0, 100)]
+    pts = [("a", 10, 0), ("a", 11, 5), ("a", 12, 9), ("a", 13, 10),
+           ("b", 14, 50), ("a", 15, 99)]
+    iv = spark.createDataFrame(
+        [(g, i, _ts(s), _ts(e)) for g, i, s, e in ivals],
+        "g string, iv_id bigint, s timestamp_ntz, e timestamp_ntz",
+    )
+    p = spark.createDataFrame(
+        [(g, i, _ts(t)) for g, i, t in pts],
+        "g string, pid bigint, t timestamp_ntz",
+    )
+    got = {
+        (r["pid"], r["iv_id"])
+        for r in interval_join(p, iv, "t", "s", "e", ["g"]).collect()
+    }
+    want = {
+        (pi, ii)
+        for gp, pi, t in pts
+        for gi, ii, s, e in ivals
+        if gp == gi and s <= t < e
+    }
+    assert got == want
+    # a tiny grid (heavy replication) must not change the result
+    got2 = {
+        (r["pid"], r["iv_id"])
+        for r in interval_join(
+            p, iv, "t", "s", "e", ["g"], grid_seconds=3
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_interval_join_null_endpoints_never_match(spark):
+    from dish_data_pipeline_spark.ops.interval import interval_join
+
+    iv = spark.createDataFrame(
+        [("a", 1, _ts(0), _ts(10)), ("a", 2, None, _ts(10))],
+        "g string, iv_id bigint, s timestamp_ntz, e timestamp_ntz",
+    )
+    p = spark.createDataFrame(
+        [("a", 9, _ts(5))], "g string, pid bigint, t timestamp_ntz"
+    )
+    rows = interval_join(p, iv, "t", "s", "e", ["g"]).collect()
+    assert [(r["pid"], r["iv_id"]) for r in rows] == [(9, 1)]
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     st.lists(

@@ -1,5 +1,5 @@
-"""Distributed exact selection (k-th smallest / exact quantile)
-without a global sort.
+"""Distributed exact selection (k-th smallest / exact quantile,
+optionally weighted) without a global sort.
 
 ``percentile()`` needs a total order (single-partition sort at
 scale) and ``approx_percentile`` is, by design, approximate AND
@@ -9,13 +9,14 @@ answer is iterative histogram narrowing (the same idea as
 BigQuery/Teradata quantile pushdown):
 
 1. One aggregation pass bins every in-range value into B equal-width
-   bins per group → a ``|groups| × B`` count table (map-side
+   bins per group → a ``|groups| × B`` count/weight table (map-side
    combined, driver-bounded).
 2. The driver walks each group's histogram to the bin containing the
-   target rank, subtracts the mass below it, and narrows
-   ``[lo, hi]`` to that bin.
+   target rank (a WEIGHT rank when a weight column is given),
+   subtracts the mass below it, and narrows ``[lo, hi]`` to that
+   bin.
 3. Repeat. Each round divides the candidate range by B; when the
-   in-range candidate count is small, one final filtered collect
+   in-range candidate ROW count is small, one final filtered collect
    picks the exact element.
 
 Convergence: ~log_B(distinct values) rounds (3-4 passes at B = 128
@@ -24,6 +25,12 @@ of the data itself, no per-group sort, state bounded by
 ``|groups| × B``. The result is the exact k-th smallest DATA VALUE,
 so it is engine-independent no matter how the binning path went —
 which is what makes a single-node SQL oracle possible.
+
+Weights must be integral (cast to BIGINT): integer weight sums are
+exact in any aggregation order, so the weighted rank walk is
+deterministic — fractional weights would reintroduce float
+accumulation-order sensitivity, the very thing this module exists
+to avoid.
 
 Reference scope: the reference pipeline has no quantile operator;
 this is a §2.13 extension (robust statistics over 100 TB columns).
@@ -41,8 +48,8 @@ from pyspark.sql import functions as F
 #: at |groups|·128 rows while still dividing the range fast.
 DEFAULT_BINS = 128
 
-#: once a group's in-range candidates fit here, stop narrowing and
-#: resolve exactly from a final filtered collect.
+#: once a group's in-range candidate ROWS fit here, stop narrowing
+#: and resolve exactly from a final filtered collect.
 COLLECT_THRESHOLD = 4096
 
 
@@ -53,12 +60,18 @@ def exact_quantile(
     group_cols: Sequence[str] = (),
     bins: int = DEFAULT_BINS,
     max_rounds: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Exact lower-nearest-rank quantile per group: the
-    ``k = max(1, ceil(p·n))``-th smallest value (NULLs excluded) —
-    for ``p = 0.5`` the lower median, always an actual data value.
+    """Exact lower-nearest-rank quantile per group.
 
-    Returns a DataFrame ``(*group_cols, n BIGINT, q DOUBLE)`` built
+    Unweighted: the ``k = max(1, ceil(p·n))``-th smallest value
+    (NULL/NaN excluded) — for ``p = 0.5`` the lower median, always
+    an actual data value. Weighted (``weight_col``, cast BIGINT;
+    rows with NULL or non-positive weight excluded): the smallest
+    value whose cumulative weight reaches ``max(1, ceil(p·W))``.
+
+    Returns ``(*group_cols, n BIGINT, q DOUBLE)`` — plus
+    ``w BIGINT`` (total weight) before ``q`` when weighted — built
     on the driver (the per-group answer is one number; state is
     bounded by ``|groups| × bins`` throughout — this operator is for
     many-rows-per-group shapes, not million-group ones).
@@ -79,25 +92,34 @@ def exact_quantile(
     vc = F.col(value_col).cast("double")
     # NaN excluded explicitly: Spark's min/max order NaN as the
     # LARGEST double, which would poison the bin width
-    pts = df.filter(
-        F.col(value_col).isNotNull() & ~F.isnan(vc)
-    ).select(*group_cols, vc.alias("_v"))
-    # round 0: per-group count + range
+    cond = F.col(value_col).isNotNull() & ~F.isnan(vc)
+    wc = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    if weight_col is not None:
+        cond = cond & F.col(weight_col).isNotNull() & (wc > 0)
+    pts = df.filter(cond).select(
+        *group_cols, vc.alias("_v"), wc.alias("_w")
+    )
+    # round 0: per-group row count, total weight, value range
     base = {
-        tuple(r[c] for c in group_cols): (r["n"], r["lo"], r["hi"])
+        tuple(r[c] for c in group_cols): (r["n"], r["tw"], r["lo"], r["hi"])
         for r in pts.groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.sum("_w").alias("tw"),
             F.min("_v").alias("lo"),
             F.max("_v").alias("hi"),
         )
         .collect()
     }
-    # state per group: remaining rank within [lo, hi] (1-based), and
-    # how many candidates remain in range
+    # state per group: remaining WEIGHT rank within [lo, hi]
+    # (1-based), and how many candidate ROWS remain in range
     state = {}
-    for key, (n, lo, hi) in base.items():
-        k = max(1, math.ceil(p * n))
+    for key, (n, tw, lo, hi) in base.items():
+        k = max(1, math.ceil(p * tw))
         state[key] = {"lo": lo, "hi": hi, "k": k, "n_range": n, "ans": None}
         if lo == hi:
             state[key]["ans"] = lo
@@ -141,10 +163,10 @@ def exact_quantile(
         binned = (
             pts.filter(_key_filter(big))
             .withColumn("_lo", lo_expr)
-            .withColumn("_w", w_expr)
+            .withColumn("_bw", w_expr)
             .filter(
                 (F.col("_v") >= F.col("_lo"))
-                & (F.col("_v") <= F.col("_lo") + F.col("_w"))
+                & (F.col("_v") <= F.col("_lo") + F.col("_bw"))
             )
             .withColumn(
                 "_bin",
@@ -154,35 +176,38 @@ def exact_quantile(
                         F.lit(0),
                         F.floor(
                             (F.col("_v") - F.col("_lo"))
-                            / F.col("_w")
+                            / F.col("_bw")
                             * bins
                         ).cast("int"),
                     ),
                 ),
             )
         )
-        hist = {
-            key: {}
-            for key in big
-        }
+        hist = {key: {} for key in big}
         for r in (
             binned.groupBy(*group_cols, "_bin")
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.sum("_w").alias("ws"),
+            )
             .collect()
         ):
-            hist[tuple(r[c] for c in group_cols)][r["_bin"]] = r["c"]
+            hist[tuple(r[c] for c in group_cols)][r["_bin"]] = (
+                r["c"],
+                r["ws"],
+            )
         progressed = False
         for key in big:
             s = state[key]
             counts = hist[key]
             width = (s["hi"] - s["lo"]) or 1.0
-            cum = 0
+            cum_w = 0
             for b in range(bins):
-                c = counts.get(b, 0)
-                if cum + c >= s["k"]:
+                c, ws = counts.get(b, (0, 0))
+                if cum_w + ws >= s["k"]:
                     new_lo = s["lo"] + width * b / bins
                     new_hi = s["lo"] + width * (b + 1) / bins
-                    s["k"] -= cum
+                    s["k"] -= cum_w
                     if c == s["n_range"] and new_lo <= s["lo"] and (
                         new_hi >= s["hi"]
                     ):
@@ -194,12 +219,12 @@ def exact_quantile(
                     s["lo"], s["hi"], s["n_range"] = new_lo, new_hi, c
                     progressed = True
                     break
-                cum += c
+                cum_w += ws
         if not progressed:
             break
     # final exact resolve for all still-open groups in ONE collect:
-    # every group's survivors are <= COLLECT_THRESHOLD (or narrowing
-    # stalled on a degenerate range — also tiny by then)
+    # every group's survivors are <= COLLECT_THRESHOLD rows (or
+    # narrowing stalled on a degenerate range — also tiny by then)
     open_keys = _open(state)
     if open_keys:
         cond = F.lit(False)
@@ -214,13 +239,14 @@ def exact_quantile(
         for r in rows:
             key = tuple(r[c] for c in group_cols)
             if key in by_key:
-                by_key[key].append(r["_v"])
+                by_key[key].append((r["_v"], r["_w"]))
         for key in open_keys:
-            vals = sorted(by_key[key])
-            state[key]["ans"] = vals[state[key]["k"] - 1]
-    out_rows = [
-        (*key, base[key][0], float(state[key]["ans"])) for key in state
-    ]
+            cum = 0
+            for v, w in sorted(by_key[key]):
+                cum += w
+                if cum >= state[key]["k"]:
+                    state[key]["ans"] = v
+                    break
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -229,8 +255,20 @@ def exact_quantile(
     )
 
     sample = pts.schema
-    schema = StructType(
-        [sample[c] for c in group_cols]
-        + [StructField("n", LongType()), StructField("q", DoubleType())]
-    )
+    if weight_col is None:
+        out_rows = [
+            (*key, base[key][0], float(state[key]["ans"])) for key in state
+        ]
+        tail = [StructField("n", LongType()), StructField("q", DoubleType())]
+    else:
+        out_rows = [
+            (*key, base[key][0], base[key][1], float(state[key]["ans"]))
+            for key in state
+        ]
+        tail = [
+            StructField("n", LongType()),
+            StructField("w", LongType()),
+            StructField("q", DoubleType()),
+        ]
+    schema = StructType([sample[c] for c in group_cols] + tail)
     return spark.createDataFrame(out_rows, schema)

@@ -1366,6 +1366,48 @@ def q_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantile(e, "value", 0.5, ["event_type"])
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per returnflag — the
+    weighted tier of :func:`ops.selection.exact_quantile`: the
+    narrowing histograms accumulate exact BIGINT weight sums, the
+    target is the smallest value whose cumulative weight reaches
+    ``ceil(W/2)``, and the answer is an exact data value. The oracle
+    is the direct cumulative-weight window walk (first value whose
+    running weight reaches the target — order among equal values
+    cannot change which VALUE qualifies)."""
+    from dish_data_pipeline_spark.ops.selection import exact_quantile
+
+    li = read(spark, sf_dir, "lineitem")
+    return exact_quantile(
+        li, "l_extendedprice", 0.5, ["l_returnflag"],
+        weight_col="l_quantity",
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH v AS (
+  SELECT l_returnflag, l_extendedprice AS val,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+    AND l_quantity IS NOT NULL AND CAST(l_quantity AS BIGINT) > 0),
+t AS (
+  SELECT l_returnflag, val,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY val
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM v)
+SELECT l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(tw) AS BIGINT) AS w,
+       MIN(val) AS q
+FROM t
+WHERE cum >= GREATEST(1, CAST(CEIL(0.5 * tw) AS BIGINT))
+GROUP BY l_returnflag
+"""
+
+
 SQL_EXACT_MEDIAN = """
 WITH v AS (
   SELECT event_type, value,
@@ -1924,6 +1966,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         q_exact_median, SQL_EXACT_MEDIAN,
         "distributed EXACT median (iterative histogram narrowing, no "
         "global sort) vs brute-force sorted-rank oracle",
+        ("agg", "stats", "selection")),
+    "weighted_median": QueryDef(
+        q_weighted_median, SQL_WEIGHTED_MEDIAN,
+        "quantity-weighted EXACT median price (weighted histogram "
+        "narrowing) vs cumulative-weight window oracle",
         ("agg", "stats", "selection")),
     "impute_values": QueryDef(
         q_impute_values, SQL_IMPUTE_VALUES,

@@ -57,6 +57,54 @@ def test_narrowing_path_engages(spark, monkeypatch):
     assert r["n"] == len(vals)
 
 
+def _brute_weighted(pairs, p):
+    total = sum(w for _, w in pairs)
+    k = max(1, math.ceil(p * total))
+    cum = 0
+    for v, w in sorted(pairs):
+        cum += w
+        if cum >= k:
+            return v
+    raise AssertionError("unreachable")
+
+
+def test_weighted_matches_brute(spark):
+    pairs = [(1.0, 1), (2.0, 5), (3.0, 1)]  # weighted median = 2.0
+    df = spark.createDataFrame(pairs, "v double, w bigint")
+    (r,) = exact_quantile(df, "v", 0.5, [], weight_col="w").collect()
+    assert (r["n"], r["w"], r["q"]) == (3, 7, 2.0)
+
+
+def test_weighted_nonpositive_and_null_weights_excluded(spark):
+    pairs = [(1.0, 0), (2.0, -4), (3.0, None), (4.0, 2)]
+    df = spark.createDataFrame(pairs, "v double, w bigint")
+    (r,) = exact_quantile(df, "v", 0.5, [], weight_col="w").collect()
+    assert (r["n"], r["w"], r["q"]) == (1, 2, 4.0)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.floats(
+                min_value=-1e5, max_value=1e5,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    p=st.sampled_from([0.25, 0.5, 0.9]),
+)
+def test_weighted_matches_bruteforce(spark, pairs, p):
+    df = spark.createDataFrame(
+        [(float(v), int(w)) for v, w in pairs], "v double, w bigint"
+    )
+    (r,) = exact_quantile(df, "v", p, [], weight_col="w").collect()
+    assert r["q"] == _brute_weighted(pairs, p)
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     vals=st.lists(

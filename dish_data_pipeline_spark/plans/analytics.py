@@ -1210,6 +1210,131 @@ FROM s GROUP BY user_id, seq
 """
 
 
+# --- OHLC bars (financial resample) ---------------------------------
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event type: open/close are the first/
+    last value in (ts, event_id) order — argmin/argmax spelled as
+    one window pass with both row_numbers (built-in ``min_by`` /
+    ``arg_min`` leave ties engine-defined; the explicit unique
+    tiebreak doesn't) — high/low/count close the bar in the same
+    grouped aggregation. NULL values excluded (they carry no
+    price)."""
+    e = read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    d = e.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "day")
+    fwd = w.orderBy("ts", "event_id")
+    bwd = w.orderBy(F.desc("ts"), F.desc("event_id"))
+    marked = d.withColumn("rn_a", F.row_number().over(fwd)).withColumn(
+        "rn_d", F.row_number().over(bwd)
+    )
+    return marked.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+SQL_OHLC_BARS = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM d GROUP BY event_type, day
+"""
+
+
+# --- ABC (Pareto) classification ------------------------------------
+def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC contribution analysis: parts ranked by revenue,
+    classified A/B/C at the 80% / 95% cumulative-share thresholds.
+    Revenue accumulates as exact integer cents and the class
+    boundaries compare ``cum·100 ≤ total·80`` — pure BIGINT
+    arithmetic, no float share ever enters a comparison (the share
+    column itself is one BIGINT÷BIGINT division, output-only).
+    One agg + one full-order window over the (small) per-part
+    aggregate, not the fact table."""
+    li = read(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * CAST(l_quantity AS BIGINT)"
+            )
+        ).alias("rev_cents")
+    )
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("l_partkey"))
+    tot = Window.partitionBy()
+    ranked = rev.withColumn(
+        "cum_cents",
+        F.sum("rev_cents").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("total_cents", F.sum("rev_cents").over(tot))
+    classed = ranked.withColumn(
+        "abc_class",
+        F.when(
+            F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A"
+        )
+        .when(
+            F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B"
+        )
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev_cents").alias("class_cents"),
+        (
+            F.sum("rev_cents").cast("double")
+            / F.max("total_cents").cast("double")
+        ).alias("share"),
+    )
+
+
+SQL_ABC_PARTS = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY l_partkey),
+ranked AS (
+  SELECT l_partkey, rev_cents,
+         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         SUM(rev_cents) OVER () AS total_cents
+  FROM rev),
+classed AS (
+  SELECT *, CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                 WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                 ELSE 'C' END AS abc_class
+  FROM ranked)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_cents) AS BIGINT) AS class_cents,
+       CAST(SUM(rev_cents) AS DOUBLE) /
+       CAST(MAX(total_cents) AS DOUBLE) AS share
+FROM classed GROUP BY abc_class
+"""
+
+
 # --- ML preprocessing: group-mean imputation -----------------------
 def q_impute_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL imputation with the per-group mean — the standard
@@ -1967,6 +2092,16 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "distributed EXACT median (iterative histogram narrowing, no "
         "global sort) vs brute-force sorted-rank oracle",
         ("agg", "stats", "selection")),
+    "ohlc_bars": QueryDef(
+        q_ohlc_bars, SQL_OHLC_BARS,
+        "daily OHLC candles per type (tie-broken argmin/argmax open/"
+        "close in one window pass)",
+        ("window", "timeseries", "agg")),
+    "abc_parts": QueryDef(
+        q_abc_parts, SQL_ABC_PARTS,
+        "Pareto/ABC classification at exact integer-cents 80/95% "
+        "cumulative thresholds",
+        ("window", "agg", "stats")),
     "weighted_median": QueryDef(
         q_weighted_median, SQL_WEIGHTED_MEDIAN,
         "quantity-weighted EXACT median price (weighted histogram "

@@ -45,7 +45,7 @@ from dish_data_pipeline_spark.ops.text import (
     with_language_id,
     with_text_stats,
 )
-from dish_data_pipeline_spark.plans.common import QueryDef, read, widen
+from dish_data_pipeline_spark.plans.common import QueryDef, davg, read, widen
 from dish_data_pipeline_spark.plans.oracle_ann import (
     sql_embedding_dedup,
     sql_embedding_neardup,
@@ -3242,6 +3242,144 @@ WHERE rank <= 3
 """
 
 
+# --- BM25 retrieval scoring ----------------------------------------
+BM25_TERMS = ("join", "scan", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a fixed 3-term query under BM25
+    (Robertson/Spärck Jones) with the repo's rational-idf surrogate
+    ``(N − df + 0.5)/(df + 0.5)`` — the standard idf minus its
+    ``ln`` wrap, which cannot be hash-verified cross-engine (libm vs
+    Java log split 1 ulp on ~8% of the domain, measured for tfidf);
+    the monotone surrogate keeps ranking behavior AND bit-exactness.
+
+    Determinism beyond the surrogate: per-term scores are pivoted to
+    fixed columns and summed in a FIXED expression order (a grouped
+    double SUM over shuffled rows would add in partition order);
+    doclen/avgdl come from exact integer counts and one decimal-sum
+    division; k1/b literals are written in e-notation in the SQL
+    twin (bare ``1.2`` parses as DECIMAL in both engines and its
+    double conversion can land off the strtod parse). Plan shape:
+    tokenize → early term filter (only query terms survive the first
+    shuffle) → tf/df aggs → broadcast of the 3-row df and 1-row
+    corpus stats → fixed-order score → distributed top-k
+    (TakeOrderedAndProject)."""
+    from pyspark.sql import Window as _W  # noqa: F401 (parity w/ tfidf)
+
+    d = read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    doclen = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl")
+    )
+    qtf = (
+        toks.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = qtf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    stats = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).crossJoin(
+        doclen.agg(davg(F.col("dl")).alias("avgdl"))
+    )
+    scored = (
+        qtf.join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_r",
+            (F.col("n_docs").cast("double") - F.col("df").cast("double")
+             + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5)),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf_r")
+            * (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0)
+                    - F.lit(BM25_B)
+                    + F.lit(BM25_B)
+                    * (F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            ),
+        )
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("token") == t, F.col("term_score"))),
+                F.lit(0.0),
+            ).alias(f"s_{t}")
+            for t in BM25_TERMS
+        ]
+    )
+    score = None
+    for t in BM25_TERMS:  # FIXED addition order
+        score = F.col(f"s_{t}") if score is None else score + F.col(f"s_{t}")
+    return (
+        pivoted.select("doc_id", score.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _sql_bm25_search() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1 = "1.2e0"
+    b = "7.5e-1"
+    s_cols = ", ".join(
+        f"COALESCE(MAX(CASE WHEN token = '{t}' THEN term_score END), 0e0)"
+        f" AS s_{t}"
+        for t in BM25_TERMS
+    )
+    total = " + ".join(f"s_{t}" for t in BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS token
+  FROM documents),
+doclen AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+qtf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN ({terms}) GROUP BY doc_id, token),
+dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM qtf GROUP BY token),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(dl) FROM doclen) AS avgdl),
+scored AS (
+  SELECT q.doc_id, q.token,
+         ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 5e-1)
+          / (CAST(df AS DOUBLE) + 5e-1))
+         * (CAST(tf AS DOUBLE) * 2.2e0)
+         / (CAST(tf AS DOUBLE)
+            + {k1} * (1e0 - {b} + {b} * (CAST(dl AS DOUBLE) / avgdl)))
+           AS term_score
+  FROM qtf q JOIN dfreq USING (token)
+  JOIN doclen USING (doc_id) CROSS JOIN stats),
+pivoted AS (
+  SELECT doc_id, {s_cols} FROM scored GROUP BY doc_id)
+SELECT doc_id, {total} AS bm25
+FROM pivoted
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 # --- SemDeDup-style embedding dedup (pairs → CC → canonical) ------
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full embedding-dedup composition a training pipeline runs
@@ -3331,6 +3469,11 @@ SELECT doc_id, run_idx, word, start_pos, run_len FROM kept
 
 
 EXTENSION_QUERIES: dict[str, QueryDef] = {
+    "bm25_search": QueryDef(
+        q_bm25_search, _sql_bm25_search(),
+        "BM25 top-20 retrieval (rational-idf surrogate, fixed-order "
+        "score fold, distributed top-k)",
+        ("text", "topk", "search")),
     "udtf_word_runs": QueryDef(
         q_udtf_word_runs, SQL_UDTF_WORD_RUNS,
         "Spark-4 Python UDTF (LATERAL table function): stateful "

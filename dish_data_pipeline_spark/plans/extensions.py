@@ -3380,6 +3380,47 @@ LIMIT 20
 """
 
 
+# --- Planar proximity join (grid spatial self-join) -----------------
+def q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50 closest customer pairs on a synthetic integer plane
+    (coordinates hashed from the key — the testdata carries no geo
+    columns; the OPERATOR is the point) through
+    :func:`ops.spatial.proximity_join`: grid-cell banding turns the
+    distance self-join into an equi-join (3×3 neighborhood
+    expansion, constant 9× on one side) where the naive spelling is
+    a cross join. Squared distances are exact BIGINTs — no sqrt, no
+    trig, so the brute-force quadratic oracle must agree
+    bit-for-bit."""
+    from dish_data_pipeline_spark.ops.spatial import proximity_join
+
+    c = read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 2654435761) % 10000).alias("px"),
+        ((F.col("c_custkey") * 40503 + 12345) % 10000).alias("py"),
+    )
+    pairs = proximity_join(c, "c_custkey", "px", "py", radius=150)
+    return pairs.orderBy(
+        F.asc("dist2"), F.asc("id_a"), F.asc("id_b")
+    ).limit(50)
+
+
+SQL_PROXIMITY_PAIRS = """
+WITH p AS (
+  SELECT c_custkey,
+         (c_custkey * 2654435761) % 10000 AS px,
+         (c_custkey * 40503 + 12345) % 10000 AS py
+  FROM customer)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST((a.px - b.px) * (a.px - b.px)
+            + (a.py - b.py) * (a.py - b.py) AS BIGINT) AS dist2
+FROM p a JOIN p b ON a.c_custkey < b.c_custkey
+WHERE (a.px - b.px) * (a.px - b.px)
+      + (a.py - b.py) * (a.py - b.py) <= 150 * 150
+ORDER BY dist2 ASC, id_a ASC, id_b ASC
+LIMIT 50
+"""
+
+
 # --- SemDeDup-style embedding dedup (pairs → CC → canonical) ------
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full embedding-dedup composition a training pipeline runs
@@ -3469,6 +3510,11 @@ SELECT doc_id, run_idx, word, start_pos, run_len FROM kept
 
 
 EXTENSION_QUERIES: dict[str, QueryDef] = {
+    "proximity_pairs": QueryDef(
+        q_proximity_pairs, SQL_PROXIMITY_PAIRS,
+        "planar proximity self-join via grid-cell banding (distance "
+        "join as equi-join, exact BIGINT distances)",
+        ("join", "spatial", "topk")),
     "bm25_search": QueryDef(
         q_bm25_search, _sql_bm25_search(),
         "BM25 top-20 retrieval (rational-idf surrogate, fixed-order "

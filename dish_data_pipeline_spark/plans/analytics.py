@@ -1210,6 +1210,83 @@ FROM s GROUP BY user_id, seq
 """
 
 
+# --- Last-touch marketing attribution -------------------------------
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attribution: each purchase credits the user's most
+    recent click/view within a 7-day lookback (last-touch model),
+    else 'unattributed'. Runs through the reusable
+    :func:`operators.asof.asof_join` (backward + tolerance — the
+    union-and-carry single-shuffle plan, not a per-purchase probe).
+    Touches first dedupe to one per (user, second) keeping the max
+    event_id — without it, a click and a view on the same second
+    would leave the attribution engine-defined. Epoch-second keys so
+    the tolerance arithmetic is integral."""
+    from dish_data_pipeline_spark.operators.asof import asof_join
+
+    e = read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        "value",
+    )
+    touches = (
+        base.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "sec")
+        .agg(F.max(F.struct("event_id", "event_type")).alias("t"))
+        .select(
+            "user_id", "sec", F.col("t.event_type").alias("touch_type")
+        )
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "sec", "value"
+    )
+    j = asof_join(
+        purchases,
+        touches,
+        on="sec",
+        by=["user_id"],
+        direction="backward",
+        tolerance=604800,
+    )
+    return j.groupBy(
+        F.coalesce(F.col("touch_type_right"), F.lit("unattributed")).alias(
+            "touch_type"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum(F.col("value")).alias("revenue"),
+    )
+
+
+SQL_LAST_TOUCH_ATTRIBUTION = f"""
+WITH b AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+  FROM events WHERE ts IS NOT NULL),
+tmax AS (
+  SELECT user_id, sec, MAX(event_id) AS tid
+  FROM b WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, sec),
+t2 AS (
+  SELECT tmax.user_id, tmax.sec, b.event_type AS touch_type
+  FROM tmax JOIN b ON b.event_id = tmax.tid),
+p AS (
+  SELECT user_id, event_id, sec, value FROM b
+  WHERE event_type = 'purchase')
+SELECT COALESCE(x.touch_type, 'unattributed') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {sql_dsum('p.value')} AS revenue
+FROM p LEFT JOIN LATERAL (
+  SELECT touch_type FROM t2
+  WHERE t2.user_id = p.user_id
+    AND t2.sec <= p.sec AND t2.sec >= p.sec - 604800
+  ORDER BY t2.sec DESC LIMIT 1) x ON TRUE
+GROUP BY 1
+"""
+
+
 # --- OHLC bars (financial resample) ---------------------------------
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC candles per event type: open/close are the first/
@@ -2092,6 +2169,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "distributed EXACT median (iterative histogram narrowing, no "
         "global sort) vs brute-force sorted-rank oracle",
         ("agg", "stats", "selection")),
+    "last_touch_attribution": QueryDef(
+        q_last_touch_attribution, SQL_LAST_TOUCH_ATTRIBUTION,
+        "last-touch revenue attribution (as-of backward join, 7-day "
+        "lookback, deduped touches)",
+        ("join", "asof", "agg")),
     "ohlc_bars": QueryDef(
         q_ohlc_bars, SQL_OHLC_BARS,
         "daily OHLC candles per type (tie-broken argmin/argmax open/"

@@ -1412,6 +1412,70 @@ FROM classed GROUP BY abc_class
 """
 
 
+# --- Streaming tumbling windows, replay-certified -------------------
+def q_stream_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth stateful-streaming certification: the MOST standard
+    streaming op — watermarked tumbling-window aggregation
+    (``streaming.pipeline.windowed_event_counts``, 1-day windows) —
+    replayed across micro-batches with the same sentinel-watermark
+    device as ``stream_sessionize_replay`` (append mode only flushes
+    watermark-passed windows; availableNow freezes the watermark at
+    end of data). Spark's ``window('1 day')`` aligns to the epoch,
+    which in the pinned UTC session is exactly the oracle's
+    ``date_trunc('day', ts)``."""
+    import datetime as _dt
+
+    from dish_data_pipeline_spark.streaming.pipeline import (
+        windowed_event_counts,
+    )
+
+    e = (
+        read(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+    hi = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sent1, sent2 = (
+        spark.createDataFrame(
+            [("~sentinel~", 0.0)], "event_type string, value double"
+        ).select(
+            "event_type",
+            F.lit(hi + _dt.timedelta(days=10 * (i + 1)))
+            .cast("timestamp")
+            .alias("ts"),
+            "value",
+        )
+        for i in range(2)
+    )
+    out = _replay_as_stream(
+        spark,
+        e.unionByName(sent1.select(*e.columns)),
+        "ts",
+        lambda s: windowed_event_counts(
+            s, ts_col="ts", window="1 day", watermark="1 second"
+        ),
+        "stream_window_replay_sink",
+        extra_batches=(sent2.select(*e.columns),),
+    )
+    return out.filter(F.col("event_type") != "~sentinel~")
+
+
+SQL_STREAM_WINDOW_REPLAY = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP)
+         + INTERVAL 1 DAY AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS sum_value
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
 # --- ML preprocessing: group-mean imputation -----------------------
 def q_impute_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL imputation with the per-group mean — the standard
@@ -2159,6 +2223,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "stateful streaming debounce (kept-anchored, 2 micro-"
         "batches) vs recursive next-kept-event oracle",
         ("streaming", "timeseries")),
+    "stream_window_replay": QueryDef(
+        q_stream_window_replay, SQL_STREAM_WINDOW_REPLAY,
+        "streaming tumbling-window counts (append mode, watermark-"
+        "flushed via sentinel batches) vs batch date_trunc oracle",
+        ("streaming", "window", "agg")),
     "stream_sessionize_replay": QueryDef(
         q_stream_sessionize_replay, SQL_STREAM_SESSIONIZE_REPLAY,
         "streaming session_window sessions (append mode, watermark-"

@@ -3430,6 +3430,53 @@ LIMIT 50
 """
 
 
+# --- Distributed covariance matrix (Gram accumulation) --------------
+EMB_DIM = 64
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle 64×64 covariance of the embedding table — the
+    PCA/whitening building block — through
+    :func:`ops.linalg.covariance_matrix`: Arrow-batched exact
+    integer Gram accumulation (one d×d int64 partial per batch via
+    numpy matmul — NOT a d²-row explode per vector, and NOT
+    order-dependent float accumulation), grouped-SUM reduce, one
+    fixed IEEE closing expression. The statistic is the covariance
+    of ``floor(x·1e6)/1e6`` — exactly reproducible, which is what
+    lets the unnest-self-join oracle match bit-for-bit."""
+    from dish_data_pipeline_spark.ops.linalg import covariance_matrix
+
+    emb = read(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding", EMB_DIM)
+
+
+SQL_EMBEDDING_COVARIANCE = f"""
+WITH q AS (
+  SELECT vec_id, r.i,
+         CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * 1000000)
+              AS BIGINT) AS qv
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) r
+  WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM}),
+g AS (
+  SELECT a.i - 1 AS i, b.i - 1 AS j,
+         CAST(SUM(a.qv * b.qv) AS BIGINT) AS gij
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2),
+s AS (SELECT i - 1 AS k, CAST(SUM(qv) AS BIGINT) AS sk
+      FROM q GROUP BY 1),
+nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {EMB_DIM})
+SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+       (CAST(n AS DOUBLE) * CAST(gij AS DOUBLE)
+        - CAST(si.sk AS DOUBLE) * CAST(sj.sk AS DOUBLE))
+       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0))
+       / 1e12 AS cov
+FROM g JOIN s si ON si.k = g.i JOIN s sj ON sj.k = g.j CROSS JOIN nn
+"""
+
+
 # --- SemDeDup-style embedding dedup (pairs → CC → canonical) ------
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full embedding-dedup composition a training pipeline runs
@@ -3519,6 +3566,11 @@ SELECT doc_id, run_idx, word, start_pos, run_len FROM kept
 
 
 EXTENSION_QUERIES: dict[str, QueryDef] = {
+    "embedding_covariance": QueryDef(
+        q_embedding_covariance, SQL_EMBEDDING_COVARIANCE,
+        "64x64 covariance matrix via Arrow-batched exact integer "
+        "Gram accumulation (numpy int64 matmul partials)",
+        ("linalg", "embedding", "agg")),
     "proximity_pairs": QueryDef(
         q_proximity_pairs, SQL_PROXIMITY_PAIRS,
         "planar proximity self-join via grid-cell banding (distance "

@@ -16,6 +16,88 @@ from dish_data_pipeline_spark.plans.common import (
 )
 
 
+# --- Market-basket association rules -------------------------------
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: part pairs with support
+    ≥ 3 co-orders, scored by confidence and lift — all exact
+    rational arithmetic (BIGINT co-occurrence counts, single IEEE
+    divisions), top-30 by (lift, pair) deterministic order. The
+    pair fanout is per-basket C(k,2) with k ≤ the order's line
+    count — bounded by basket size, never by catalog size (the
+    same fanout contract as the co-fulfillment triangle count)."""
+    li = read(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        "l_orderkey", F.col("l_partkey").alias("pa")
+    )
+    b = items.select(
+        "l_orderkey", F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support_ab"))
+        .filter(F.col("support_ab") >= 3)
+    )
+    supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("supp")
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    sa = supp.select(F.col("l_partkey").alias("pa"),
+                     F.col("supp").alias("supp_a"))
+    sb = supp.select(F.col("l_partkey").alias("pb"),
+                     F.col("supp").alias("supp_b"))
+    scored = (
+        pairs.join(F.broadcast(sa), "pa")
+        .join(F.broadcast(sb), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "support_ab",
+            (F.col("support_ab").cast("double")
+             / F.col("supp_a").cast("double")).alias("confidence"),
+            (
+                (F.col("support_ab") * F.col("n_orders")).cast("double")
+                / (F.col("supp_a") * F.col("supp_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("pa"), F.asc("pb")
+    ).limit(30)
+
+
+SQL_BASKET_RULES = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS support_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+supp AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS supp
+  FROM items GROUP BY 1),
+nn AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM items)
+SELECT pa, pb, support_ab,
+       CAST(support_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE)
+         AS confidence,
+       CAST(support_ab * n_orders AS DOUBLE)
+       / CAST(sa.supp * sb.supp AS DOUBLE) AS lift
+FROM pairs JOIN supp sa ON sa.l_partkey = pa
+JOIN supp sb ON sb.l_partkey = pb CROSS JOIN nn
+ORDER BY lift DESC, pa ASC, pb ASC
+LIMIT 30
+"""
+
+
 # --- Q7 shape: nation-pair trade volume by year -------------------
 def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read(spark, sf_dir, "lineitem")
@@ -705,6 +787,11 @@ FROM pts p JOIN fx ON p.p_retailprice = fx.x AND p.p_size = fx.ymax
 
 
 TPCH_EXTRA_QUERIES: dict[str, QueryDef] = {
+    "basket_rules": QueryDef(
+        q_basket_rules, SQL_BASKET_RULES,
+        "market-basket association rules (support/confidence/lift, "
+        "basket-bounded pair fanout, exact rational scores)",
+        ("join", "agg", "basket")),
     "part_skyline": QueryDef(
         q_part_skyline, SQL_PART_SKYLINE,
         "Pareto skyline (price vs size) via distributed prefix-max",

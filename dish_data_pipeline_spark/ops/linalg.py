@@ -91,8 +91,14 @@ def covariance_matrix(
     quantization error ≤ 1/scale per component):
     ``cov_ij = (n·G_ij − s_i·s_j) / (n·(n−1)) / scale²`` — one fixed
     double expression over exact BIGINT totals."""
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
     parts = gram_partials(df, vec_col, dim, scale)
-    totals = parts.groupBy("i", "j").agg(F.sum("g").alias("g"))
+    # consumed by four branches (gram / sums / count filters) — persist
+    # the ≤(d²/2 + d + 1)-row total so the Arrow Gram pass runs once
+    totals = tracked_persist(
+        parts.groupBy("i", "j").agg(F.sum("g").alias("g"))
+    )
     n_row = totals.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("g").alias("n")
     )

@@ -25,8 +25,14 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair fanout is per-basket C(k,2) with k ≤ the order's line
     count — bounded by basket size, never by catalog size (the
     same fanout contract as the co-fulfillment triangle count)."""
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
     li = read(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # consumed four times (pair self-join both sides, per-part support,
+    # basket count) — persist so the scan+distinct runs once
+    items = tracked_persist(
+        li.select("l_orderkey", "l_partkey").distinct()
+    )
     a = items.select(
         "l_orderkey", F.col("l_partkey").alias("pa")
     )

@@ -843,6 +843,43 @@ FROM g
 """
 
 
+# --- Conditional-aggregate suite ------------------------------------
+def q_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate breadth: count_if, bool_or
+    (ANY), bool_and (EVERY), FILTER-style conditional sums (exact
+    integer cents), and a conditional distinct count — the grouped
+    one-pass profile shapes. All outputs integral or boolean."""
+    li = read(spark, sf_dir, "lineitem")
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("count_if(l_quantity > 25)").alias("n_big_qty"),
+        F.expr("bool_or(l_discount > 0.09)").alias("any_deep_discount"),
+        F.expr("bool_and(l_tax >= 0)").alias("all_taxed_nonneg"),
+        F.sum(
+            F.when(F.col("l_shipdate") >= F.lit("1996-01-01"), cents)
+            .otherwise(F.lit(0))
+        ).alias("cents_since_96"),
+        F.countDistinct(
+            F.when(F.col("l_quantity") < 5, F.col("l_partkey"))
+        ).alias("n_small_parts"),
+    )
+
+
+SQL_CONDITIONAL_AGGS = """
+SELECT l_returnflag,
+       CAST(COUNT(*) FILTER (l_quantity > 25) AS BIGINT) AS n_big_qty,
+       bool_or(l_discount > 0.09) AS any_deep_discount,
+       bool_and(l_tax >= 0) AS all_taxed_nonneg,
+       CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS cents_since_96,
+       CAST(COUNT(DISTINCT CASE WHEN l_quantity < 5
+                                THEN l_partkey END) AS BIGINT)
+         AS n_small_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- Explicit GROUPING SETS + grouping_id --------------------------
 def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS beyond CUBE/ROLLUP — the four sets
@@ -1145,6 +1182,11 @@ FROM v GROUP BY key
 
 
 BREADTH_QUERIES: dict[str, QueryDef] = {
+    "conditional_aggs": QueryDef(
+        q_conditional_aggs, SQL_CONDITIONAL_AGGS,
+        "conditional/boolean aggregates (count_if/bool_or/bool_and/"
+        "FILTER sums/conditional distinct) in one grouped pass",
+        ("agg", "functions")),
     "grouping_sets_orders": QueryDef(
         q_grouping_sets_orders, SQL_GROUPING_SETS_ORDERS,
         "explicit GROUPING SETS with the grouping_id bitmask "

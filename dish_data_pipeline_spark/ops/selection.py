@@ -76,11 +76,11 @@ def exact_quantile(
     bounded by ``|groups| × bins`` throughout — this operator is for
     many-rows-per-group shapes, not million-group ones).
 
-    Boundary values equal to a narrowed interval's upper edge can
-    re-enter the next round's closed filter; they are strictly
-    larger than every true candidate, so they can only pad the top
-    of the histogram/final sort ABOVE rank k — selection is
-    unaffected. Adversarial mass at the extremes of the double
+    Each round narrows to the selected bin's OBSERVED [min, max]
+    (not its arithmetic edges): the binning map is monotone in the
+    value under IEEE rounding, so that interval contains exactly the
+    rows binned there — no boundary row can leak out of (or into)
+    the next round's filter. Adversarial mass at the extremes of the double
     exponent range can exhaust ``max_rounds`` before the candidate
     count fits the collect threshold; the final resolve is then
     larger but still exact (real-data convergence: 3-4 rounds).
@@ -134,7 +134,14 @@ def exact_quantile(
         for key in keys:
             this = F.lit(True)
             for c, v in zip(group_cols, key):
-                this = this & (F.col(c) == F.lit(v))
+                # null-safe: a NULL group key must still match its own
+                # group or the group never narrows and ans stays None
+                eq = (
+                    F.col(c).isNull()
+                    if v is None
+                    else (F.col(c) == F.lit(v))
+                )
+                this = this & eq
             cond = cond | this
         return cond
 
@@ -189,24 +196,32 @@ def exact_quantile(
             .agg(
                 F.count(F.lit(1)).alias("c"),
                 F.sum("_w").alias("ws"),
+                F.min("_v").alias("bmin"),
+                F.max("_v").alias("bmax"),
             )
             .collect()
         ):
             hist[tuple(r[c] for c in group_cols)][r["_bin"]] = (
                 r["c"],
                 r["ws"],
+                r["bmin"],
+                r["bmax"],
             )
         progressed = False
         for key in big:
             s = state[key]
             counts = hist[key]
-            width = (s["hi"] - s["lo"]) or 1.0
             cum_w = 0
             for b in range(bins):
-                c, ws = counts.get(b, (0, 0))
+                c, ws, bmin, bmax = counts.get(b, (0, 0, None, None))
                 if cum_w + ws >= s["k"]:
-                    new_lo = s["lo"] + width * b / bins
-                    new_hi = s["lo"] + width * (b + 1) / bins
+                    # Narrow to the bin's OBSERVED [min, max], not the
+                    # arithmetic bin edges: floor((v-lo)/width*bins) is
+                    # monotone in v under IEEE rounding, so the observed
+                    # interval contains exactly the rows binned here —
+                    # no FP-edge row can fall below the next round's
+                    # ``_v >= _lo`` filter and silently lose mass.
+                    new_lo, new_hi = bmin, bmax
                     s["k"] -= cum_w
                     if c == s["n_range"] and new_lo <= s["lo"] and (
                         new_hi >= s["hi"]

@@ -57,6 +57,49 @@ def test_narrowing_path_engages(spark, monkeypatch):
     assert r["n"] == len(vals)
 
 
+def test_null_group_key_resolves(spark, monkeypatch):
+    """A NULL group key must match its own group in the narrowing
+    filters (null-safe comparison) — previously the group never
+    narrowed and float(None) raised."""
+    monkeypatch.setattr(sel, "COLLECT_THRESHOLD", 10)
+    rows = [(None, float(v)) for v in range(100)] + [
+        ("a", float(v)) for v in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: (r["n"], r["q"])
+        for r in exact_quantile(df, "v", 0.5, ["g"]).collect()
+    }
+    assert out[None] == (100, _brute([float(v) for v in range(100)], 0.5))
+    assert out["a"] == (50, _brute([float(v) for v in range(50)], 0.5))
+
+
+def test_fp_bin_boundary_mass_not_lost(spark, monkeypatch):
+    """Values whose arithmetic bin edge rounds past them must stay in
+    the next round's filter: the narrowed interval is the bin's
+    OBSERVED [min, max]. Dense near-boundary doubles stress this."""
+    monkeypatch.setattr(sel, "COLLECT_THRESHOLD", 20)
+    import struct
+
+    def ulps(x, n):
+        (i,) = struct.unpack("<q", struct.pack("<d", x))
+        return [
+            struct.unpack("<d", struct.pack("<q", i + d))[0]
+            for d in range(-n, n + 1)
+        ]
+
+    vals = []
+    for base in [0.1, 1.0 / 3.0, 7.7, 1e9 + 0.5]:
+        vals += ulps(base, 30)
+    (lo, hi) = (min(vals), max(vals))
+    vals += [lo - 1.0, hi + 1.0]
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    for p in (0.25, 0.5, 0.75):
+        (r,) = exact_quantile(df, "v", p, []).collect()
+        assert r["q"] == _brute(vals, p), p
+        assert r["n"] == len(vals)
+
+
 def _brute_weighted(pairs, p):
     total = sum(w for _, w in pairs)
     k = max(1, math.ceil(p * total))

@@ -323,3 +323,148 @@ f{h} AS (SELECT node FROM n{h})""")
     body = ",\n".join(parts)
     return f"""{body}
 SELECT node AS {node_out}, CAST(hops AS INT) AS hops FROM d{max_hops}"""
+
+
+#: Fixed-point denominator for label mass (same magnitude as
+#: PR_SCALE: 10^12 leaves ~10^6 headroom in BIGINT sums over
+#: million-neighbor nodes).
+LP_SCALE = 1_000_000_000_000
+
+
+def label_propagate(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation with clamped seeds (Zhu &
+    Ghahramani 2002 shape) over a directed edge relation (pass each
+    undirected edge both ways): spread a small set of trusted labels
+    (human-rated quality, known language, verified toxicity) across
+    a similarity graph so every connected document inherits a label
+    plus a confidence mass. The LLM-corpus use: hand-label 1/1000 of
+    the corpus, propagate over the near-dup/metadata-blocking graph,
+    and get corpus-wide weak labels without a model.
+
+    Determinism contract (the PageRank device): label mass is
+    fixed-point BIGINT in units of 1/LP_SCALE. Each round every node
+    v receives, per label l, ``Σ_{u→v} s_q(u, l) div deg(u)`` (pure
+    BIGINT multiply-free floor division; non-negative, so Spark
+    ``div`` and DuckDB ``//`` agree), summed exactly in any order;
+    seed nodes are then CLAMPED back to one-hot LP_SCALE on their
+    seed label. A FIXED ``n_iter`` unrolls into chained SQL CTEs
+    (:func:`label_propagate_sql`). Zero-mass rows are dropped, so
+    state stays bounded by (reached nodes × observed labels).
+
+    Output: ``(node, label INT, s_q BIGINT, score DOUBLE)`` — the
+    argmax label per reached node (ties break toward the smaller
+    label id), score = one final IEEE division. Nodes never reached
+    by any seed's mass are absent.
+
+    Scale shape: per round, one hash join of the edge relation with
+    the node-keyed state (co-partitioned with the degree join) and
+    one map-side-combined sum by (dst, label); state is
+    ``localCheckpoint``ed per round so plan depth stays O(1). No
+    driver data round-trips at all — the loop is plan construction
+    only."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    from pyspark.sql import Window
+
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    e = tracked_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    deg = tracked_persist(
+        e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    sd = (
+        seeds.select(
+            F.col(node_col).alias("node"),
+            F.col(label_col).cast("int").alias("label"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    one_hot = sd.withColumn("s_q", F.lit(LP_SCALE).cast("bigint"))
+    state = one_hot
+    for _ in range(n_iter):
+        contrib = (
+            e.join(state, state["node"] == e["src"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                "label",
+                F.expr("s_q div deg").cast("bigint").alias("_c"),
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("_c").cast("bigint").alias("s_q"))
+        )
+        state = (
+            contrib.filter(F.col("s_q") > 0)
+            .join(sd.select("node"), "node", "left_anti")
+            .unionByName(one_hot)
+            .localCheckpoint()
+        )
+    w = Window.partitionBy("node").orderBy(
+        F.col("s_q").desc(), F.col("label").asc()
+    )
+    return (
+        state.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "node",
+            "label",
+            "s_q",
+            (F.col("s_q").cast("double") / F.lit(float(LP_SCALE))).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def label_propagate_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    n_iter: int = 3,
+    node_out: str = "node",
+) -> str:
+    """DuckDB twin: the propagation rounds unrolled as chained CTEs
+    over an edge relation ``edges_cte`` (src, dst) and a seed
+    relation ``seeds_cte`` (node, label). Identical all-integer
+    arithmetic to :func:`label_propagate`."""
+    parts = [
+        f"""lpdeg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM {edges_cte} GROUP BY src)""",
+        f"""lpsd AS MATERIALIZED (
+  SELECT DISTINCT node, CAST(label AS INT) AS label FROM {seeds_cte})""",
+        f"""lps0 AS (
+  SELECT node, label, CAST({LP_SCALE} AS BIGINT) AS s_q FROM lpsd)""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""lpc{i} AS MATERIALIZED (
+  SELECT e.dst AS node, s.label, CAST(SUM(s.s_q // d.deg) AS BIGINT) AS s_q
+  FROM {edges_cte} e
+  JOIN lps{i - 1} s ON s.node = e.src
+  JOIN lpdeg d ON d.src = e.src
+  GROUP BY e.dst, s.label),
+lps{i} AS MATERIALIZED (
+  SELECT c.node, c.label, c.s_q FROM lpc{i} c
+  WHERE c.s_q > 0
+    AND NOT EXISTS (SELECT 1 FROM lpsd sd WHERE sd.node = c.node)
+  UNION ALL
+  SELECT node, label, CAST({LP_SCALE} AS BIGINT) AS s_q FROM lpsd)""")
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT node AS {node_out}, label, s_q,
+       CAST(s_q AS DOUBLE) / {float(LP_SCALE)} AS score
+FROM (
+  SELECT node, label, s_q,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY s_q DESC, label ASC) AS _rn
+  FROM lps{n_iter}) t
+WHERE _rn = 1"""

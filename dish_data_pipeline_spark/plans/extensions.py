@@ -3565,6 +3565,100 @@ SELECT doc_id, run_idx, word, start_pos, run_len FROM kept
 """
 
 
+# --- Label propagation (semi-supervised corpus weak-labeling) -----
+#: metadata-blocking bucket width (chars) for the star edges
+LP_BLOCK_WIDTH = 50
+#: 1-in-N docs keep their trusted label (the "hand-labeled" subset)
+LP_SEED_MOD = 10
+LP_LANG_CASE = (
+    "CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2 "
+    "ELSE 3 END"
+)
+
+
+def _lp_edges(corpus: DataFrame) -> DataFrame:
+    """Distinct symmetric edge set: MinHash-LSH near-dup pairs ∪
+    metadata-blocking stars (each (source, n_chars div 50) bucket's
+    members linked to the bucket's min-doc_id hub — linear in bucket
+    size, never quadratic)."""
+    pairs = _minhash_pairs(corpus)
+    bkt = F.expr(f"n_chars div {LP_BLOCK_WIDTH}").alias("bkt")
+    blocks = (
+        corpus.select("source", bkt, "doc_id")
+        .groupBy("source", "bkt")
+        .agg(F.min("doc_id").alias("hub"))
+    )
+    bmem = (
+        corpus.select("doc_id", "source", bkt)
+        .join(blocks, ["source", "bkt"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    return (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .unionByName(bmem)
+        .unionByName(
+            bmem.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised weak labeling: 1-in-10 docs keep a trusted
+    label (their language id); 3 rounds of clamped integer label
+    propagation over the near-dup + metadata-blocking graph assign
+    every reached doc an argmax label + confidence mass. Verified
+    against the unrolled-CTE DuckDB twin (``label_propagate_sql`` —
+    the ``trade_pagerank`` device), bit-exact including the mass."""
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+    from dish_data_pipeline_spark.ops.graph import label_propagate
+
+    # shared by the LSH pipeline, the blocking join, and the seed
+    # scan — persist or the documents union executes 4×
+    corpus = tracked_persist(_docs_with_dupes(spark, sf_dir))
+    seeds = corpus.filter(F.col("doc_id") % LP_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node"), F.expr(LP_LANG_CASE).alias("label")
+    )
+    return label_propagate(_lp_edges(corpus), seeds, n_iter=3).select(
+        F.col("node").alias("doc_id"), "label", "s_q", "score"
+    )
+
+
+def _sql_label_propagation() -> str:
+    from dish_data_pipeline_spark.ops.graph import label_propagate_sql
+    from dish_data_pipeline_spark.plans.oracle_dedup import (
+        minhash_pipeline_ctes,
+    )
+
+    return (
+        "WITH "
+        + minhash_pipeline_ctes(SQL_DOCS_WITH_DUPES)
+        + f""",
+lpp AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+lpblk AS (
+  SELECT source, n_chars // {LP_BLOCK_WIDTH} AS bkt, MIN(doc_id) AS hub
+  FROM corpus GROUP BY 1, 2),
+lpbm AS (
+  SELECT b.hub AS src, c.doc_id AS dst
+  FROM corpus c
+  JOIN lpblk b ON b.source = c.source
+              AND b.bkt = c.n_chars // {LP_BLOCK_WIDTH}
+  WHERE c.doc_id <> b.hub),
+lpe AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM lpp
+  UNION SELECT id_b, id_a FROM lpp
+  UNION SELECT src, dst FROM lpbm
+  UNION SELECT dst, src FROM lpbm),
+lpseed AS (
+  SELECT doc_id AS node, {LP_LANG_CASE} AS label
+  FROM corpus WHERE doc_id % {LP_SEED_MOD} = 0),
+"""
+        + label_propagate_sql("lpe", "lpseed", n_iter=3, node_out="doc_id")
+    )
+
+
 EXTENSION_QUERIES: dict[str, QueryDef] = {
     "embedding_covariance": QueryDef(
         q_embedding_covariance, SQL_EMBEDDING_COVARIANCE,
@@ -3909,4 +4003,9 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "per-label embedding centroids + pairwise centroid cosine "
         "(embedding-space drift)",
         ("embedding", "agg")),
+    "label_propagation": QueryDef(
+        q_label_propagation, _sql_label_propagation(),
+        "clamped-seed integer label propagation over the near-dup + "
+        "blocking graph (semi-supervised weak labels, mass-exact)",
+        ("graph", "dedup", "quality")),
 }

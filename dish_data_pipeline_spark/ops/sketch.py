@@ -693,3 +693,153 @@ SELECT exact.g AS {group_col}, n_distinct, n_registers,
          AS DOUBLE) AS est_distinct
 FROM exact JOIN agg USING (g)
 """
+
+
+def hll_sliding(
+    df: DataFrame,
+    group_col: str,
+    value_sql: str,
+    ts_sql: str,
+    window_days: int = 7,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Trailing-window distinct counts from MERGED daily HLL
+    sketches — the 100 TB shape for "distinct users per key over the
+    trailing N days": the raw data is scanned ONCE to build 2^p
+    one-byte registers per (key, day); every trailing window is then
+    answered by register-wise MAX over ≤ N register sets (a
+    sketch-sized explode+max, never a re-scan of the raw rows, and
+    daily sketches are reusable across window widths).
+
+    Same determinism contract as :func:`hll_distinct` (integer
+    register split of the portable hash, dyadic-BIGINT harmonic sum,
+    one shared-literal multiply + one IEEE division), so the window
+    estimates are bit-identical cross-engine. The exact trailing
+    distinct is computed alongside as the yardstick (that one does
+    fan out the distinct hashes ×N — it exists to certify the
+    sketch, not to be the scale path).
+
+    Days are epoch-day integers internally; output windows end on
+    days the group actually has data (trailing windows over silent
+    days are suppressed). Output: ``(group, window_end DATE,
+    n_distinct, n_registers, est_distinct)``."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    m, rest_bits, scale_bits, numerator = _hll_consts(p)
+    hashed = df.selectExpr(
+        f"{group_col} AS _g",
+        f"datediff(CAST({ts_sql} AS DATE), DATE'1970-01-01') AS _d",
+        f"{spark_phash(value_sql)} AS _h",
+    ).distinct()
+    rank = (
+        f"{scale_bits} - ({_bitlen_cases(f'(_h % {1 << rest_bits})', rest_bits)})"
+    )
+    regs = (
+        hashed.selectExpr(
+            "_g",
+            "_d",
+            f"_h div {1 << rest_bits} AS _idx",
+            f"CAST({rank} AS BIGINT) AS _rank",
+        )
+        .groupBy("_g", "_d", "_idx")
+        .agg(F.max("_rank").alias("_r"))
+    )
+    days = hashed.select("_g", "_d").distinct()
+    serve = F.expr(f"explode(sequence(_d, _d + {window_days - 1}))").alias(
+        "_dout"
+    )
+    wregs = (
+        regs.select("_g", "_idx", "_r", serve)
+        .join(days.selectExpr("_g", "_d AS _dout"), ["_g", "_dout"], "left_semi")
+        .groupBy("_g", "_dout", "_idx")
+        .agg(F.max("_r").alias("_r"))
+    )
+    agg = wregs.groupBy("_g", "_dout").agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({scale_bits} - _r AS INT))"
+            )
+        ).cast("bigint").alias("_s_present"),
+    )
+    exact = (
+        hashed.select("_g", "_h", serve)
+        .join(days.selectExpr("_g", "_d AS _dout"), ["_g", "_dout"], "left_semi")
+        .select("_g", "_dout", "_h")
+        .distinct()
+        .groupBy("_g", "_dout")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    s_total = F.col("_s_present") + (
+        (F.lit(m).cast("bigint") - F.col("n_registers"))
+        * F.lit(1 << scale_bits).cast("bigint")
+    )
+    return (
+        exact.join(agg, ["_g", "_dout"])
+        .select(
+            F.col("_g").alias(group_col),
+            F.expr("date_add(DATE'1970-01-01', CAST(_dout AS INT))").alias(
+                "window_end"
+            ),
+            "n_distinct",
+            "n_registers",
+            (F.expr(f"{numerator:.17e}") / s_total.cast("double"))
+            .alias("est_distinct"),
+        )
+    )
+
+
+def hll_sliding_sql(
+    src_sql: str,
+    group_col: str,
+    value_sql: str,
+    ts_sql: str,
+    window_days: int = 7,
+    p: int = HLL_P,
+) -> str:
+    """DuckDB twin of :func:`hll_sliding` over ``src_sql``."""
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+
+    m, rest_bits, scale_bits, numerator = _hll_consts(p)
+    h = duck_phash(value_sql)
+    rank = f"{scale_bits} - ({_bitlen_cases(f'(h % {1 << rest_bits})', rest_bits)})"
+    w = window_days - 1
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {group_col} AS g,
+         datediff('day', DATE '1970-01-01', CAST({ts_sql} AS DATE)) AS d,
+         {h} AS h
+  FROM ({src_sql}) src),
+days AS (SELECT DISTINCT g, d FROM hashed),
+regs AS (
+  SELECT g, d, h // {1 << rest_bits} AS idx,
+         CAST(MAX({rank}) AS BIGINT) AS r
+  FROM hashed GROUP BY 1, 2, 3),
+serv AS (
+  SELECT r.g, s.d_out, r.idx, r.r
+  FROM regs r,
+       LATERAL (SELECT unnest(generate_series(r.d, r.d + {w})) AS d_out) s
+  JOIN days dy ON dy.g = r.g AND dy.d = s.d_out),
+wregs AS (
+  SELECT g, d_out, idx, MAX(r) AS r FROM serv GROUP BY 1, 2, 3),
+agg AS (
+  SELECT g, d_out, CAST(COUNT(*) AS BIGINT) AS n_registers,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST({scale_bits} - r AS INTEGER))
+              AS BIGINT) AS s_present
+  FROM wregs GROUP BY 1, 2),
+exact AS (
+  SELECT g, d_out, CAST(COUNT(DISTINCT hh) AS BIGINT) AS n_distinct
+  FROM (
+    SELECT hs.g, s.d_out, hs.h AS hh
+    FROM hashed hs,
+         LATERAL (SELECT unnest(generate_series(hs.d, hs.d + {w})) AS d_out) s
+    JOIN days dy ON dy.g = hs.g AND dy.d = s.d_out) x
+  GROUP BY 1, 2)
+SELECT exact.g AS {group_col},
+       DATE '1970-01-01' + CAST(exact.d_out AS INTEGER) AS window_end,
+       n_distinct, n_registers,
+       {numerator:.17e} / CAST(s_present
+         + ({m} - n_registers) * (CAST(1 AS BIGINT) << {scale_bits})
+         AS DOUBLE) AS est_distinct
+FROM exact JOIN agg ON agg.g = exact.g AND agg.d_out = exact.d_out
+"""

@@ -3565,6 +3565,40 @@ SELECT doc_id, run_idx, word, start_pos, run_len FROM kept
 """
 
 
+# --- HLL over sliding windows (mergeable sketch over time) --------
+HLL_WINDOW_DAYS = 7
+
+
+def q_hll_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per event type from MERGED
+    daily HLL register sets: raw events are scanned once into daily
+    sketches; each window is a register-wise MAX over ≤7 of them —
+    never a rescan. Estimates bit-identical to the DuckDB twin; the
+    exact trailing distinct rides along as the yardstick."""
+    from dish_data_pipeline_spark.ops.sketch import hll_sliding
+
+    ev = widen(read(spark, sf_dir, "events"), spark)
+    return hll_sliding(
+        ev,
+        "event_type",
+        "CAST(user_id AS STRING)",
+        "ts",
+        window_days=HLL_WINDOW_DAYS,
+    )
+
+
+def _sql_hll_windows() -> str:
+    from dish_data_pipeline_spark.ops.sketch import hll_sliding_sql
+
+    return hll_sliding_sql(
+        "SELECT event_type, user_id, ts FROM events",
+        "event_type",
+        "CAST(user_id AS VARCHAR)",
+        "ts",
+        window_days=HLL_WINDOW_DAYS,
+    )
+
+
 # --- Label propagation (semi-supervised corpus weak-labeling) -----
 #: metadata-blocking bucket width (chars) for the star edges
 LP_BLOCK_WIDTH = 50
@@ -4008,4 +4042,9 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "clamped-seed integer label propagation over the near-dup + "
         "blocking graph (semi-supervised weak labels, mass-exact)",
         ("graph", "dedup", "quality")),
+    "hll_windows": QueryDef(
+        q_hll_windows, _sql_hll_windows(),
+        "trailing-7-day distinct users from merged daily HLL "
+        "registers (sketch-merge over windows, estimate hash-exact)",
+        ("sketch", "timeseries")),
 }

@@ -1,6 +1,9 @@
-"""Round-8 property tests: clamped-seed label propagation."""
+"""Round-8 property tests: clamped-seed label propagation and
+sliding-window HLL merge."""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
 
 from dish_data_pipeline_spark.ops.graph import LP_SCALE, label_propagate
 
@@ -47,3 +50,35 @@ def test_degree_split_floor(spark):
     assert out[3] == (5, LP_SCALE // 3)
     assert out[4] == (5, LP_SCALE // 3)
     assert out[1] == (5, LP_SCALE)
+
+
+def test_hll_sliding_window_equals_whole_window_sketch(spark):
+    """Register-wise MAX over daily sketches must equal the sketch
+    built directly from the window's rows: merge-correctness of the
+    daily HLL decomposition (plus the exact yardstick)."""
+    from dish_data_pipeline_spark.ops.sketch import hll_distinct, hll_sliding
+
+    rows = []
+    for day in range(1, 8):
+        for u in range(day * 3):  # growing daily user sets, overlapping
+            rows.append(("click", f"2024-03-{day:02d} 10:00:00", u % 11))
+    df = spark.createDataFrame(rows, "event_type string, ts string, user_id int")
+    out = {
+        (r["event_type"], str(r["window_end"])): r
+        for r in hll_sliding(
+            df, "event_type", "CAST(user_id AS STRING)", "ts", window_days=3
+        ).collect()
+    }
+    # window ending 03-05 covers days 3,4,5
+    win = df.filter(F.col("ts") >= "2024-03-03").filter(
+        F.col("ts") < "2024-03-06"
+    )
+    (direct,) = hll_distinct(
+        win, "event_type", "CAST(user_id AS STRING)"
+    ).collect()
+    got = out[("click", "2024-03-05")]
+    assert got["n_distinct"] == direct["n_distinct"]
+    assert got["n_registers"] == direct["n_registers"]
+    assert got["est_distinct"] == direct["est_distinct"]
+    # every day 1..7 produces a window row
+    assert len(out) == 7

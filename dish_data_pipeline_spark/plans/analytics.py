@@ -1476,6 +1476,71 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- Streaming stream-stream interval join, replay-certified -------
+def q_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth stateful-streaming certification — the one stateful
+    shape not yet driver-visible: a watermarked STREAM-STREAM
+    interval join (click attributed to the same user's views in the
+    preceding hour). Both sides are branches of one watermarked
+    source stream (a self-join), so each micro-batch buffers both
+    sides' state and cross-batch matches (batch-1 view ↔ batch-2
+    click) must come from the state store. Inner stream-stream joins
+    emit eagerly, so no watermark sentinel is needed; the 2-hour
+    delay only bounds state. Late-drop-free by construction: the
+    replay splits batches at the ts median, so batch 2's minimum
+    event time exceeds batch 1's watermark — the stream result is
+    exactly the batch interval join the oracle computes."""
+    e = (
+        read(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+
+    def tf(s):
+        s = s.withWatermark("ts", "2 hours")
+        clicks = s.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        views = s.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        return clicks.join(
+            views,
+            F.expr(
+                "user_id = v_user AND "
+                "view_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts"
+            ),
+        ).select(
+            "user_id", "click_ts", "view_ts", "click_value", "view_value"
+        )
+
+    return _replay_as_stream(spark, e, "ts", tf, "stream_join_replay_sink")
+
+
+SQL_STREAM_JOIN_REPLAY = """
+SELECT c.user_id,
+       c.ts AS click_ts,
+       v.ts AS view_ts,
+       c.value AS click_value,
+       v.value AS view_value
+FROM events c
+JOIN events v
+  ON v.user_id = c.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+  AND c.ts IS NOT NULL AND v.ts IS NOT NULL
+"""
+
+
 # --- ML preprocessing: group-mean imputation -----------------------
 def q_impute_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL imputation with the per-group mean — the standard
@@ -2228,6 +2293,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "streaming tumbling-window counts (append mode, watermark-"
         "flushed via sentinel batches) vs batch date_trunc oracle",
         ("streaming", "window", "agg")),
+    "stream_join_replay": QueryDef(
+        q_stream_join_replay, SQL_STREAM_JOIN_REPLAY,
+        "watermarked stream-stream interval join (cross-batch state "
+        "matches) vs batch interval-join oracle",
+        ("streaming", "join")),
     "stream_sessionize_replay": QueryDef(
         q_stream_sessionize_replay, SQL_STREAM_SESSIONIZE_REPLAY,
         "streaming session_window sessions (append mode, watermark-"

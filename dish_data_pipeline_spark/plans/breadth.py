@@ -1181,6 +1181,116 @@ FROM v GROUP BY key
 """
 
 
+# --- Manifest-backend transactional MERGE roundtrip ---------------
+def q_manifest_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executes the versioned-manifest lakehouse tier end-to-end
+    (``io_backends.ManifestParquetBackend`` — the in-container
+    answer to the reference's BigQuery MERGE atomicity,
+    reference pipeline/data_pipeline.py:212): create v0 from a base
+    snapshot, run two optimistic-commit keep-latest MERGEs (updates
+    + inserts each), then aggregate the LATEST snapshot joined
+    against a TIME-TRAVEL read of v0. Every commit is an atomic
+    hard-link manifest publish; the oracle replays the same
+    upsert-priority stack in plain SQL, so row counts, exact-decimal
+    totals, and the v0-overlap counts all hash-match only if the
+    versioned reads return precisely the committed states."""
+    import shutil
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"manifest_rt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    be = ManifestParquetBackend()
+    key = F.col("o_orderkey")
+    be.create(o.filter(key % 3 == 0), path, stats_cols=["o_orderkey"])
+    b1 = o.filter(key % 6 == 0).select(
+        "o_orderkey",
+        F.lit("U1").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+    ).unionByName(
+        o.filter(key % 15 == 1).select(
+            "o_orderkey",
+            F.lit("N1").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+        )
+    )
+    be.merge_keep_latest(spark, path, b1, ["o_orderkey"], "o_orderdate")
+    b2 = o.filter(key % 12 == 0).select(
+        "o_orderkey",
+        F.lit("U2").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 2000.0).alias("o_totalprice"),
+        "o_orderdate",
+    ).unionByName(
+        o.filter(key % 15 == 2).select(
+            "o_orderkey",
+            F.lit("N2").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+        )
+    )
+    be.merge_keep_latest(spark, path, b2, ["o_orderkey"], "o_orderdate")
+    latest = be.read(spark, path)
+    v0 = be.read(spark, path, version=0)
+    return (
+        latest.join(
+            v0.select("o_orderkey", F.lit(1).alias("_in0")),
+            "o_orderkey",
+            "left",
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("total"),
+            F.count("_in0").cast("bigint").alias("n_also_in_v0"),
+        )
+    )
+
+
+SQL_MANIFEST_MERGE_ROUNDTRIP = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 3 = 0),
+b1 AS (
+  SELECT o_orderkey, 'U1' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT o_orderkey, 'N1', o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 15 = 1),
+b2 AS (
+  SELECT o_orderkey, 'U2' AS o_orderstatus,
+         o_totalprice + 2000.0 AS o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 12 = 0
+  UNION ALL
+  SELECT o_orderkey, 'N2', o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 15 = 2),
+stacked AS (
+  SELECT *, 3 AS pri FROM b2
+  UNION ALL SELECT *, 2 AS pri FROM b1
+  UNION ALL SELECT *, 1 AS pri FROM base),
+latest AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY pri DESC) AS rn
+    FROM stacked) t
+  WHERE rn = 1)
+SELECT l.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('l.o_totalprice')} AS total,
+       CAST(COUNT(b.o_orderkey) AS BIGINT) AS n_also_in_v0
+FROM latest l LEFT JOIN base b USING (o_orderkey)
+GROUP BY l.o_orderstatus
+"""
+
+
 BREADTH_QUERIES: dict[str, QueryDef] = {
     "conditional_aggs": QueryDef(
         q_conditional_aggs, SQL_CONDITIONAL_AGGS,
@@ -1271,6 +1381,11 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
     "raw_zone_roundtrip": QueryDef(
         q_raw_zone_roundtrip, SQL_RAW_ZONE_ROUNDTRIP,
         "S2 raw-zone partitioned write + pruned read", ("io",)),
+    "manifest_merge_roundtrip": QueryDef(
+        q_manifest_merge_roundtrip, SQL_MANIFEST_MERGE_ROUNDTRIP,
+        "versioned-manifest lakehouse tier: create + 2 optimistic "
+        "MERGE commits + time-travel read, state hash-exact",
+        ("io", "merge")),
     "enrich_metadata": QueryDef(
         q_enrich_metadata, SQL_ENRICH_METADATA,
         "P1/P2 load metadata enrichment (replay form)", ("enrich",)),

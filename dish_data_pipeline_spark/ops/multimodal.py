@@ -721,3 +721,131 @@ def extract_audio_features(
             )
 
     return df.select(id_col, content_col).mapInPandas(run, schema)
+
+
+# --- Video-like container: indexed frames, selective decode --------
+_VID_MAGIC = b"VID0"
+
+
+def video_from_frames(frames) -> bytes:
+    """Pack a list of uint8 ndarrays into an indexed multi-frame
+    container — the ingest-side twin of :func:`decode_video_frames`.
+
+    Layout (all integers big-endian u32): ``VID0 | n_frames |
+    offset table (one entry per frame, relative to byte 0) | frame
+    payloads``, each payload a REAL PNG (:func:`png_from_array`).
+    The up-front offset table is the load-bearing property: a reader
+    can seek straight to any keyframe without scanning or decoding
+    the rest — the contract a real container (MP4 ``stsz``/``stco``,
+    MKV cues) provides, and what makes sampled-frame extraction cost
+    O(sampled) instead of O(stream)."""
+    import struct
+
+    payloads = [
+        png_from_array(f, row_filters=i % 5)
+        for i, f in enumerate(frames)
+    ]
+    head_len = 4 + 4 + 4 * len(payloads)
+    offs, pos = [], head_len
+    for p in payloads:
+        offs.append(pos)
+        pos += len(p)
+    return (
+        _VID_MAGIC
+        + struct.pack(">I", len(payloads))
+        + b"".join(struct.pack(">I", o) for o in offs)
+        + b"".join(payloads)
+    )
+
+
+def video_frame_count(content: bytes) -> int:
+    import struct
+
+    if content[:4] != _VID_MAGIC or len(content) < 8:
+        raise ValueError("not a VID0 container")
+    return struct.unpack(">I", content[4:8])[0]
+
+
+def decode_video_frames(content: bytes, indices) -> list:
+    """Selectively decode frames ``indices`` from a VID0 container:
+    walk the offset table, slice each requested payload, decode via
+    the pure-Python PNG kernel. Frames NOT requested are never
+    touched, let alone inflated — the keyframe-sampling cost model.
+    Returns uint8 ndarrays in the order given."""
+    import struct
+
+    n = video_frame_count(content)
+    out = []
+    for i in indices:
+        if not (0 <= i < n):
+            raise IndexError(f"frame {i} out of range 0..{n - 1}")
+        off = struct.unpack(">I", content[8 + 4 * i : 12 + 4 * i])[0]
+        end = (
+            struct.unpack(">I", content[12 + 4 * i : 16 + 4 * i])[0]
+            if i + 1 < n
+            else len(content)
+        )
+        out.append(decode_png(content[off:end]))
+    return out
+
+
+def sample_video_features(
+    df: DataFrame,
+    every_k: int = 3,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Arrow-batched sampled-frame feature extraction over VID0
+    video content: decode every ``every_k``-th frame only (offset
+    table → selective PNG decode) and emit one exact-integer stats
+    row per sampled frame — the video sibling of
+    :func:`extract_features` / :func:`extract_audio_features`.
+    Partition-parallel, no shuffle; per-blob work scales with
+    frames SAMPLED, not frames stored."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("frame_index", LongType()),
+            StructField("height", LongType()),
+            StructField("width", LongType()),
+            StructField("pix_sum", LongType()),
+            StructField("pix_min", LongType()),
+            StructField("pix_max", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for key, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(blob)
+                picks = list(range(0, video_frame_count(blob), every_k))
+                for i, a in zip(picks, decode_video_frames(blob, picks)):
+                    a = a.astype(np.int64)
+                    rows.append(
+                        (
+                            key,
+                            i,
+                            int(a.shape[0]),
+                            int(a.shape[1]),
+                            int(a.sum()),
+                            int(a.min()),
+                            int(a.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "frame_index",
+                    "height",
+                    "width",
+                    "pix_sum",
+                    "pix_min",
+                    "pix_max",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema)

@@ -1125,6 +1125,78 @@ GROUP BY event_type
 """
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO tier end to end, completing the modality triple
+    (image `image_png_features`, audio `audio_features`, video
+    here): each event type's quantized value series becomes 8×16
+    uint8 frames PACKED into a real indexed VID0 container (offset
+    table + per-frame PNG payloads, frame filters cycling all five
+    PNG types), then every 3rd frame is SELECTIVELY decoded —
+    offset-table seek, untouched frames never inflated, the
+    keyframe-sampling cost model — and reduced to exact integer
+    pixel stats per sampled frame. The DuckDB twin computes the
+    same stats directly on the quantized series via row-number
+    frame arithmetic — a hash match certifies pack → index walk →
+    selective PNG unfilter lossless AND the sampling arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from dish_data_pipeline_spark.ops.multimodal import (
+        sample_video_features,
+        video_from_frames,
+    )
+
+    FH, FW, K = 8, 16, 3
+    e = read(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
+        px = (
+            np.clip(np.floor(pdf["value"].to_numpy(dtype=float)), 0, 255)
+            .astype(np.uint8)
+        )
+        nf = len(px) // (FH * FW)
+        if nf == 0:
+            return pd.DataFrame({"event_type": [], "content": []})
+        frames = list(px[: nf * FH * FW].reshape(nf, FH, FW))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "content": [video_from_frames(frames)],
+            }
+        )
+
+    blobs = e.groupBy("event_type").applyInPandas(
+        pack, "event_type string, content binary"
+    )
+    return sample_video_features(
+        blobs, every_k=K, id_col="event_type", content_col="content"
+    )
+
+
+SQL_VIDEO_FRAMES = """
+WITH s AS (
+  SELECT event_type,
+         GREATEST(0, LEAST(255, CAST(floor(value) AS BIGINT))) AS px,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) // 128 AS nf
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type,
+       CAST(rn // 128 AS BIGINT) AS frame_index,
+       CAST(8 AS BIGINT) AS height,
+       CAST(16 AS BIGINT) AS width,
+       CAST(SUM(px) AS BIGINT) AS pix_sum,
+       CAST(MIN(px) AS BIGINT) AS pix_min,
+       CAST(MAX(px) AS BIGINT) AS pix_max
+FROM s
+WHERE rn < nf * 128 AND (rn // 128) % 3 = 0
+GROUP BY event_type, rn // 128
+"""
+
+
 # --- Streaming session windows, replay-certified -------------------
 def q_stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fourth stateful-streaming certification, fourth operator
@@ -1538,6 +1610,71 @@ JOIN events v
  AND v.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
 WHERE c.event_type = 'click' AND v.event_type = 'view'
   AND c.ts IS NOT NULL AND v.ts IS NOT NULL
+"""
+
+
+# --- Streaming watermark-bounded dedup, replay-certified -----------
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEVENTH stateful-streaming certification, and the one
+    remaining stateful primitive not yet driver-visible:
+    ``dropDuplicatesWithinWatermark``
+    (``streaming.pipeline.stream_dedup_exact``) — the
+    bounded-state streaming dedup a 100 TB ingest needs (plain
+    ``dropDuplicates`` state grows forever).
+
+    Duplicates are PLANTED: every click event is re-sent as a retry
+    3 days later with the same id and payload, then the union is
+    replayed as two micro-batches split at the ts median. Retries in
+    the 3-day band straddling the median land in batch 2 while their
+    originals' state was written by batch 1 — the cross-batch
+    state-store dedup path. Suppression is total by construction:
+    the retry delay (3 d) is below the watermark delay (7 d), so a
+    retry either finds its original's live state (deduped) or its
+    original was already evicted — which requires the retry itself
+    to sit below the watermark, where the stateful operator drops it
+    as late. Either path removes the row, so the streamed result is
+    exactly the distinct originals.
+
+    Kept-row nondeterminism (original vs retry differ only in ts)
+    is neutralized by projecting ts away AFTER dedup — the surviving
+    payload is identical either way. A single leaked retry would
+    duplicate a payload row and fail the oracle's row count."""
+    from dish_data_pipeline_spark.streaming.pipeline import (
+        stream_dedup_exact,
+    )
+
+    e = (
+        read(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+        )
+    )
+    retries = e.filter(F.col("event_type") == "click").withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 DAYS")
+    )
+    out = _replay_as_stream(
+        spark,
+        e.unionByName(retries),
+        "ts",
+        lambda s: stream_dedup_exact(
+            s.withColumn("k", F.col("event_id").cast("string")),
+            ts_col="ts",
+            watermark="7 days",
+            content_col="k",
+        ),
+        "stream_dedup_replay_sink",
+    )
+    return out.select("event_id", "user_id", "event_type", "value")
+
+
+SQL_STREAM_DEDUP_REPLAY = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE ts IS NOT NULL
 """
 
 
@@ -2303,6 +2440,17 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "streaming session_window sessions (append mode, watermark-"
         "flushed via sentinel batches) vs batch gap-chain oracle",
         ("streaming", "session", "window")),
+    "video_frames": QueryDef(
+        q_video_frames, SQL_VIDEO_FRAMES,
+        "video tier: indexed VID0 container pack + selective every-"
+        "3rd-frame PNG decode vs direct frame-arithmetic oracle",
+        ("multimodal", "udf")),
+    "stream_dedup_replay": QueryDef(
+        q_stream_dedup_replay, SQL_STREAM_DEDUP_REPLAY,
+        "dropDuplicatesWithinWatermark streaming dedup (planted "
+        "3-day retries, cross-batch state) vs distinct-originals "
+        "oracle",
+        ("streaming", "dedup")),
     "exact_median": QueryDef(
         q_exact_median, SQL_EXACT_MEDIAN,
         "distributed EXACT median (iterative histogram narrowing, no "

@@ -1291,6 +1291,101 @@ GROUP BY l.o_orderstatus
 """
 
 
+def q_manifest_maintenance_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The lakehouse MAINTENANCE lifecycle end-to-end — the OPTIMIZE
+    / set-retention / VACUUM triple every long-lived 100 TB table
+    needs (small-file compaction from streaming appends is what
+    keeps scan task counts sane): create v0 from a quarter of
+    orders, APPEND the other three quarters as separate commits
+    (v1-v3, each its own small file set — the streaming-ingest
+    shape), COMPACT the latest snapshot into 4 files CLUSTERED on
+    the key (the single-dimension tier of the z-order layout op —
+    ``OPTIMIZE ... ORDER BY``; footer min/max become disjoint key
+    ranges, which keeps the pruning self-check deterministic at
+    every sf, where a 2-dim Morton quadrant's min/max is at the
+    mercy of range-partitioner sampling on tiny inputs), EXPIRE all
+    but the compacted version and VACUUM the now-unreferenced
+    pre-compaction files, then aggregate a read of the surviving
+    latest snapshot plus a STATS-PRUNED scan count. The
+    query self-checks the maintenance actually happened (file count
+    dropped to 2, expiry removed 3 manifests, vacuum reclaimed
+    bytes, pruning skipped files) and raises otherwise — so a green
+    driver row certifies the lifecycle, not just the final read.
+    The oracle is plain SQL over orders: maintenance must be
+    content-preserving, or counts/totals hash-mismatch."""
+    import shutil
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"manifest_mt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    be = ManifestParquetBackend()
+    key = F.col("o_orderkey")
+    be.create(
+        o.filter(key % 4 == 0), path, stats_cols=["o_orderkey", "o_custkey"]
+    )
+    for r in (1, 2, 3):
+        be.append(o.filter(key % 4 == r).repartition(4), path)
+    n_files_before = len(be._manifest(path, 3)["files"])
+    v4 = be.compact(
+        spark, path, target_files=4, zorder_by=["o_orderkey"]
+    )
+    if v4 != 4:
+        raise RuntimeError(f"compaction raced or failed: {v4}")
+    n_files_after = len(be._manifest(path, 4)["files"])
+    # keep only the compacted snapshot: v3 still references every
+    # pre-compaction file, so retention must expire it before vacuum
+    # can reclaim anything (exactly Delta's retention-gates-VACUUM
+    # rule)
+    expired = be.expire_versions(path, keep_last=1)
+    reclaimed = be.vacuum(path)
+    kept, total = be.prune_files(path, {"o_orderkey": (None, 1000)})
+    if not (
+        n_files_before > 4
+        and n_files_after == 4
+        and expired == [0, 1, 2, 3]
+        and reclaimed
+        and kept is not None
+        and len(kept) < total
+    ):
+        raise RuntimeError(
+            "maintenance lifecycle not exercised: "
+            f"files {n_files_before}->{n_files_after}, expired "
+            f"{expired}, reclaimed {len(reclaimed)} dirs, pruned "
+            f"{len(kept)}/{total}"
+        )
+    latest = be.read(spark, path)
+    pruned_n = (
+        be.scan(spark, path, {"o_orderkey": (None, 1000)})
+        .filter(F.col("o_orderkey") <= 1000)
+        .count()
+    )
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("total"),
+        F.lit(pruned_n).cast("bigint").alias("n_low_keys"),
+    )
+
+
+SQL_MANIFEST_MAINTENANCE_ROUNDTRIP = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderkey <= 1000) AS n_low_keys
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 BREADTH_QUERIES: dict[str, QueryDef] = {
     "conditional_aggs": QueryDef(
         q_conditional_aggs, SQL_CONDITIONAL_AGGS,
@@ -1381,6 +1476,13 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
     "raw_zone_roundtrip": QueryDef(
         q_raw_zone_roundtrip, SQL_RAW_ZONE_ROUNDTRIP,
         "S2 raw-zone partitioned write + pruned read", ("io",)),
+    "manifest_maintenance_roundtrip": QueryDef(
+        q_manifest_maintenance_roundtrip,
+        SQL_MANIFEST_MAINTENANCE_ROUNDTRIP,
+        "lakehouse maintenance lifecycle: multi-append -> z-ordered "
+        "compaction -> retention expiry -> vacuum -> stats-pruned "
+        "scan, content-preservation oracle",
+        ("lakehouse", "io")),
     "manifest_merge_roundtrip": QueryDef(
         q_manifest_merge_roundtrip, SQL_MANIFEST_MERGE_ROUNDTRIP,
         "versioned-manifest lakehouse tier: create + 2 optimistic "

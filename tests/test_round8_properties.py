@@ -82,3 +82,78 @@ def test_hll_sliding_window_equals_whole_window_sketch(spark):
     assert got["est_distinct"] == direct["est_distinct"]
     # every day 1..7 produces a window row
     assert len(out) == 7
+
+
+# --- VID0 container codec -------------------------------------------
+def test_video_container_selective_roundtrip():
+    import numpy as np
+
+    from dish_data_pipeline_spark.ops.multimodal import (
+        decode_video_frames,
+        video_frame_count,
+        video_from_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, size=(8, 16), dtype=np.uint8)
+        for _ in range(7)
+    ]
+    blob = video_from_frames(frames)
+    assert video_frame_count(blob) == 7
+    # selective decode touches only the requested payloads and is
+    # exact for every frame (all five PNG filters cycle across them)
+    for i, a in zip([0, 2, 4, 6], decode_video_frames(blob, [0, 2, 4, 6])):
+        assert np.array_equal(a, frames[i])
+    # last-frame end bound is len(content), first is the table edge
+    (last,) = decode_video_frames(blob, [6])
+    assert np.array_equal(last, frames[6])
+    import pytest
+
+    with pytest.raises(IndexError):
+        decode_video_frames(blob, [7])
+    with pytest.raises(ValueError):
+        video_frame_count(b"nope" + blob[4:])
+
+
+def test_video_single_frame_container():
+    import numpy as np
+
+    from dish_data_pipeline_spark.ops.multimodal import (
+        decode_video_frames,
+        video_from_frames,
+    )
+
+    f = np.arange(32, dtype=np.uint8).reshape(4, 8)
+    blob = video_from_frames([f])
+    (back,) = decode_video_frames(blob, [0])
+    assert np.array_equal(back, f)
+
+
+def test_sample_video_features_counts(spark):
+    import numpy as np
+
+    from dish_data_pipeline_spark.ops.multimodal import (
+        sample_video_features,
+        video_from_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, size=(8, 16), dtype=np.uint8)
+        for _ in range(10)
+    ]
+    blob = video_from_frames(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, content binary"
+    )
+    rows = {
+        r["frame_index"]: r
+        for r in sample_video_features(df, every_k=3).collect()
+    }
+    assert sorted(rows) == [0, 3, 6, 9]
+    for i, r in rows.items():
+        a = frames[i].astype(np.int64)
+        assert (r["pix_sum"], r["pix_min"], r["pix_max"]) == (
+            int(a.sum()), int(a.min()), int(a.max())
+        )

@@ -522,3 +522,209 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_exact_assignments(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-engine-EXACT Lloyd's k-means — the certification tier of
+    :func:`kmeans_centroids`, built the way ``stats_corr`` rebuilt
+    correlation: every quantity an integer, every comparison a
+    cross-multiplied rational, so the full training trajectory is
+    bit-reproducible on any engine and under any aggregation order
+    (the double-arithmetic tier is order-stable via decimal sums but
+    still splits by one ulp on decimal→double casts past 2^53).
+
+    Vectors quantize up front to ``floor(v·quant)`` BIGINT. A
+    centroid is the exact rational (S, N) = (member coordinate sums,
+    member count) — never divided. Assignment maximizes the
+    inner-product similarity dot(S_c, qv)/N_c via the exact
+    comparison ``dot_a·N_b > dot_b·N_a`` inside a map-side fold
+    (same zero-shuffle shape as the production assignment pass:
+    centroids ride the driver as a literal, the corpus never
+    shuffles to learn its labels). Ties break to the lowest cid.
+    Init = the ``n_centroids`` lowest-id vectors; emptied clusters
+    keep their previous (S, N).
+
+    Overflow domain: |dot·N| ≤ dim·(N·quant·|v|)·(quant·|v|)·N must
+    stay under 2^63 — with dim 64, |v| ≤ 1, quant 1000 that holds to
+    N ≈ 4·10^5 members per cluster; shrink ``quant`` to widen.
+
+    Returns (vec_id, centroid_id) for every input vector under the
+    FINAL centroids (assignment runs once more after the last mean
+    update)."""
+    spark = embeddings.sparkSession
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {int(quant)}) AS BIGINT))"
+        ).alias("_qv"),
+    )
+    cents: list[tuple[int, list[int], int]] = [
+        (i, [int(x) for x in r._qv], 1)
+        for i, r in enumerate(
+            corpus.orderBy("_id").limit(n_centroids).collect()
+        )
+    ]
+
+    def cent_lit():
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("bigint").alias("cid"),
+                    F.lit(S).cast("array<bigint>").alias("S"),
+                    F.lit(N).cast("bigint").alias("N"),
+                )
+                for cid, S, N in cents
+            ]
+        )
+
+    # scored[i] = (dot(S_i, qv), N_i, cid_i); best = left fold from
+    # scored[0] with the exact rational comparison
+    assign_expr = F.expr(
+        "aggregate(slice(_scored, 2, size(_scored) - 1), "
+        "element_at(_scored, 1), "
+        "(b, c) -> IF(c.dot * b.n > b.dot * c.n "
+        "OR (c.dot * b.n = b.dot * c.n AND c.cid < b.cid), c, b)"
+        ").cid"
+    )
+    scored_expr = F.expr(
+        "transform(_cents, c -> named_struct("
+        "'dot', aggregate(zip_with(c.S, _qv, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (a, p) -> a + p), "
+        "'n', c.N, 'cid', c.cid))"
+    )
+
+    def assigned():
+        return (
+            corpus.withColumn("_cents", cent_lit())
+            .withColumn("_scored", scored_expr)
+            .withColumn("centroid_id", assign_expr)
+            .drop("_cents", "_scored")
+        )
+
+    for _ in range(n_iters):
+        sums = (
+            assigned()
+            .select("centroid_id", F.posexplode("_qv").alias("pos", "q"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.sum("q").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, s))),"
+                    " t -> t.s)"
+                ).alias("S"),
+                F.max("n").alias("N"),
+            )
+        )
+        new = {
+            int(r.centroid_id): ([int(x) for x in r.S], int(r.N))
+            for r in sums.collect()
+        }
+        cents = [
+            (cid, *new[cid]) if cid in new else (cid, S, N)
+            for cid, S, N in cents
+        ]
+    return assigned().select(
+        F.col("_id").alias(id_col), "centroid_id"
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    quant: int = 1000,
+    tau_num: int = 81,
+    tau_den: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: cluster the corpus
+    (:func:`kmeans_exact_assignments`), then DROP every vector that
+    has a LOWER-id near-duplicate in its own cluster — pairwise
+    squared-cosine test ``tau_den·dot² >= tau_num·|a|²·|b|²`` (with
+    ``dot > 0``), i.e. cos >= sqrt(tau_num/tau_den), entirely in
+    exact BIGINT arithmetic on the quantized vectors. Defaults test
+    cos >= 0.9.
+
+    Scale shape: candidate pairs are CLUSTER-scoped — O(sum c_k²)
+    instead of the corpus-quadratic all-pairs join; at 100 TB the
+    dial is n_centroids ~ n/target_cluster_size so each cluster's
+    block self-join stays executor-sized (this is exactly why
+    SemDeDup clusters first). Cluster-scoped also means a cross-
+    cluster near-dup pair is NOT dropped — the documented recall
+    trade, deterministic here in both engines.
+
+    Returns (id_col, centroid_id, kept BOOLEAN) for every vector."""
+    a = kmeans_exact_assignments(
+        embeddings, n_centroids, n_iters, quant, id_col, vec_col
+    )
+    qv = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {int(quant)}) AS BIGINT))"
+        ).alias("_qv"),
+    ).withColumn(
+        "_n2",
+        F.expr(
+            "aggregate(zip_with(_qv, _qv, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (s, p) -> s + p)"
+        ),
+    )
+    t = a.join(qv, a[id_col] == qv["_id"]).select(
+        F.col(id_col), "centroid_id", "_qv", "_n2"
+    )
+    left = t.select(
+        F.col("centroid_id").alias("_cid"),
+        F.col(id_col).alias("_a_id"),
+        F.col("_qv").alias("_a_qv"),
+        F.col("_n2").alias("_a_n2"),
+    )
+    right = t.select(
+        F.col("centroid_id").alias("_cid"),
+        F.col(id_col).alias("_b_id"),
+        F.col("_qv").alias("_b_qv"),
+        F.col("_n2").alias("_b_n2"),
+    )
+    dropped = (
+        left.join(
+            right,
+            ["_cid"],
+        )
+        .filter(F.col("_a_id") < F.col("_b_id"))
+        .withColumn(
+            "_dot",
+            F.expr(
+                "aggregate(zip_with(_a_qv, _b_qv, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (s, p) -> s + p)"
+            ),
+        )
+        .filter(
+            (F.col("_dot") > 0)
+            & (
+                F.lit(int(tau_den)) * F.col("_dot") * F.col("_dot")
+                >= F.lit(int(tau_num)) * F.col("_a_n2") * F.col("_b_n2")
+            )
+        )
+        .select(F.col("_b_id").alias("_drop_id"))
+        .distinct()
+    )
+    return t.join(
+        dropped, t[id_col] == dropped["_drop_id"], "left"
+    ).select(
+        F.col(id_col),
+        "centroid_id",
+        F.col("_drop_id").isNull().alias("kept"),
+    )

@@ -1359,6 +1359,134 @@ GROUP BY 1
 """
 
 
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear MULTI-touch attribution — the fractional sibling of
+    `last_touch_attribution`: each purchase's revenue splits EVENLY
+    across every click/view in the strictly-preceding 7-day window,
+    in EXACT integer cents (floor share to all, remainder cents to
+    the most recent touches — so per-purchase credit sums to its
+    price to the cent, the invariant double division can't give).
+    Touchless purchases stay whole under 'unattributed'.
+
+    The candidate join runs through :func:`ops.interval.interval_join`
+    — grid-banded point-in-interval equi-join (purchases become
+    [ts-7d, ts) intervals, touches the points), the scale-safe
+    spelling; a naive range join is a BroadcastNestedLoopJoin.
+    Purchase values are positive in this data and both engines are
+    guarded with ``value >= 0``, where integer ``DIV``/``%``
+    (truncation, Spark) and ``//``/``%`` (floor, DuckDB) agree."""
+    from dish_data_pipeline_spark.ops.interval import interval_join
+
+    e = read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    touches = base.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    purchases = base.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_end"),
+        (F.col("ts") - F.expr("INTERVAL 7 DAYS")).alias("p_start"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    pairs = interval_join(
+        touches.withColumnRenamed("t_user", "by_user"),
+        purchases.withColumnRenamed("p_user", "by_user"),
+        point_ts="t_ts",
+        start_col="p_start",
+        end_col="p_end",
+        by_cols=["by_user"],
+    )
+    w = Window.partitionBy("p_id").orderBy(
+        F.desc("t_ts"), F.desc("t_id")
+    )
+    credited = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+        )
+        .withColumn(
+            "share",
+            F.expr("cents DIV n")
+            + F.when(F.col("rk") <= F.col("cents") % F.col("n"), 1)
+            .otherwise(0),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("share").cast("bigint").alias("credited_cents"),
+        )
+    )
+    unattributed = (
+        purchases.join(
+            pairs.select("p_id").distinct(), "p_id", "left_anti"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("cents").cast("bigint").alias("credited_cents"),
+        )
+        .select(
+            F.lit("unattributed").alias("touch_type"),
+            "n_credits",
+            "credited_cents",
+        )
+    )
+    return credited.unionByName(unattributed)
+
+
+SQL_POSITION_ATTRIBUTION = """
+WITH b AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec, value
+  FROM events WHERE ts IS NOT NULL),
+t AS (
+  SELECT user_id, event_id AS t_id, event_type AS touch_type,
+         sec AS t_sec
+  FROM b WHERE event_type IN ('click', 'view')),
+p AS (
+  SELECT user_id, event_id AS p_id, sec AS p_sec,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM b WHERE event_type = 'purchase'
+    AND value IS NOT NULL AND value >= 0),
+pairs AS (
+  SELECT p.p_id, p.cents, t.touch_type, t.t_sec, t.t_id
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.t_sec >= p.p_sec - 604800 AND t.t_sec < p.p_sec),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY p_id
+                            ORDER BY t_sec DESC, t_id DESC) AS rk,
+         COUNT(*) OVER (PARTITION BY p_id) AS n
+  FROM pairs)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_credits,
+       CAST(SUM(cents // n +
+                CASE WHEN rk <= cents % n THEN 1 ELSE 0 END)
+            AS BIGINT) AS credited_cents
+FROM ranked GROUP BY touch_type
+UNION ALL
+SELECT 'unattributed',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT)
+FROM p WHERE p_id NOT IN (SELECT p_id FROM pairs)
+"""
+
+
 # --- OHLC bars (financial resample) ---------------------------------
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC candles per event type: open/close are the first/
@@ -2456,6 +2584,12 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "distributed EXACT median (iterative histogram narrowing, no "
         "global sort) vs brute-force sorted-rank oracle",
         ("agg", "stats", "selection")),
+    "position_attribution": QueryDef(
+        q_position_attribution, SQL_POSITION_ATTRIBUTION,
+        "linear multi-touch attribution: exact integer-cents even "
+        "split over 7-day grid-banded touch windows, remainder to "
+        "most recent",
+        ("join", "interval", "agg")),
     "last_touch_attribution": QueryDef(
         q_last_touch_attribution, SQL_LAST_TOUCH_ATTRIBUTION,
         "last-touch revenue attribution (as-of backward join, 7-day "

@@ -1310,7 +1310,7 @@ def q_manifest_maintenance_roundtrip(
     pre-compaction files, then aggregate a read of the surviving
     latest snapshot plus a STATS-PRUNED scan count. The
     query self-checks the maintenance actually happened (file count
-    dropped to 2, expiry removed 3 manifests, vacuum reclaimed
+    dropped to 4, expiry removed 4 manifests, vacuum reclaimed
     bytes, pruning skipped files) and raises otherwise — so a green
     driver row certifies the lifecycle, not just the final read.
     The oracle is plain SQL over orders: maintenance must be

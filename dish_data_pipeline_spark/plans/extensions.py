@@ -3693,6 +3693,208 @@ lpseed AS (
     )
 
 
+
+
+# --- Exact-integer Lloyd's k-means, driver-certified ---------------
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the k-means TRAINING loop itself (not just the
+    assign/probe plumbing `knn_ivf` verifies): 3 Lloyd iterations
+    over the embeddings corpus in exact integer-rational arithmetic
+    (`ops.similarity.kmeans_exact_assignments` — quantized vectors,
+    (sum, count) centroids, cross-multiplied rational comparisons),
+    so the DuckDB twin can replay the identical trajectory as three
+    unrolled CTE rounds (the `trade_pagerank` device). The oracle
+    ranks candidates by the HUGEINT floor-scaled score
+    ``dot·10^18 // N`` — exact as a discriminator because two
+    distinct rationals dot_a/N_a != dot_b/N_b differ by at least
+    1/(N_a·N_b) >= 1e-12, which the 10^18 scale maps to >= 10^6
+    floor units, while Spark compares the same rationals by exact
+    cross-multiplication — both therefore compute the true argmax.
+    Output: per-cluster member count, member-id sum, and first-
+    coordinate quantized sum — id_sum pins the full assignment
+    vector, so one flipped membership anywhere in 3 rounds fails
+    the hash."""
+    from dish_data_pipeline_spark.ops.similarity import (
+        kmeans_exact_assignments,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    a = kmeans_exact_assignments(
+        emb, n_centroids=8, n_iters=3, quant=1000
+    )
+    q0 = emb.select(
+        "vec_id",
+        F.expr(
+            "CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000) AS BIGINT)"
+        ).alias("q0"),
+    )
+    return (
+        a.join(q0, "vec_id")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("vec_id").cast("bigint").alias("id_sum"),
+            F.sum("q0").cast("bigint").alias("q0_sum"),
+        )
+    )
+
+
+def _sql_kmeans_prefix(
+    n_iters: int = 3,
+    k: int = 8,
+    src: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
+    """Unrolled-CTE DuckDB replay of the exact k-means trajectory —
+    one (dots -> argmax -> new sums -> carry-forward) block per
+    iteration plus the final assignment CTE ``a{n_iters+1}``
+    (vec_id, cid). Shared by `kmeans_clusters` and
+    `semantic_dedup`; ``src`` parameterizes the corpus relation."""
+    sql = f"""
+WITH src AS ({src}),
+base AS (
+  SELECT vec_id, i AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+           AS qv
+  FROM src, range(1, 65) t(i)),
+init AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM src ORDER BY vec_id LIMIT {k}),
+c0 AS (
+  SELECT init.cid, base.pos, base.qv AS S, CAST(1 AS BIGINT) AS N
+  FROM init JOIN base USING (vec_id))"""
+    prev = "c0"
+    for i in range(1, n_iters + 1):
+        sql += f""",
+d{i} AS (
+  SELECT b.vec_id, c.cid, SUM(b.qv * c.S) AS dot, MAX(c.N) AS n
+  FROM base b JOIN {prev} c USING (pos) GROUP BY 1, 2),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id
+      ORDER BY (CAST(dot AS HUGEINT) * 1000000000000000000) // n
+                 DESC,
+               cid ASC) AS rn
+    FROM d{i}) t WHERE rn = 1),
+n{i} AS (
+  SELECT a.cid, b.pos, SUM(b.qv) AS S, CAST(COUNT(*) AS BIGINT) AS N
+  FROM a{i} a JOIN base b USING (vec_id) GROUP BY 1, 2),
+c{i} AS (
+  SELECT p.cid, p.pos, COALESCE(x.S, p.S) AS S,
+         COALESCE(x.N, p.N) AS N
+  FROM {prev} p LEFT JOIN n{i} x
+    ON x.cid = p.cid AND x.pos = p.pos)"""
+        prev = f"c{i}"
+    f = n_iters + 1
+    sql += f""",
+d{f} AS (
+  SELECT b.vec_id, c.cid, SUM(b.qv * c.S) AS dot, MAX(c.N) AS n
+  FROM base b JOIN {prev} c USING (pos) GROUP BY 1, 2),
+a{f} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (
+      PARTITION BY vec_id
+      ORDER BY (CAST(dot AS HUGEINT) * 1000000000000000000) // n
+                 DESC,
+               cid ASC) AS rn
+    FROM d{f}) t WHERE rn = 1)"""
+    return sql
+
+
+def _sql_kmeans_clusters(n_iters: int = 3, k: int = 8) -> str:
+    f = n_iters + 1
+    return _sql_kmeans_prefix(n_iters, k) + f"""
+SELECT a.cid AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(a.vec_id) AS BIGINT) AS id_sum,
+       CAST(SUM(b.qv) AS BIGINT) AS q0_sum
+FROM a{f} a JOIN base b ON b.vec_id = a.vec_id AND b.pos = 1
+GROUP BY 1
+"""
+
+
+
+
+SEMDEDUP_SRC_SQL = """SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(0.97 AS DOUBLE))
+           AS embedding
+  FROM embeddings WHERE vec_id % 10 = 5"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end (`ops.similarity.semantic_dedup`):
+    cluster-then-prune semantic deduplication at cos >= 0.9, in the
+    same exact integer-rational arithmetic as `kmeans_clusters` so
+    the oracle replays the identical trajectory. The raw embeddings
+    are random (max pairwise cos ~0.51, measured), so near-dups are
+    PLANTED: every vec_id % 10 == 0 vector re-enters verbatim
+    (cos = 1 exactly, same quantized vector => provably same
+    cluster) and every vec_id % 10 == 5 re-enters scaled by 0.97
+    (parallel direction, cos ~ 1 after quantization). Planted
+    copies carry higher ids, so the pairwise lowest-id-wins rule
+    must drop exactly the copies (minus any whose scaled twin
+    crossed a cluster boundary — the documented cluster-scoped
+    recall trade, replicated identically by the oracle)."""
+    from dish_data_pipeline_spark.ops.similarity import semantic_dedup
+
+    emb = read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    scaled = emb.filter(F.col("vec_id") % 10 == 5).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(0.97 AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    src = emb.unionByName(exact).unionByName(scaled)
+    out = semantic_dedup(src, n_centroids=8, n_iters=3, quant=1000)
+    return out.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("kept").cast("bigint")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("vec_id")))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    )
+
+
+def _sql_semantic_dedup(n_iters: int = 3, k: int = 8) -> str:
+    f = n_iters + 1
+    return _sql_kmeans_prefix(n_iters, k, src=SEMDEDUP_SRC_SQL) + f""",
+qn AS (
+  SELECT vec_id, SUM(qv * qv) AS n2 FROM base GROUP BY 1),
+drops AS (
+  SELECT DISTINCT y.vec_id AS b_id
+  FROM a{f} x
+  JOIN a{f} y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  JOIN (SELECT ba.vec_id AS a_id, bb.vec_id AS b_id,
+               SUM(ba.qv * bb.qv) AS dot
+        FROM base ba JOIN base bb ON bb.pos = ba.pos
+         AND ba.vec_id < bb.vec_id
+        GROUP BY 1, 2) d
+    ON d.a_id = x.vec_id AND d.b_id = y.vec_id
+  JOIN qn na ON na.vec_id = x.vec_id
+  JOIN qn nb ON nb.vec_id = y.vec_id
+  WHERE d.dot > 0
+    AND 100 * d.dot * d.dot >= 81 * na.n2 * nb.n2)
+SELECT t.cid AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN dr.b_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN dr.b_id IS NULL THEN t.vec_id END)
+            AS BIGINT) AS kept_id_sum
+FROM a{f} t LEFT JOIN drops dr ON dr.b_id = t.vec_id
+GROUP BY 1
+"""
+
+
 EXTENSION_QUERIES: dict[str, QueryDef] = {
     "embedding_covariance": QueryDef(
         q_embedding_covariance, SQL_EMBEDDING_COVARIANCE,
@@ -3770,6 +3972,16 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
     "knn_lsh": QueryDef(
         q_knn_lsh, sql_knn_lsh(KNN_QUERY_IDS),
         "sign-random-projection LSH ANN top-k", ("similarity", "lsh")),
+    "semantic_dedup": QueryDef(
+        q_semantic_dedup, _sql_semantic_dedup(),
+        "SemDeDup: exact-kmeans cluster then cluster-scoped "
+        "cos>=0.9 lowest-id-wins prune over planted copies",
+        ("similarity", "dedup", "ml")),
+    "kmeans_clusters": QueryDef(
+        q_kmeans_clusters, _sql_kmeans_clusters(),
+        "exact integer-rational Lloyd's k-means (3 rounds) vs "
+        "unrolled-CTE trajectory replay; id_sum pins assignments",
+        ("similarity", "ml", "iterative")),
     "knn_ivf": QueryDef(
         q_knn_ivf, SQL_KNN_BRUTEFORCE,
         "IVF ANN top-k (exhaustive probe ⇒ equals brute force)",

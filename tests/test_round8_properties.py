@@ -157,3 +157,57 @@ def test_sample_video_features_counts(spark):
         assert (r["pix_sum"], r["pix_min"], r["pix_max"]) == (
             int(a.sum()), int(a.min()), int(a.max())
         )
+
+
+# --- exact k-means + semantic dedup ---------------------------------
+def test_kmeans_exact_two_obvious_clusters(spark):
+    from dish_data_pipeline_spark.ops.similarity import (
+        kmeans_exact_assignments,
+    )
+
+    # two tight groups on opposite axes; init = 2 lowest ids (one
+    # from each group) — Lloyd must separate them perfectly
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 1.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.1, 0.0, 0.9]),
+        (4, [0.8, 0.0, 0.1, 0.0]),
+        (5, [0.0, 0.0, 0.1, 0.8]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in kmeans_exact_assignments(
+            df, n_centroids=2, n_iters=2
+        ).collect()
+    }
+    assert got[0] == got[2] == got[4] == 0
+    assert got[1] == got[3] == got[5] == 1
+
+
+def test_semantic_dedup_drops_higher_id_copies(spark):
+    from dish_data_pipeline_spark.ops.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 1.0]),
+        (10, [1.0, 0.0, 0.0, 0.0]),   # exact copy of 0 -> dropped
+        (11, [0.0, 0.0, 0.0, 0.97]),  # parallel to 1 -> dropped
+        (12, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> kept
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, n_centroids=2, n_iters=1
+        ).collect()
+    }
+    assert got[0] and got[1]
+    assert not got[10] and not got[11]
+    assert got[12]
+    assert len(got) == 5

@@ -464,6 +464,74 @@ class ManifestParquetBackend:
         )
         return base + 1 if committed else -1
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        path: str,
+        predicate: str,
+        intervals: dict[str, tuple] | None = None,
+    ) -> tuple[int, int, int]:
+        """Row-level ``DELETE ... WHERE`` as a new snapshot version,
+        rewriting ONLY files that can possibly hold a match —
+        the GDPR/retention write path. ``intervals`` (same shape as
+        :meth:`prune_files`) is the caller's conservative file-level
+        bound on ``predicate``: files whose recorded stats prove no
+        overlap are carried into the new manifest byte-UNCHANGED (no
+        read, no write — at 100 TB this is the difference between a
+        metadata-speed delete and rewriting the table; exactly why
+        Delta/Iceberg scope DELETE rewrites by file stats). Affected
+        files rewrite through ``NOT coalesce(predicate, false)`` —
+        rows where the predicate is NULL survive, standard SQL DELETE
+        semantics — and only their stats recompute.
+
+        Same race discipline as :meth:`compact`: the rewrite depends
+        on the base it read, so on losing the version race this
+        ABORTS (returns version -1) instead of retrying — committing
+        anyway could resurrect a concurrent writer's rows.
+
+        Returns (committed version or -1, n_files_rewritten,
+        n_files_carried)."""
+        from pyspark.sql.types import StructType
+
+        base = self.latest_version(path)
+        if base is None:
+            raise FileNotFoundError(f"no table at {path}")
+        man = self._manifest(path, base)
+        affected, _total = self.prune_files(path, intervals or {}, base)
+        affected_set = set(affected)
+        carried = [f for f in man["files"] if f not in affected_set]
+        stats_cols = man.get("stats_cols") or []
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        new_files: list[str] = []
+        new_stats: dict = {}
+        if affected:
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(path, f) for f in affected]
+            )
+            remain = df.filter(f"NOT coalesce(({predicate}), false)")
+            new_files, _schema, new_stats = self._write_data(
+                remain, path, stats_cols
+            )
+        stats = {
+            f: s
+            for f, s in (man.get("stats") or {}).items()
+            if f not in affected_set
+        }
+        stats.update(new_stats)
+        committed = self._try_commit(
+            path,
+            base + 1,
+            {"version": base + 1, "parent": base,
+             "files": carried + new_files, "schema": man["schema"],
+             "delete": predicate, "stats_cols": stats_cols,
+             "stats": stats},
+        )
+        return (
+            base + 1 if committed else -1,
+            len(affected),
+            len(carried),
+        )
+
     def changes(
         self,
         spark: SparkSession,

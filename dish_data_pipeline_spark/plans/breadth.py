@@ -1386,6 +1386,86 @@ GROUP BY o_orderstatus
 """
 
 
+def q_manifest_delete_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Row-level DELETE on the lakehouse tier
+    (``ManifestParquetBackend.delete_where``) — the GDPR /
+    retention write path: create the table CLUSTERED on the key (4
+    range-partitioned files, disjoint footer min/max), delete the
+    middle key band ``[max/4, max/2]`` with the matching file-level
+    interval bound, and read back. The self-check certifies the
+    scale property, not just the result: at least one file must be
+    carried byte-UNCHANGED into the new manifest (stats proved no
+    overlap — the metadata-speed path) and at least one rewritten;
+    a DELETE that rewrites everything silently would pass the value
+    oracle but fail here. Oracle: plain NOT BETWEEN over orders
+    with the same integer-division bounds."""
+    import shutil
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"manifest_del_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    be = ManifestParquetBackend()
+    be.create(
+        o.repartitionByRange(4, F.col("o_orderkey")).sortWithinPartitions(
+            "o_orderkey"
+        ),
+        path,
+        stats_cols=["o_orderkey"],
+    )
+    mx = o.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    lo, hi = mx // 4, mx // 2
+    v0_files = set(be._manifest(path, 0)["files"])
+    ver, n_rewritten, n_carried = be.delete_where(
+        spark,
+        path,
+        f"o_orderkey BETWEEN {lo} AND {hi}",
+        {"o_orderkey": (lo, hi)},
+    )
+    man1 = be._manifest(path, 1)
+    carried_ok = sum(1 for f in man1["files"] if f in v0_files)
+    if not (
+        ver == 1
+        and n_rewritten >= 1
+        and n_carried >= 1
+        and carried_ok == n_carried
+    ):
+        raise RuntimeError(
+            "pruned delete not exercised: "
+            f"v{ver}, rewrote {n_rewritten}, carried {n_carried} "
+            f"({carried_ok} verified from v0)"
+        )
+    return (
+        be.read(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+SQL_MANIFEST_DELETE_ROUNDTRIP = f"""
+WITH bounds AS (
+  SELECT MAX(o_orderkey) // 4 AS lo, MAX(o_orderkey) // 2 AS hi
+  FROM orders)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders, bounds
+WHERE NOT (o_orderkey BETWEEN lo AND hi)
+GROUP BY o_orderstatus
+"""
+
+
 BREADTH_QUERIES: dict[str, QueryDef] = {
     "conditional_aggs": QueryDef(
         q_conditional_aggs, SQL_CONDITIONAL_AGGS,
@@ -1476,6 +1556,12 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
     "raw_zone_roundtrip": QueryDef(
         q_raw_zone_roundtrip, SQL_RAW_ZONE_ROUNDTRIP,
         "S2 raw-zone partitioned write + pruned read", ("io",)),
+    "manifest_delete_roundtrip": QueryDef(
+        q_manifest_delete_roundtrip,
+        SQL_MANIFEST_DELETE_ROUNDTRIP,
+        "lakehouse DELETE WHERE: stats-scoped file rewrite, "
+        "untouched files carried byte-identical, NOT-BETWEEN oracle",
+        ("lakehouse", "io")),
     "manifest_maintenance_roundtrip": QueryDef(
         q_manifest_maintenance_roundtrip,
         SQL_MANIFEST_MAINTENANCE_ROUNDTRIP,

@@ -468,3 +468,70 @@ def test_manifest_backend_compact(spark, tmp_path):
          "schema": schema, "compaction": True},
     )
     assert be.read(spark, path).filter("k = 'new'").count() == 1
+
+
+# --- delete_where (row-level DELETE with stats-scoped rewrite) ------
+def _ranged_table(spark, path, n=100):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    be = ManifestParquetBackend()
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 10 == 0, None)
+            .otherwise(F.col("id") % 7)
+            .alias("v"),
+        )
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    be.create(df, path, stats_cols=["k"])
+    return be
+
+
+def test_delete_where_carries_unaffected_files(spark, tmp_path):
+    path = str(tmp_path / "del1")
+    be = _ranged_table(spark, path)
+    v0_files = set(be._manifest(path, 0)["files"])
+    ver, rewrote, carried = be.delete_where(
+        spark, path, "k BETWEEN 10 AND 30", {"k": (10, 30)}
+    )
+    assert ver == 1 and rewrote >= 1 and carried >= 1
+    man1 = be._manifest(path, 1)
+    # carried files are the SAME paths (immutable bytes), only
+    # overlapping files were replaced
+    assert sum(1 for f in man1["files"] if f in v0_files) == carried
+    got = sorted(r.k for r in be.read(spark, path).collect())
+    assert got == [k for k in range(100) if not (10 <= k <= 30)]
+    # stats were recomputed for the rewritten files: the new file
+    # set still has footer min/max for every file
+    assert set(man1["stats"]) == set(man1["files"])
+    # time travel still sees v0 intact
+    assert be.read(spark, path, version=0).count() == 100
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    path = str(tmp_path / "del2")
+    be = _ranged_table(spark, path)
+    # v IS NULL on k % 10 == 0 rows; predicate "v = 3" is NULL there
+    # — SQL DELETE semantics: NULL-predicate rows are NOT deleted
+    ver, _rw, _c = be.delete_where(spark, path, "v = 3")
+    assert ver == 1
+    rows = {r.k: r.v for r in be.read(spark, path).collect()}
+    assert all(v != 3 for v in rows.values() if v is not None)
+    assert all(k in rows for k in range(0, 100, 10))
+
+
+def test_delete_where_empty_interval_is_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "del3")
+    be = _ranged_table(spark, path)
+    v0_files = list(be._manifest(path, 0)["files"])
+    ver, rewrote, carried = be.delete_where(
+        spark, path, "k BETWEEN 1000 AND 2000", {"k": (1000, 2000)}
+    )
+    assert ver == 1 and rewrote == 0 and carried == len(v0_files)
+    assert be._manifest(path, 1)["files"] == v0_files
+    assert be.read(spark, path).count() == 100

@@ -359,7 +359,9 @@ class ManifestParquetBackend:
             f"lost the commit race {self.max_retries + 1} times at {path}"
         )
 
-    def append(self, df: DataFrame, path: str) -> int:
+    def append(
+        self, df: DataFrame, path: str, merge_schema: bool = False
+    ) -> int:
         """Transactional append: commit the parent snapshot's files
         PLUS ``df``'s fresh files as a new version. Appends carry no
         read-modify-write dependency, so losing a version race is
@@ -367,7 +369,19 @@ class ManifestParquetBackend:
         and re-commit the SAME data files against it (unlike MERGE,
         whose result depends on the base it read). The ingest path a
         streaming ``foreachBatch`` or batch loader uses. Returns the
-        committed version."""
+        committed version.
+
+        ``merge_schema=True`` is the Delta ``mergeSchema`` analog —
+        additive schema evolution with NO data rewrite: columns of
+        ``df`` missing from the table schema are appended to the
+        manifest schema (as nullable), and columns of the table
+        missing from ``df`` are tolerated. Data files are immutable
+        and each keeps its own written columns; because reads apply
+        the manifest schema BY NAME over parquet, files lacking a
+        column surface it as NULL — old snapshots time-travel with
+        their old schema untouched. A column present on both sides
+        with a different type is an error either way (silent type
+        widening would corrupt reads far from the cause)."""
         base = self.latest_version(path)
         if base is None:
             raise FileNotFoundError(f"no table at {path}; create() first")
@@ -375,19 +389,32 @@ class ManifestParquetBackend:
         # compare (name, type) shape, not the raw schema JSON —
         # nullability and field metadata legitimately differ between
         # a createDataFrame batch and the stored table schema
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
         table_schema = StructType.fromJson(json.loads(man0["schema"]))
         shape = [(f.name, f.dataType.simpleString()) for f in df.schema]
         want = [(f.name, f.dataType.simpleString()) for f in table_schema]
-        if shape != want:
+        if merge_schema:
+            want_types = dict(want)
+            conflicts = [
+                (n, t, want_types[n])
+                for n, t in shape
+                if n in want_types and want_types[n] != t
+            ]
+            if conflicts:
+                raise ValueError(
+                    f"append type conflicts {conflicts} at {path}; "
+                    "mergeSchema only ADDS columns, it never retypes"
+                )
+        elif shape != want:
             # the commit reuses the table schema verbatim; silently
             # appending differently-shaped files would make reads
             # null-fill or fail later, far from the cause
             raise ValueError(
                 f"append schema {shape} differs from table schema "
                 f"{want} at {path}; align the batch to the table "
-                "schema (or recreate the table) before appending"
+                "schema, pass merge_schema=True for additive "
+                "evolution, or recreate the table"
             )
         # stats_cols is fixed at create() and inherited by every
         # commit, so reading it from any manifest is safe; the data
@@ -397,12 +424,46 @@ class ManifestParquetBackend:
         for _ in range(self.max_retries + 1):
             base = self.latest_version(path)
             man = self._manifest(path, base)
+            commit_schema = man["schema"]
+            if merge_schema:
+                # merge against the schema of the base we are
+                # committing onto — a rival append may have evolved
+                # it since man0; dropping THEIR columns here would
+                # un-evolve the table
+                latest = StructType.fromJson(json.loads(man["schema"]))
+                have = {
+                    f.name: f.dataType.simpleString()
+                    for f in latest.fields
+                }
+                clash = [
+                    (f.name, f.dataType.simpleString(), have[f.name])
+                    for f in df.schema
+                    if f.name in have
+                    and have[f.name] != f.dataType.simpleString()
+                ]
+                if clash:
+                    # a rival's evolution claimed the name with a
+                    # different type since man0 — same rule as the
+                    # up-front check
+                    raise ValueError(
+                        f"append type conflicts {clash} at {path}; "
+                        "mergeSchema only ADDS columns, never retypes"
+                    )
+                extra = [
+                    StructField(f.name, f.dataType, nullable=True)
+                    for f in df.schema
+                    if f.name not in have
+                ]
+                if extra:
+                    commit_schema = StructType(
+                        list(latest.fields) + extra
+                    ).json()
             if self._try_commit(
                 path,
                 base + 1,
                 {"version": base + 1, "parent": base,
                  "files": man["files"] + files,
-                 "schema": man["schema"],
+                 "schema": commit_schema,
                  "stats_cols": stats_cols,
                  "stats": {**man.get("stats", {}), **stats}},
             ):

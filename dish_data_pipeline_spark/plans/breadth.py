@@ -1466,6 +1466,144 @@ GROUP BY o_orderstatus
 """
 
 
+def q_bucketed_join_zero_shuffle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fact-fact join with the shuffle paid ONCE at write time
+    (``io.write_bucketed`` contract): orders and lineitem are saved
+    as 8-bucket parquet tables hashed on the order key (bucket
+    metadata lives in the session catalog; ``repartition(8, key)``
+    uses the same murmur3-pmod hash as ``bucketBy``, so each bucket
+    lands in exactly one file and the within-bucket ``sortBy`` is
+    trusted by the planner). The subsequent SortMergeJoin then reads
+    co-located buckets with NO Exchange on either side — at 100 TB
+    this converts every repeated fact-fact join against the table
+    into a local merge. Self-check certifies the scale property, not
+    just the values: the executed plan must contain exactly one
+    shuffle Exchange (the 3-group final aggregate) and a
+    SortMergeJoin (merge hint — bucketing is invisible under a
+    broadcast join, which would pass the value oracle while proving
+    nothing). Oracle: the plain join-aggregate."""
+    import shutil
+
+    o = read(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    tag = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
+    ).replace(".", "_").replace("-", "_")
+    base = os.path.join(tempfile.gettempdir(), f"bucketed_{tag}")
+    for short, df, key in (("bo", o, "o_orderkey"), ("bl", li, "l_orderkey")):
+        name = f"{short}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        path = os.path.join(base, short)
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            df.repartition(8, F.col(key))
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", path)
+            .saveAsTable(name)
+        )
+    joined = (
+        spark.table(f"bo_{tag}")
+        .hint("merge")
+        .join(
+            spark.table(f"bl_{tag}").hint("merge"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    res = joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    if shuffles > 1 or "SortMergeJoin" not in plan:
+        raise RuntimeError(
+            f"bucketed join not shuffle-free: {shuffles} shuffles, "
+            f"SMJ={'SortMergeJoin' in plan}\n{plan[:2000]}"
+        )
+    return res
+
+
+def q_schema_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive schema evolution on the lakehouse tier
+    (``ManifestParquetBackend.append(merge_schema=True)``, the Delta
+    ``mergeSchema`` analog): create the table with 2 columns, append
+    a batch carrying a NEW ``priority`` column — no data rewrite,
+    the manifest schema widens and pre-evolution files surface the
+    column as NULL on read. Self-check pins the time-travel
+    contract: v0 still reads with its original 2-column schema.
+    Oracle: UNION ALL with a NULL literal for the old rows."""
+    import shutil
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    o = read(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_totalprice",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"schema_evo_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    be = ManifestParquetBackend()
+    be.create(old, path)
+    ver = be.append(new, path, merge_schema=True)
+    if ver != 1 or be.read(spark, path, version=0).columns != [
+        "o_orderkey",
+        "o_totalprice",
+    ]:
+        raise RuntimeError("schema evolution broke time travel to v0")
+    cur = be.read(spark, path)
+    if cur.columns != ["o_orderkey", "o_totalprice", "priority"]:
+        raise RuntimeError(f"evolved schema wrong: {cur.columns}")
+    return cur.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+SQL_SCHEMA_EVOLUTION_ROUNDTRIP = f"""
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS total
+FROM (
+  SELECT o_totalprice, CAST(NULL AS VARCHAR) AS priority
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_totalprice, o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 3 = 1
+)
+GROUP BY priority
+"""
+
+
+SQL_BUCKETED_JOIN_ZERO_SHUFFLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 BREADTH_QUERIES: dict[str, QueryDef] = {
     "conditional_aggs": QueryDef(
         q_conditional_aggs, SQL_CONDITIONAL_AGGS,
@@ -1556,6 +1694,18 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
     "raw_zone_roundtrip": QueryDef(
         q_raw_zone_roundtrip, SQL_RAW_ZONE_ROUNDTRIP,
         "S2 raw-zone partitioned write + pruned read", ("io",)),
+    "bucketed_join_zero_shuffle": QueryDef(
+        q_bucketed_join_zero_shuffle,
+        SQL_BUCKETED_JOIN_ZERO_SHUFFLE,
+        "co-bucketed fact-fact SortMergeJoin with zero join-side "
+        "Exchange (plan-asserted), shuffle paid once at write time",
+        ("io", "scale")),
+    "schema_evolution_roundtrip": QueryDef(
+        q_schema_evolution_roundtrip,
+        SQL_SCHEMA_EVOLUTION_ROUNDTRIP,
+        "lakehouse additive schema evolution (mergeSchema append): "
+        "no rewrite, NULL-backfilled read, v0 time-travel intact",
+        ("lakehouse", "io")),
     "manifest_delete_roundtrip": QueryDef(
         q_manifest_delete_roundtrip,
         SQL_MANIFEST_DELETE_ROUNDTRIP,

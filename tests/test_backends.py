@@ -535,3 +535,90 @@ def test_delete_where_empty_interval_is_metadata_only(spark, tmp_path):
     assert ver == 1 and rewrote == 0 and carried == len(v0_files)
     assert be._manifest(path, 1)["files"] == v0_files
     assert be.read(spark, path).count() == 100
+
+
+# --- append(merge_schema=True): additive schema evolution ----------
+def test_append_merge_schema_adds_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "evo1")
+    be = ManifestParquetBackend()
+    be.create(spark.range(3).select(F.col("id").alias("k")), path)
+    v = be.append(
+        spark.range(3, 6).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        ),
+        path,
+        merge_schema=True,
+    )
+    assert v == 1
+    cur = be.read(spark, path)
+    assert cur.columns == ["k", "tag"]
+    rows = {r.k: r.tag for r in cur.collect()}
+    # old files surface the new column as NULL; new files carry it
+    assert rows == {0: None, 1: None, 2: None, 3: "x", 4: "x", 5: "x"}
+    # time travel: v0 keeps its original 1-column schema
+    assert be.read(spark, path, version=0).columns == ["k"]
+
+
+def test_append_merge_schema_tolerates_missing_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "evo2")
+    be = ManifestParquetBackend()
+    be.create(
+        spark.range(2).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+        path,
+    )
+    # batch lacks v entirely — allowed under merge_schema, NULL-filled
+    be.append(
+        spark.range(2, 4).select(F.col("id").alias("k")),
+        path,
+        merge_schema=True,
+    )
+    rows = {r.k: r.v for r in be.read(spark, path).collect()}
+    assert rows == {0: 1, 1: 1, 2: None, 3: None}
+
+
+def test_append_merge_schema_rejects_type_conflict(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "evo3")
+    be = ManifestParquetBackend()
+    be.create(
+        spark.range(2).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+        path,
+    )
+    with pytest.raises(ValueError, match="type conflicts"):
+        be.append(
+            spark.range(2, 4).select(
+                F.col("id").alias("k"), F.lit("s").alias("v")
+            ),
+            path,
+            merge_schema=True,
+        )
+
+
+def test_append_without_merge_schema_still_strict(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "evo4")
+    be = ManifestParquetBackend()
+    be.create(spark.range(2).select(F.col("id").alias("k")), path)
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        be.append(
+            spark.range(2).select(
+                F.col("id").alias("k"), F.lit("x").alias("tag")
+            ),
+            path,
+        )

@@ -165,6 +165,32 @@ def _footer_min_max(
     return out
 
 
+#: Bloom probes per value. 5 hashes at ~16 bits/row gives fpp ≈
+#: (1 - e^(-5/16))^5 ≈ 0.2% — standard Delta/Iceberg territory.
+BLOOM_K = 5
+#: Build-time position space; per-file filters FOLD down from this
+#: (powers of two: (x mod 2^a) mod 2^b == x mod 2^b for b <= a), so
+#: one distributed aggregate serves files of any row count.
+BLOOM_M_MAX = 1 << 22
+
+
+def _bloom_membership(entry: dict, h: int, coeffs) -> bool:
+    """Probe one file's bloom entry with a 60-bit value hash. The
+    probe arithmetic is the builder's exactly: universal-hash perm
+    of the md5-derived value hash, folded mod the file's power-of-
+    two filter size (mods by powers of two compose, so folding from
+    BLOOM_M_MAX at build time and probing mod ``m`` agree)."""
+    from dish_data_pipeline_spark.ops.portable import py_perm
+
+    m = entry["m"]
+    positions = [py_perm(h, a, b) % m for a, b in coeffs]
+    if "pos" in entry:
+        s = set(entry["pos"])
+        return all(p in s for p in positions)
+    bitmap = int(entry["hex"], 16)
+    return all((bitmap >> p) & 1 for p in positions)
+
+
 class ManifestParquetBackend:
     """Versioned-manifest Parquet table with optimistic concurrency.
 
@@ -255,6 +281,108 @@ class ManifestParquetBackend:
                     stats[rel] = s
         return files, df.schema.json(), stats
 
+    def _bloom_for_files(
+        self,
+        spark: SparkSession,
+        path: str,
+        rel_files: Sequence[str],
+        cfg: dict,
+    ) -> dict:
+        """Per-file bloom filters for ``cfg['cols']`` over freshly
+        written parquet files — the equality-predicate half of data
+        skipping (footer min/max prunes ranges; a point lookup on an
+        UNCLUSTERED column overlaps every file's [min,max], and only
+        a bloom can prove absence). One distributed aggregate per
+        column: md5-portable value hash → BLOOM_K universal-hash
+        positions mod BLOOM_M_MAX → ``collect_set`` per file (state
+        bounded by the filter size, never by row count), folded down
+        driver-side to each file's power-of-two size chosen from its
+        footer row count. NULLs are skipped — a bloom answers
+        non-null equality only."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from dish_data_pipeline_spark.ops.portable import (
+            perm_coeffs,
+            perm_expr,
+            spark_phash,
+        )
+
+        coeffs = perm_coeffs(BLOOM_K, cfg["seed"])
+        bpr = cfg["bits_per_row"]
+        m_of: dict[str, int] = {}
+        for rel in rel_files:
+            n = pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+            m_of[rel] = max(1024, 1 << (bpr * max(n, 1)).bit_length())
+        # input_file_name is an absolute file: URI; key by the
+        # stable data/<uuid>/<name> suffix it shares with rel paths
+        key = F.concat_ws(
+            "/",
+            F.element_at(F.split(F.input_file_name(), "/"), -3),
+            F.element_at(F.split(F.input_file_name(), "/"), -2),
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        df = spark.read.parquet(
+            *[os.path.join(path, f) for f in rel_files]
+        ).select(key.alias("_f"), *cfg["cols"])
+        out: dict[str, dict] = {rel: {} for rel in rel_files}
+        for col in cfg["cols"]:
+            h = spark_phash(f"cast(`{col}` as string)")
+            pos_exprs = [
+                F.expr(f"({perm_expr(h, a, b)}) % {BLOOM_M_MAX}")
+                for a, b in coeffs
+            ]
+            agg = (
+                df.filter(F.col(col).isNotNull())
+                .select("_f", F.explode(F.array(*pos_exprs)).alias("p"))
+                .groupBy("_f")
+                .agg(F.collect_set("p").alias("ps"))
+                .collect()
+            )
+            by_file = {r["_f"]: r["ps"] for r in agg}
+            for rel in rel_files:
+                m = m_of[rel]
+                bits = sorted({p % m for p in by_file.get(rel, [])})
+                if len(bits) * 64 <= m:
+                    out[rel][col] = {"m": m, "pos": bits}
+                else:
+                    bitmap = 0
+                    for p in bits:
+                        bitmap |= 1 << p
+                    out[rel][col] = {"m": m, "hex": f"{bitmap:x}"}
+        return out
+
+    def _bloom_commit_entry(
+        self,
+        spark: SparkSession,
+        path: str,
+        parent_man: dict,
+        new_files: Sequence[str],
+        carried: Sequence[str] = (),
+    ) -> dict | None:
+        """Bloom manifest entry for a commit: carried files keep
+        their existing filters (immutable bytes → immutable filter),
+        new files get freshly built ones. None when the table never
+        opted into blooms."""
+        cfg = parent_man.get("bloom")
+        if not cfg:
+            return None
+        carried_set = set(carried)
+        files = {
+            rel: e
+            for rel, e in (cfg.get("files") or {}).items()
+            if rel in carried_set
+        }
+        if new_files:
+            files.update(self._bloom_for_files(spark, path, new_files, cfg))
+        return {
+            "cols": cfg["cols"],
+            "k": cfg["k"],
+            "seed": cfg["seed"],
+            "bits_per_row": cfg["bits_per_row"],
+            "files": files,
+        }
+
     def _try_commit(self, path: str, version: int, manifest: dict) -> bool:
         """Atomically claim ``version``; False if a rival got there."""
         log = self._log_dir(path)
@@ -303,20 +431,38 @@ class ManifestParquetBackend:
         df: DataFrame,
         path: str,
         stats_cols: Sequence[str] | None = None,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_bits_per_row: int = 16,
+        bloom_seed: int = 42,
     ) -> None:
         """Create version 0. ``stats_cols`` opts the table into
         per-file min/max stats in every future manifest (inherited by
-        MERGE and compaction) — the data-skipping contract."""
+        MERGE and compaction) — the range half of data skipping.
+        ``bloom_cols`` additionally records a per-file bloom filter
+        for each listed column (int/string typed — the probe hashes
+        ``str(value)``, matching Spark's string cast), inherited by
+        every future commit — the EQUALITY half: a point lookup on a
+        column the table is not clustered by overlaps every file's
+        [min,max], and only a bloom can prove a file clean."""
         os.makedirs(path, exist_ok=True)
         if self.latest_version(path) is not None:
             raise CommitConflict(f"table already exists at {path}")
         files, schema, stats = self._write_data(df, path, stats_cols)
-        if not self._try_commit(
-            path, 0, {"version": 0, "parent": None, "files": files,
-                      "schema": schema,
-                      "stats_cols": list(stats_cols or []),
-                      "stats": stats}
-        ):
+        manifest = {"version": 0, "parent": None, "files": files,
+                    "schema": schema,
+                    "stats_cols": list(stats_cols or []),
+                    "stats": stats}
+        if bloom_cols:
+            cfg = {"cols": list(bloom_cols), "k": BLOOM_K,
+                   "seed": bloom_seed,
+                   "bits_per_row": bloom_bits_per_row}
+            manifest["bloom"] = {
+                **cfg,
+                "files": self._bloom_for_files(
+                    df.sparkSession, path, files, cfg
+                ),
+            }
+        if not self._try_commit(path, 0, manifest):
             raise CommitConflict(f"concurrent create at {path}")
 
     def merge_keep_latest(
@@ -347,13 +493,15 @@ class ManifestParquetBackend:
             )
             if _pre_commit_hook is not None:
                 _pre_commit_hook(attempt)
-            if self._try_commit(
-                path,
-                base + 1,
-                {"version": base + 1, "parent": base, "files": files,
-                 "schema": schema, "stats_cols": stats_cols,
-                 "stats": stats},
-            ):
+            manifest = {"version": base + 1, "parent": base,
+                        "files": files, "schema": schema,
+                        "stats_cols": stats_cols, "stats": stats}
+            bloom = self._bloom_commit_entry(
+                spark, path, self._manifest(path, base), files
+            )
+            if bloom is not None:
+                manifest["bloom"] = bloom
+            if self._try_commit(path, base + 1, manifest):
                 return
         raise CommitConflict(
             f"lost the commit race {self.max_retries + 1} times at {path}"
@@ -458,15 +606,17 @@ class ManifestParquetBackend:
                     commit_schema = StructType(
                         list(latest.fields) + extra
                     ).json()
-            if self._try_commit(
-                path,
-                base + 1,
-                {"version": base + 1, "parent": base,
-                 "files": man["files"] + files,
-                 "schema": commit_schema,
-                 "stats_cols": stats_cols,
-                 "stats": {**man.get("stats", {}), **stats}},
-            ):
+            manifest = {"version": base + 1, "parent": base,
+                        "files": man["files"] + files,
+                        "schema": commit_schema,
+                        "stats_cols": stats_cols,
+                        "stats": {**man.get("stats", {}), **stats}}
+            bloom = self._bloom_commit_entry(
+                df.sparkSession, path, man, files, carried=man["files"]
+            )
+            if bloom is not None:
+                manifest["bloom"] = bloom
+            if self._try_commit(path, base + 1, manifest):
                 return base + 1
         raise CommitConflict(
             f"lost the append race {self.max_retries + 1} times at {path}"
@@ -514,15 +664,16 @@ class ManifestParquetBackend:
             )
         else:
             df = df.coalesce(target_files)
-        stats_cols = self._manifest(path, base).get("stats_cols") or []
+        man = self._manifest(path, base)
+        stats_cols = man.get("stats_cols") or []
         files, schema, stats = self._write_data(df, path, stats_cols)
-        committed = self._try_commit(
-            path,
-            base + 1,
-            {"version": base + 1, "parent": base, "files": files,
-             "schema": schema, "compaction": True,
-             "stats_cols": stats_cols, "stats": stats},
-        )
+        manifest = {"version": base + 1, "parent": base, "files": files,
+                    "schema": schema, "compaction": True,
+                    "stats_cols": stats_cols, "stats": stats}
+        bloom = self._bloom_commit_entry(spark, path, man, files)
+        if bloom is not None:
+            manifest["bloom"] = bloom
+        committed = self._try_commit(path, base + 1, manifest)
         return base + 1 if committed else -1
 
     def delete_where(
@@ -579,14 +730,16 @@ class ManifestParquetBackend:
             if f not in affected_set
         }
         stats.update(new_stats)
-        committed = self._try_commit(
-            path,
-            base + 1,
-            {"version": base + 1, "parent": base,
-             "files": carried + new_files, "schema": man["schema"],
-             "delete": predicate, "stats_cols": stats_cols,
-             "stats": stats},
+        manifest = {"version": base + 1, "parent": base,
+                    "files": carried + new_files,
+                    "schema": man["schema"], "delete": predicate,
+                    "stats_cols": stats_cols, "stats": stats}
+        bloom = self._bloom_commit_entry(
+            spark, path, man, new_files, carried=carried
         )
+        if bloom is not None:
+            manifest["bloom"] = bloom
+        committed = self._try_commit(path, base + 1, manifest)
         return (
             base + 1 if committed else -1,
             len(affected),
@@ -627,17 +780,35 @@ class ManifestParquetBackend:
         path: str,
         intervals: dict[str, tuple],
         version: int | None = None,
+        equals: dict | None = None,
     ) -> tuple[list[str], int]:
         """Manifest-only file skipping: keep the files whose recorded
         [min, max] OVERLAPS every requested ``col: (lo, hi)``
-        interval (``None`` bound = unbounded). Files without stats
-        for a column are always kept — pruning is sound, never
-        required. Returns (kept relative files, total files)."""
+        interval (``None`` bound = unbounded) AND whose bloom filter
+        (if the table recorded one for the column) may contain every
+        ``equals`` value. Files without stats/bloom for a column are
+        always kept — pruning is sound, never required. ``equals``
+        values hash via ``str(value)`` (int/string columns; matches
+        the builder's Spark string cast). Returns (kept relative
+        files, total files)."""
+        from dish_data_pipeline_spark.ops.portable import (
+            perm_coeffs,
+            py_phash,
+        )
+
         v = self.latest_version(path) if version is None else version
         if v is None:
             raise FileNotFoundError(f"no table at {path}")
         man = self._manifest(path, v)
         stats = man.get("stats", {})
+        bloom = man.get("bloom") or {}
+        bloom_files = bloom.get("files", {})
+        coeffs = (
+            perm_coeffs(bloom["k"], bloom["seed"]) if bloom else []
+        )
+        hashes = {
+            col: py_phash(str(val)) for col, val in (equals or {}).items()
+        }
         kept = []
         for f in man["files"]:
             fstats = stats.get(f, {})
@@ -652,6 +823,14 @@ class ManifestParquetBackend:
                     ok = False
                     break
             if ok:
+                for col, h in hashes.items():
+                    entry = bloom_files.get(f, {}).get(col)
+                    if entry is not None and not _bloom_membership(
+                        entry, h, coeffs
+                    ):
+                        ok = False
+                        break
+            if ok:
                 kept.append(f)
         return kept, len(man["files"])
 
@@ -661,16 +840,18 @@ class ManifestParquetBackend:
         path: str,
         intervals: dict[str, tuple],
         version: int | None = None,
+        equals: dict | None = None,
     ) -> DataFrame:
         """Stats-pruned snapshot read: every row matching the
-        intervals is guaranteed present (pruning only drops files
-        that PROVABLY contain no match); rows outside the intervals
-        may also be present — apply the exact predicate on top, as
-        any data-skipping reader does."""
+        intervals (and ``equals`` point predicates, bloom-checked)
+        is guaranteed present (pruning only drops files that
+        PROVABLY contain no match); rows outside the predicates may
+        also be present — apply the exact predicate on top, as any
+        data-skipping reader does."""
         from pyspark.sql.types import StructType
 
         v = self.latest_version(path) if version is None else version
-        kept, _total = self.prune_files(path, intervals, v)
+        kept, _total = self.prune_files(path, intervals, v, equals=equals)
         man = self._manifest(path, v)
         schema = StructType.fromJson(json.loads(man["schema"]))
         if not kept:

@@ -1535,6 +1535,68 @@ def q_bucketed_join_zero_shuffle(
     return res
 
 
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping on the lakehouse tier: the table
+    is CLUSTERED on ``o_orderkey`` (8 range files, tight orderkey
+    min/max), so a point lookup on the unclustered ``o_custkey``
+    overlaps every file's [min,max] — range stats prune nothing.
+    The per-file bloom recorded by ``create(bloom_cols=...)``
+    (md5-portable hash, k=5 universal probes, per-file power-of-two
+    sizing from footer row counts) proves most files clean. Probe
+    key = the customer with the FEWEST orders (tie → lowest key):
+    deterministic on both engines and guaranteed to live in few
+    files, so the self-check that at least one file was skipped
+    can't flake. Oracle: the same probe selection + plain join."""
+    import shutil
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    probe = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").asc(), F.col("o_custkey").asc())
+        .limit(1)
+        .collect()[0]["o_custkey"]
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"bloom_pl_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    be = ManifestParquetBackend()
+    be.create(
+        o.repartitionByRange(8, F.col("o_orderkey")).sortWithinPartitions(
+            "o_orderkey"
+        ),
+        path,
+        stats_cols=["o_orderkey"],
+        bloom_cols=["o_custkey"],
+    )
+    kept, total = be.prune_files(path, {}, equals={"o_custkey": probe})
+    if not (0 < len(kept) < total):
+        raise RuntimeError(
+            f"bloom pruning not exercised: kept {len(kept)}/{total} "
+            f"files for o_custkey={probe}"
+        )
+    return (
+        be.scan(spark, path, {}, equals={"o_custkey": probe})
+        .filter(F.col("o_custkey") == F.lit(probe))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_BLOOM_POINT_LOOKUP = """
+WITH probe AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey
+  ORDER BY COUNT(*) ASC, o_custkey ASC LIMIT 1)
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o JOIN probe p ON o.o_custkey = p.o_custkey
+"""
+
+
 def q_schema_evolution_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1700,6 +1762,12 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
         "co-bucketed fact-fact SortMergeJoin with zero join-side "
         "Exchange (plan-asserted), shuffle paid once at write time",
         ("io", "scale")),
+    "bloom_point_lookup": QueryDef(
+        q_bloom_point_lookup,
+        SQL_BLOOM_POINT_LOOKUP,
+        "lakehouse bloom data skipping: point lookup on an "
+        "unclustered column prunes files min/max stats cannot",
+        ("lakehouse", "io")),
     "schema_evolution_roundtrip": QueryDef(
         q_schema_evolution_roundtrip,
         SQL_SCHEMA_EVOLUTION_ROUNDTRIP,

@@ -622,3 +622,123 @@ def test_append_without_merge_schema_still_strict(spark, tmp_path):
             ),
             path,
         )
+
+
+# --- bloom-filter file skipping -------------------------------------
+def _bloom_table(spark, path, bits_per_row=16):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    be = ManifestParquetBackend()
+    # clustered on k; u is UNCLUSTERED (shuffled ordering), so k-range
+    # stats never help a u point lookup — only the bloom can
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2654435761 % 1000).alias("u"),
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    be.create(
+        df, path, stats_cols=["k"], bloom_cols=["u"],
+        bloom_bits_per_row=bits_per_row,
+    )
+    return be
+
+
+def test_bloom_prunes_point_lookup(spark, tmp_path):
+    path = str(tmp_path / "bl1")
+    be = _bloom_table(spark, path)
+    # u = 0 exists only for k = 0 (2654435761*0 % 1000) among few ks;
+    # find a u value present in exactly one file: probe all
+    rows = [(r.k, r.u) for r in be.read(spark, path).collect()]
+    from collections import Counter
+
+    file_of_k = {k: k * 4 // 400 for k, _ in rows}  # range partitioner
+    files_of_u = {}
+    for k, u in rows:
+        files_of_u.setdefault(u, set()).add(file_of_k[k])
+    one_file_u = next(
+        u for u, fs in sorted(files_of_u.items()) if len(fs) == 1
+    )
+    kept, total = be.prune_files(path, {}, equals={"u": one_file_u})
+    assert total == 4 and len(kept) < total
+    got = sorted(
+        r.k
+        for r in be.scan(spark, path, {}, equals={"u": one_file_u})
+        .filter(f"u = {one_file_u}")
+        .collect()
+    )
+    want = sorted(k for k, u in rows if u == one_file_u)
+    assert got == want
+
+
+def test_bloom_absent_value_prunes_everything(spark, tmp_path):
+    path = str(tmp_path / "bl2")
+    be = _bloom_table(spark, path)
+    kept, total = be.prune_files(path, {}, equals={"u": 123456789})
+    assert total == 4 and kept == []
+    assert be.scan(spark, path, {}, equals={"u": 123456789}).count() == 0
+
+
+def test_bloom_survives_append_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "bl3")
+    be = _bloom_table(spark, path)
+    be.append(
+        spark.range(400, 500).select(
+            F.col("id").alias("k"),
+            F.lit(777777).cast("bigint").alias("u"),
+        ),
+        path,
+    )
+    # new value findable, and only in the appended file(s)
+    kept, total = be.prune_files(path, {}, equals={"u": 777777})
+    assert 1 <= len(kept) < total
+    assert (
+        be.scan(spark, path, {}, equals={"u": 777777})
+        .filter("u = 777777").count() == 100
+    )
+    v = be.compact(spark, path, target_files=2)
+    assert v >= 0
+    # blooms rebuilt for the compacted files: lookup still exact
+    assert (
+        be.scan(spark, path, {}, equals={"u": 777777})
+        .filter("u = 777777").count() == 100
+    )
+
+
+def test_bloom_dense_hex_encoding_roundtrip(spark, tmp_path):
+    # tiny bits_per_row saturates the filter into the hex-bitmap
+    # branch; membership must still never false-negative
+    path = str(tmp_path / "bl4")
+    be = _bloom_table(spark, path, bits_per_row=1)
+    man = be._manifest(path, 0)
+    encodings = {
+        ("hex" in e) for f in man["bloom"]["files"].values()
+        for e in f.values()
+    }
+    assert True in encodings  # at least one dense bitmap
+    rows = [(r.k, r.u) for r in be.read(spark, path).collect()]
+    for _, u in rows[:20]:
+        kept, _ = be.prune_files(path, {}, equals={"u": u})
+        assert kept  # present values always survive pruning
+
+
+def test_bloom_nulls_skipped(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "bl5")
+    be = ManifestParquetBackend()
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("u"),
+    )
+    be.create(df, path, bloom_cols=["u"])
+    kept, total = be.prune_files(path, {}, equals={"u": 42})
+    assert kept  # 42 is even, present
+    kept, _ = be.prune_files(path, {}, equals={"u": 43})
+    assert kept == []  # odd → NULL, blooms never index NULL

@@ -451,7 +451,7 @@ class ManifestParquetBackend:
         manifest = {"version": 0, "parent": None, "files": files,
                     "schema": schema,
                     "stats_cols": list(stats_cols or []),
-                    "stats": stats}
+                    "stats": stats, "txns": {}}
         if bloom_cols:
             cfg = {"cols": list(bloom_cols), "k": BLOOM_K,
                    "seed": bloom_seed,
@@ -495,7 +495,8 @@ class ManifestParquetBackend:
                 _pre_commit_hook(attempt)
             manifest = {"version": base + 1, "parent": base,
                         "files": files, "schema": schema,
-                        "stats_cols": stats_cols, "stats": stats}
+                        "stats_cols": stats_cols, "stats": stats,
+                        "txns": self._manifest(path, base).get("txns", {})}
             bloom = self._bloom_commit_entry(
                 spark, path, self._manifest(path, base), files
             )
@@ -508,8 +509,12 @@ class ManifestParquetBackend:
         )
 
     def append(
-        self, df: DataFrame, path: str, merge_schema: bool = False
-    ) -> int:
+        self,
+        df: DataFrame,
+        path: str,
+        merge_schema: bool = False,
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Transactional append: commit the parent snapshot's files
         PLUS ``df``'s fresh files as a new version. Appends carry no
         read-modify-write dependency, so losing a version race is
@@ -529,11 +534,26 @@ class ManifestParquetBackend:
         column surface it as NULL — old snapshots time-travel with
         their old schema untouched. A column present on both sides
         with a different type is an error either way (silent type
-        widening would corrupt reads far from the cause)."""
+        widening would corrupt reads far from the cause).
+
+        ``txn=(app_id, batch_id)`` makes the append IDEMPOTENT — the
+        Delta ``txnAppId``/``txnVersion`` device for exactly-once
+        streaming sinks over an at-least-once ``foreachBatch``:
+        every manifest rolls forward a ``txns`` map of the highest
+        batch id committed per app, and an append whose batch id is
+        already covered commits NOTHING and returns None (the check
+        re-runs inside the commit loop, so a rival's commit of the
+        same txn between check and link is caught by the version
+        race, never double-applied). Batch ids per app must be
+        monotonic (Structured Streaming's are)."""
         base = self.latest_version(path)
         if base is None:
             raise FileNotFoundError(f"no table at {path}; create() first")
         man0 = self._manifest(path, base)
+        if txn is not None and (
+            man0.get("txns", {}).get(txn[0], -1) >= txn[1]
+        ):
+            return None  # fast path: replay detected before any write
         # compare (name, type) shape, not the raw schema JSON —
         # nullability and field metadata legitimately differ between
         # a createDataFrame batch and the stored table schema
@@ -572,6 +592,11 @@ class ManifestParquetBackend:
         for _ in range(self.max_retries + 1):
             base = self.latest_version(path)
             man = self._manifest(path, base)
+            txns = dict(man.get("txns", {}))
+            if txn is not None:
+                if txns.get(txn[0], -1) >= txn[1]:
+                    return None  # rival committed our txn mid-race
+                txns[txn[0]] = txn[1]
             commit_schema = man["schema"]
             if merge_schema:
                 # merge against the schema of the base we are
@@ -610,7 +635,8 @@ class ManifestParquetBackend:
                         "files": man["files"] + files,
                         "schema": commit_schema,
                         "stats_cols": stats_cols,
-                        "stats": {**man.get("stats", {}), **stats}}
+                        "stats": {**man.get("stats", {}), **stats},
+                        "txns": txns}
             bloom = self._bloom_commit_entry(
                 df.sparkSession, path, man, files, carried=man["files"]
             )
@@ -669,7 +695,8 @@ class ManifestParquetBackend:
         files, schema, stats = self._write_data(df, path, stats_cols)
         manifest = {"version": base + 1, "parent": base, "files": files,
                     "schema": schema, "compaction": True,
-                    "stats_cols": stats_cols, "stats": stats}
+                    "stats_cols": stats_cols, "stats": stats,
+                    "txns": man.get("txns", {})}
         bloom = self._bloom_commit_entry(spark, path, man, files)
         if bloom is not None:
             manifest["bloom"] = bloom
@@ -733,7 +760,8 @@ class ManifestParquetBackend:
         manifest = {"version": base + 1, "parent": base,
                     "files": carried + new_files,
                     "schema": man["schema"], "delete": predicate,
-                    "stats_cols": stats_cols, "stats": stats}
+                    "stats_cols": stats_cols, "stats": stats,
+                    "txns": man.get("txns", {})}
         bloom = self._bloom_commit_entry(
             spark, path, man, new_files, carried=carried
         )

@@ -1806,6 +1806,108 @@ FROM events WHERE ts IS NOT NULL
 """
 
 
+# --- Streaming exactly-once lakehouse sink, replay-certified --------
+def q_stream_sink_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EIGHTH streaming certification — the SINK side of the
+    streaming story (the previous seven certify operators; this one
+    certifies delivery): ``streaming.pipeline.stream_append_to_table``
+    ingests events into a manifest lakehouse table through
+    ``foreachBatch`` + per-``(app, batch)`` txn markers (the Delta
+    ``txnAppId``/``txnVersion`` device). The stream runs TWICE over
+    the same two-file source — the second run with a FRESH checkpoint,
+    the worst-case at-least-once replay (every batch re-executes) —
+    and the self-check pins exactly-once delivery structurally: the
+    table's version count must not move on replay (v0 create + one
+    append per batch, then nothing). Oracle: a plain aggregate over
+    events — any duplicated batch would double counts and fail the
+    value hash."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.streaming.pipeline import (
+        stream_append_to_table,
+    )
+
+    e = (
+        read(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        .localCheckpoint()
+    )
+    mid = e.agg(
+        F.percentile_approx("ts", 0.5, 1_000_000).alias("m")
+    ).collect()[0]["m"]
+    work = _tmp.mkdtemp(prefix="stream_sink_eo_")
+    src_dir = _os.path.join(work, "src")
+    _os.makedirs(src_dir)
+    table = _os.path.join(work, "table")
+    try:
+        for i, part in enumerate(
+            (e.filter(F.col("ts") <= mid), e.filter(F.col("ts") > mid))
+        ):
+            tmp = _os.path.join(work, f"_stage{i}")
+            part.coalesce(1).write.parquet(tmp)
+            (src,) = [f for f in _os.listdir(tmp) if f.endswith(".parquet")]
+            _os.replace(
+                _os.path.join(tmp, src),
+                _os.path.join(src_dir, f"b{i}.parquet"),
+            )
+            _sh.rmtree(tmp)
+            _os.utime(
+                _os.path.join(src_dir, f"b{i}.parquet"),
+                (1_700_000_000 + i * 60,) * 2,
+            )
+        be = ManifestParquetBackend()
+        be.create(spark.createDataFrame([], e.schema), table)
+
+        def run(ck: str) -> None:
+            q = stream_append_to_table(
+                spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir),
+                table,
+                _os.path.join(work, ck),
+                app_id="events_ingest",
+            )
+            q.awaitTermination(300)
+
+        run("ck1")
+        v1 = be.latest_version(table)
+        run("ck2")  # fresh checkpoint = full at-least-once replay
+        v2 = be.latest_version(table)
+        if not (v1 == 2 and v2 == 2):
+            raise RuntimeError(
+                f"exactly-once broken: versions {v1} -> {v2} "
+                "(replay must commit nothing)"
+            )
+        out = (
+            be.read(spark, table)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum(F.col("value")).alias("sum_value"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
+
+
+SQL_STREAM_SINK_EXACTLY_ONCE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('value')} AS sum_value
+FROM events WHERE ts IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # --- ML preprocessing: group-mean imputation -----------------------
 def q_impute_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL imputation with the per-group mean — the standard
@@ -2579,6 +2681,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "3-day retries, cross-batch state) vs distinct-originals "
         "oracle",
         ("streaming", "dedup")),
+    "stream_sink_exactly_once": QueryDef(
+        q_stream_sink_exactly_once, SQL_STREAM_SINK_EXACTLY_ONCE,
+        "exactly-once foreachBatch lakehouse sink: txn-marker "
+        "appends, full fresh-checkpoint replay commits nothing",
+        ("streaming", "lakehouse", "io")),
     "exact_median": QueryDef(
         q_exact_median, SQL_EXACT_MEDIAN,
         "distributed EXACT median (iterative histogram narrowing, no "

@@ -185,3 +185,36 @@ def stream_upsert_to_target(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_append_to_table(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    app_id: str,
+):
+    """EXACTLY-ONCE streaming ingest into a manifest lakehouse table
+    (``io_backends.ManifestParquetBackend``): transactional append
+    plus per-``(app_id, batch_id)`` idempotence markers rolled
+    forward in every manifest — the Delta ``txnAppId``/``txnVersion``
+    device. ``foreachBatch`` is at-least-once (a crash after commit
+    but before checkpoint re-runs the batch); the replayed batch
+    finds its marker and commits NOTHING, so table contents are
+    exactly-once even across checkpoint recovery or a full
+    fresh-checkpoint replay of the source. The table must exist
+    (``create()`` it with the stream's schema first).
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    be = ManifestParquetBackend()
+
+    def do_append(batch: DataFrame, batch_id: int) -> None:
+        be.append(batch, table_path, txn=(app_id, batch_id))
+
+    return (
+        stream_df.writeStream.foreachBatch(do_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -742,3 +742,81 @@ def test_bloom_nulls_skipped(spark, tmp_path):
     assert kept  # 42 is even, present
     kept, _ = be.prune_files(path, {}, equals={"u": 43})
     assert kept == []  # odd → NULL, blooms never index NULL
+
+
+# --- txn-idempotent append (exactly-once sink device) ---------------
+def test_append_txn_replay_is_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "txn1")
+    be = ManifestParquetBackend()
+    be.create(spark.range(5).select(F.col("id").alias("k")), path)
+    batch = spark.range(5, 8).select(F.col("id").alias("k"))
+    assert be.append(batch, path, txn=("appA", 0)) == 1
+    # replay of the same (app, batch): no commit, no duplicate rows
+    assert be.append(batch, path, txn=("appA", 0)) is None
+    assert be.latest_version(path) == 1
+    assert be.read(spark, path).count() == 8
+    # a DIFFERENT app's batch 0 is independent
+    assert be.append(batch, path, txn=("appB", 0)) == 2
+    # lower-than-max batch ids are also covered (monotonic contract)
+    assert be.append(batch, path, txn=("appA", 5)) == 3
+    assert be.append(batch, path, txn=("appA", 3)) is None
+
+
+def test_append_txn_survives_compaction(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "txn2")
+    be = ManifestParquetBackend()
+    be.create(spark.range(4).select(F.col("id").alias("k")), path)
+    batch = spark.range(4, 6).select(F.col("id").alias("k"))
+    be.append(batch, path, txn=("app", 7))
+    assert be.compact(spark, path, target_files=1) == 2
+    # the compacted manifest still carries the txn marker
+    assert be.append(batch, path, txn=("app", 7)) is None
+    assert be.read(spark, path).count() == 6
+
+
+def test_stream_append_exactly_once_across_replay(spark, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.streaming.pipeline import (
+        stream_append_to_table,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    ).coalesce(1).write.parquet(src)
+    table = str(tmp_path / "table")
+    be = ManifestParquetBackend()
+    be.create(
+        spark.createDataFrame([], "k bigint, g bigint"), table
+    )
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("k bigint, g bigint").parquet(src)
+    q = stream_append_to_table(stream, table, ckpt, app_id="ingest")
+    q.awaitTermination(120)
+    assert be.read(spark, table).count() == 10
+    v_after = be.latest_version(table)
+    # full replay with a FRESH checkpoint (same app, batch ids restart
+    # at 0 over the same files): markers make every commit a no-op
+    shutil.rmtree(ckpt)
+    q = stream_append_to_table(stream, table, ckpt, app_id="ingest")
+    q.awaitTermination(120)
+    assert be.read(spark, table).count() == 10
+    assert be.latest_version(table) == v_after
+    # a different app_id ingests the same data as NEW rows
+    q = stream_append_to_table(
+        stream, table, str(tmp_path / "ckpt2"), app_id="other"
+    )
+    q.awaitTermination(120)
+    assert be.read(spark, table).count() == 20

@@ -1908,6 +1908,129 @@ GROUP BY event_type
 """
 
 
+# --- Privacy release gate: k-anonymity + l-diversity ---------------
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release gate (``ops.privacy``): generalize customer
+    quasi-identifiers (nation kept, balance bucketed to 1000-wide
+    bands), k-anonymize at k=8 (cohorts smaller than 8 suppressed —
+    one window-count shuffle, no join), then report each surviving
+    cohort's size and l-diversity of the sensitive market segment.
+    Oracle: GROUP BY + HAVING over the same generalization — the
+    suppression decision must match exactly, including NULL-cohort
+    and negative-balance band edges (floor rounds toward -inf on
+    both engines)."""
+    from dish_data_pipeline_spark.ops.privacy import k_anonymize, l_diversity
+
+    c = read(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        "c_mktsegment",
+    )
+    anon = k_anonymize(c, ["c_nationkey", "bal_band"], k=8)
+    return l_diversity(anon, ["c_nationkey", "bal_band"], "c_mktsegment")
+
+
+SQL_K_ANONYMITY = """
+SELECT c_nationkey,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+FROM customer
+GROUP BY 1, 2
+HAVING COUNT(*) >= 8
+"""
+
+
+# --- Welch's t-test: A/B experiment readout -------------------------
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Welch's unequal-variance t-test between two
+    experiment arms (user parity split — deterministic on both
+    engines). The statistic chain is the ``stats_corr`` device:
+    values floor-quantize to integer cents, so the per-arm count /
+    sum / sum-of-squares moments are exact BIGINTs under any
+    aggregation order (safe domain: |value| <= ~1e6 cents with ~1e7
+    rows per arm keeps sum-of-squares below int64 max); the closing
+    t statistic and Welch–Satterthwaite dof are the same IEEE
+    expression on both engines, so the driver's value hash matches
+    bit-for-bit. One shuffle (the groupBy); conditional FILTER sums
+    keep both arms in a single pass."""
+    e = read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    y = F.floor(F.col("value") * 100).cast("bigint")
+    arm_a = (F.col("user_id") % 2) == 0
+    agg = e.groupBy("event_type").agg(
+        F.count(F.when(arm_a, 1)).alias("na"),
+        F.count(F.when(~arm_a, 1)).alias("nb"),
+        F.sum(F.when(arm_a, y)).alias("sa"),
+        F.sum(F.when(~arm_a, y)).alias("sb"),
+        F.sum(F.when(arm_a, y * y)).alias("ssa"),
+        F.sum(F.when(~arm_a, y * y)).alias("ssb"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ma, mb = d("sa") / d("na"), d("sb") / d("nb")
+    # unbiased variance from exact integer moments:
+    # (n*ss - s^2) / (n*(n-1)) — one expression shape on both engines
+    va = (d("na") * d("ssa") - d("sa") * d("sa")) / (
+        d("na") * (d("na") - F.lit(1.0))
+    )
+    vb = (d("nb") * d("ssb") - d("sb") * d("sb")) / (
+        d("nb") * (d("nb") - F.lit(1.0))
+    )
+    se2a, se2b = va / d("na"), vb / d("nb")
+    t = (ma - mb) / F.sqrt(se2a + se2b)
+    dof = (se2a + se2b) * (se2a + se2b) / (
+        se2a * se2a / (d("na") - F.lit(1.0))
+        + se2b * se2b / (d("nb") - F.lit(1.0))
+    )
+    return agg.select(
+        "event_type",
+        "na",
+        "nb",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        t.alias("t_stat"),
+        dof.alias("welch_dof"),
+    )
+
+
+SQL_AB_TEST_WELCH = """
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS na,
+         CAST(COUNT(*) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS nb,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+              FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS sa,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+              FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS sb,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+                  * CAST(FLOOR(value * 100) AS BIGINT))
+              FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS ssa,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+                  * CAST(FLOOR(value * 100) AS BIGINT))
+              FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS ssb
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type),
+v AS (
+  SELECT event_type, na, nb,
+         CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+         ((CAST(na AS DOUBLE) * CAST(ssa AS DOUBLE)
+           - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+          / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)))
+         / CAST(na AS DOUBLE) AS se2a,
+         ((CAST(nb AS DOUBLE) * CAST(ssb AS DOUBLE)
+           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+          / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)))
+         / CAST(nb AS DOUBLE) AS se2b
+  FROM m)
+SELECT event_type, na, nb, mean_a, mean_b,
+       (mean_a - mean_b) / SQRT(se2a + se2b) AS t_stat,
+       (se2a + se2b) * (se2a + se2b)
+       / (se2a * se2a / (CAST(na AS DOUBLE) - 1.0)
+          + se2b * se2b / (CAST(nb AS DOUBLE) - 1.0)) AS welch_dof
+FROM v
+"""
+
+
 # --- ML preprocessing: group-mean imputation -----------------------
 def q_impute_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL imputation with the per-group mean — the standard
@@ -2686,6 +2809,16 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "exactly-once foreachBatch lakehouse sink: txn-marker "
         "appends, full fresh-checkpoint replay commits nothing",
         ("streaming", "lakehouse", "io")),
+    "k_anonymity": QueryDef(
+        q_k_anonymity, SQL_K_ANONYMITY,
+        "k-anonymity suppression (k=8) + l-diversity report over "
+        "generalized customer quasi-identifiers",
+        ("privacy",)),
+    "ab_test_welch": QueryDef(
+        q_ab_test_welch, SQL_AB_TEST_WELCH,
+        "Welch's t-test per event type between user-parity arms, "
+        "exact integer moments, bit-identical closing IEEE math",
+        ("stats",)),
     "exact_median": QueryDef(
         q_exact_median, SQL_EXACT_MEDIAN,
         "distributed EXACT median (iterative histogram narrowing, no "

@@ -249,3 +249,99 @@ def incremental_agg_update(
             for m in measures
         ],
     ).filter(F.col("n_rows") > 0)
+
+
+def incremental_join_update(
+    view_old: DataFrame,
+    fact_delta: DataFrame,
+    dim_delta: DataFrame,
+    fact_new: DataFrame,
+    dim_new: DataFrame,
+    fact_key: str,
+    join_key: str,
+    fact_cols: Sequence[str],
+    dim_cols: Sequence[str],
+) -> DataFrame:
+    """Roll a materialized fact-dim INNER-join view forward from
+    BOTH sides' change feeds — join-view incremental maintenance,
+    the companion to :func:`incremental_agg_update` for the other
+    self-maintainable view shape. View schema: ``fact_key`` +
+    ``join_key`` + ``fact_cols`` (from the fact side, unique per
+    ``fact_key``) + ``dim_cols`` (from the dim side, unique per
+    ``join_key``).
+
+    The delta algebra (classic ΔV = ΔA⋈B ∪ A⋈ΔB, specialized to
+    key-unique sides):
+
+    - fact-touched rows (any ``fact_delta`` key) leave the view and,
+      for inserts/updates, REBUILD from the delta's ``new_*`` values
+      joined against the new dim;
+    - dim deletes kill every surviving fan-out row (inner-join
+      semantics);
+    - dim updates PATCH surviving rows' dim columns in place;
+    - dim inserts can REVIVE fact rows that previously dangled
+      (their dim key did not exist) — the one term that must probe
+      the new fact table, scoped to the inserted dim keys.
+
+    Scale shape: the big inputs (``view_old``, ``fact_new``) are
+    each scanned once and never shuffled — every join here is
+    against a delta-bounded or dim-sized side (broadcast under AQE);
+    deltas are persisted because multiple branches consume them.
+    Cost is O(|view| + |fact| map-side + |Δ| joins), independent of
+    re-joining the full fact×dim.
+
+    Contract (certified by the ``incremental_join_orders`` oracle):
+    the rolled-forward view row-equals ``fact_new ⋈ dim_new``
+    recomputed from scratch."""
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    fact_delta = tracked_persist(fact_delta)
+    dim_delta = tracked_persist(dim_delta)
+    ct = F.col("change_type")
+    view_cols = [fact_key, join_key, *fact_cols, *dim_cols]
+
+    touched = fact_delta.select(fact_key)
+    dim_deleted = dim_delta.filter(ct == "delete").select(join_key)
+    dim_patch = dim_delta.filter(ct == "update").select(
+        join_key,
+        F.lit(1).alias("_patched"),
+        *[F.col(f"new_{c}").alias(f"_new_{c}") for c in dim_cols],
+    )
+    survivors = (
+        view_old.join(F.broadcast(touched), [fact_key], "left_anti")
+        .join(F.broadcast(dim_deleted), [join_key], "left_anti")
+        .join(F.broadcast(dim_patch), [join_key], "left")
+        .select(
+            fact_key,
+            join_key,
+            *fact_cols,
+            *[
+                F.when(
+                    F.col("_patched").isNotNull(), F.col(f"_new_{c}")
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in dim_cols
+            ],
+        )
+    )
+    dim_new_slim = dim_new.select(join_key, *dim_cols)
+    rebuilt = (
+        fact_delta.filter(ct.isin("insert", "update"))
+        .select(
+            fact_key,
+            F.col(f"new_{join_key}").alias(join_key),
+            *[F.col(f"new_{c}").alias(c) for c in fact_cols],
+        )
+        .join(dim_new_slim, [join_key], "inner")
+        .select(*view_cols)
+    )
+    dim_inserted = dim_delta.filter(ct == "insert").select(join_key)
+    revived = (
+        fact_new.select(fact_key, join_key, *fact_cols)
+        .join(F.broadcast(dim_inserted), [join_key], "inner")
+        .join(F.broadcast(touched), [fact_key], "left_anti")
+        .join(dim_new_slim, [join_key], "inner")
+        .select(*view_cols)
+    )
+    return survivors.unionByName(rebuilt).unionByName(revived)

@@ -300,3 +300,92 @@ def weighted_sample(
         f"* {SAMPLE_DENOM}) AS BIGINT)"
     )
     return df.filter(F.expr(f"({h}) % {SAMPLE_DENOM} < {thresh}"))
+
+
+#: sqrt quantization for temperature sampling: floor(sqrt(n)·1e6)
+#: keeps the per-stratum mass an exact BIGINT so the normalizing sum
+#: is order-independent (the same floor-quantize device as
+#: plans.common.ZSCORE_SCALE). Safe domain: n up to ~8.4e9 rows per
+#: stratum keeps sqrt(n)·1e6 below int64 max comfortably.
+TEMP_SQRT_SCALE = 1_000_000
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    out_rows: int,
+    key_cols: Sequence[str],
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened corpus mixture at α = 0.5 (the
+    multilingual-pretraining standard — XLM-R / mBERT sample
+    languages ∝ n^α with α < 1 so head languages stop drowning the
+    tail): target share of stratum i is sqrt(n_i)/Σ_j sqrt(n_j), so
+    the keep rate is ``out_rows · sqrt(n_i) / (Σ sqrt(n_j) · n_i)``
+    — rare strata keep (relatively) much more than popular ones,
+    with no hand-written weight table to maintain.
+
+    α is FIXED at 0.5 because sqrt is the one power both Spark and
+    DuckDB round identically (correctly-rounded per IEEE-754, unlike
+    ``pow(n, α)``), which is what upgrades this from rows-only to an
+    exact value-hash oracle. The per-stratum sqrt masses are
+    floor-quantized to BIGINT (``TEMP_SQRT_SCALE``) so the
+    normalizing sum is exact under any aggregation order; the
+    closing rate math is one fixed-shape double expression.
+
+    Plan shape: per-stratum count (map-side combined, tiny) → 1-row
+    quantized-sqrt total cross-joined back (broadcast) → per-row
+    hash coin. No driver collect, membership a pure row-key
+    function — reproducible across runs, engines, cluster sizes."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.withColumn(
+        "_s",
+        F.expr(f"CAST(floor(sqrt(_n) * {TEMP_SQRT_SCALE}) AS BIGINT)"),
+    )
+    total = counts.agg(F.sum("_s").alias("_stot"))
+    thresh = F.expr(
+        f"least({SAMPLE_DENOM}, CAST(floor("
+        f"CAST({int(out_rows)} AS DOUBLE) * {SAMPLE_DENOM} * "
+        f"CAST(_s AS DOUBLE) / CAST(_stot AS DOUBLE) / CAST(_n AS DOUBLE)"
+        f") AS BIGINT))"
+    )
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        F.col(strata_col), thresh.alias("_thresh")
+    )
+    h = spark_phash(f"concat_ws('|', {', '.join(key_cols)}, {_sql_str(salt)})")
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(F.expr(f"({h}) % {SAMPLE_DENOM} < _thresh"))
+        .drop("_thresh")
+    )
+
+
+def temperature_sample_sql(
+    strata_col: str,
+    out_rows: int,
+    key_cols_sql: str,
+    table: str = "documents",
+    salt: str = "temp",
+) -> str:
+    """DuckDB twin of :func:`temperature_sample` — same quantized
+    masses, same rate expression, same hash coin."""
+    from dish_data_pipeline_spark.ops.portable import duck_phash
+
+    h = duck_phash(f"concat_ws('|', {key_cols_sql}, '{salt}')")
+    return f"""
+WITH counts AS (
+  SELECT {strata_col}, COUNT(*) AS _n,
+         CAST(floor(sqrt(COUNT(*)) * {TEMP_SQRT_SCALE}) AS BIGINT) AS _s
+  FROM {table} GROUP BY {strata_col}),
+tot AS (SELECT SUM(_s) AS _stot FROM counts),
+th AS (
+  SELECT {strata_col},
+         LEAST({SAMPLE_DENOM}, CAST(floor(
+           CAST({int(out_rows)} AS DOUBLE) * {SAMPLE_DENOM} *
+           CAST(_s AS DOUBLE) / CAST(_stot AS DOUBLE) /
+           CAST(_n AS DOUBLE)) AS BIGINT)) AS _thresh
+  FROM counts, tot)
+SELECT d.* FROM {table} d
+JOIN th ON th.{strata_col} = d.{strata_col}
+WHERE ({h}) % {SAMPLE_DENOM} < _thresh
+"""

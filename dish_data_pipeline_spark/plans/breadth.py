@@ -680,6 +680,92 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view incremental maintenance
+    (:func:`operators.diff.incremental_join_update`): the
+    materialized ``orders ⋈ customer`` view is rolled forward from
+    BOTH sides' change feeds without re-joining fact×dim. The
+    planted deltas exercise every algebra term: fact inserts
+    (%97 keys), fact deletes (%101), repriced fact updates (%7),
+    fact rows MOVING to a different customer (%31 → custkey+1, the
+    cross-key case), dim updates (%13 repriced balances, patched
+    in place on surviving fan-out), dim deletes (%59, killing their
+    fan-out), and dim inserts (%41 keys absent from the old dim,
+    REVIVING previously-dangling orders). Oracle: the new snapshots
+    joined from scratch — hash-identical or the maintenance algebra
+    is wrong."""
+    from dish_data_pipeline_spark.operators.diff import (
+        incremental_join_update,
+        snapshot_diff,
+    )
+
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        "o_totalprice",
+    )
+    c = read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment", "c_acctbal"
+    )
+    old_fact = o.filter(F.col("o_orderkey") % 97 != 0)
+    new_fact = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.col("o_totalprice") * F.lit(1.1),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "custkey",
+            F.when(
+                F.col("o_orderkey") % 31 == 0, F.col("custkey") + 1
+            ).otherwise(F.col("custkey")),
+        )
+    )
+    old_dim = c.filter(F.col("custkey") % 41 != 0)
+    new_dim = c.filter(F.col("custkey") % 59 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("custkey") % 13 == 0, F.col("c_acctbal") * F.lit(1.05)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    view_old = old_fact.join(old_dim, ["custkey"], "inner").select(
+        "o_orderkey", "custkey", "o_totalprice", "c_mktsegment", "c_acctbal"
+    )
+    fact_delta = snapshot_diff(
+        old_fact, new_fact, ["o_orderkey"],
+        ["custkey", "o_totalprice"], include_unchanged=False,
+    )
+    dim_delta = snapshot_diff(
+        old_dim, new_dim, ["custkey"],
+        ["c_mktsegment", "c_acctbal"], include_unchanged=False,
+    )
+    return incremental_join_update(
+        view_old, fact_delta, dim_delta, new_fact, new_dim,
+        "o_orderkey", "custkey",
+        ["o_totalprice"], ["c_mktsegment", "c_acctbal"],
+    )
+
+
+SQL_INCREMENTAL_JOIN = """
+SELECT o.o_orderkey,
+       CASE WHEN o.o_orderkey % 31 = 0 THEN o.o_custkey + 1
+            ELSE o.o_custkey END AS custkey,
+       CASE WHEN o.o_orderkey % 7 = 0 THEN o.o_totalprice * 1.1
+            ELSE o.o_totalprice END AS o_totalprice,
+       c.c_mktsegment,
+       CASE WHEN c.c_custkey % 13 = 0 THEN c.c_acctbal * 1.05
+            ELSE c.c_acctbal END AS c_acctbal
+FROM orders o
+JOIN customer c
+  ON c.c_custkey = CASE WHEN o.o_orderkey % 31 = 0
+                        THEN o.o_custkey + 1 ELSE o.o_custkey END
+WHERE o.o_orderkey % 101 <> 0 AND c.c_custkey % 59 <> 0
+"""
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC round trip: the snapshot delta (same derived old/new
     ``orders`` pair as ``snapshot_diff_orders``) is applied back
@@ -1712,6 +1798,12 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
         q_diff_summary, SQL_DIFF_SUMMARY,
         "reconciliation per-change-type counts (unchanged never materialized)",
         ("join", "cdc", "agg")),
+    "incremental_join_orders": QueryDef(
+        q_incremental_join, SQL_INCREMENTAL_JOIN,
+        "join-view IVM: orders x customer rolled forward from both "
+        "sides' deltas (rebuild/patch/kill/revive), vs from-scratch "
+        "join oracle",
+        ("ivm", "cdc")),
     "incremental_agg_orders": QueryDef(
         q_incremental_agg, SQL_INCREMENTAL_AGG,
         "incremental view maintenance: aggregate rolled forward from CDF delta",

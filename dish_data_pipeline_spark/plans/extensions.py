@@ -759,6 +759,39 @@ WHERE ({h}) % {SAMPLE_DENOM} < _thresh
 """
 
 
+# --- Temperature-flattened mixture (alpha = 0.5) -------------------
+TEMP_OUT_ROWS = 200
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling at α = 0.5 (``ops.sampling.
+    temperature_sample``): language shares flatten toward
+    sqrt-proportional — the XLM-R/mBERT device for keeping tail
+    languages alive in the mixture without a hand-maintained weight
+    table. The 200-doc budget keeps every stratum's rate strictly
+    below 1 at sf >= 0.01, so the flattening (tail languages kept at
+    a higher RATE than the head) actually binds rather than
+    degenerating into a pass-through. Exact oracle: sqrt is
+    correctly rounded on both engines
+    and the per-stratum masses are floor-quantized BIGINTs, so the
+    hash-coin membership matches bit-for-bit."""
+    from dish_data_pipeline_spark.ops.sampling import temperature_sample
+
+    d = read(spark, sf_dir, "documents")
+    return temperature_sample(
+        d, "lang", TEMP_OUT_ROWS, key_cols=["cast(doc_id as string)"]
+    ).select("doc_id", "lang")
+
+
+def _sql_temperature_mix() -> str:
+    from dish_data_pipeline_spark.ops.sampling import temperature_sample_sql
+
+    inner = temperature_sample_sql(
+        "lang", TEMP_OUT_ROWS, "cast(doc_id as string)"
+    )
+    return f"SELECT doc_id, lang FROM ({inner})"
+
+
 # --- Token-budgeted mixture sampling ------------------------------
 MIXTOK_OUT_TOKENS = 12_000
 
@@ -4123,6 +4156,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
     "corpus_mix": QueryDef(
         q_corpus_mix, _sql_corpus_mix(),
         "target-mixture sampling: rates derived in-plan from stratum counts",
+        ("sampling", "text")),
+    "temperature_mix": QueryDef(
+        q_temperature_mix, _sql_temperature_mix(),
+        "temperature-flattened mixture (alpha=0.5): keep rate "
+        "proportional to sqrt(n)/n, quantized-exact hash coin",
         ("sampling", "text")),
     "corpus_mix_tokens": QueryDef(
         q_corpus_mix_tokens, _sql_corpus_mix_tokens(),

@@ -2031,6 +2031,166 @@ FROM v
 """
 
 
+# --- CUPED variance-reduced A/B readout -----------------------------
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013 — the
+    standard industry A/B device): per-user pre-period spend (before
+    Jan 16) is the covariate X, post-period spend the metric Y;
+    θ = cov(X,Y)/var(X) is estimated POOLED, and each arm reports
+    its adjusted mean  ȳ_arm − θ·(x̄_arm − x̄_pooled), whose variance
+    shrinks by the X-Y correlation² without biasing the treatment
+    contrast. Exactness: per-user sums are integer cents, the five
+    pooled moments and per-arm sums are exact BIGINTs (safe domain:
+    per-user cents below ~3e9 at ~1e5 users keeps Σx² under int64
+    max), and θ / the adjusted means close as one fixed-shape IEEE
+    expression on both engines. Two shuffles (per-user, then 2-row
+    per-arm); the 1-row pooled moments broadcast."""
+    e = read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    per_user = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(pre, cents)), F.lit(0)).alias("x"),
+        F.coalesce(F.sum(F.when(~pre, cents)), F.lit(0)).alias("y"),
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    per_arm = per_user.groupBy(
+        (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("ax"),
+        F.sum("y").alias("ay"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    theta = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            "n_users",
+            (d("ay") / d("n_users")).alias("mean_post"),
+            theta.alias("theta"),
+            (
+                d("ay") / d("n_users")
+                - theta * (d("ax") / d("n_users") - d("sx") / d("n"))
+            ).alias("mean_adjusted"),
+        )
+    )
+
+
+SQL_AB_CUPED = """
+WITH pu AS (
+  SELECT user_id,
+         COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                  FILTER (WHERE ts < TIMESTAMP '2024-01-16'), 0) AS x,
+         COALESCE(SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                  FILTER (WHERE ts >= TIMESTAMP '2024-01-16'), 0) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id),
+pooled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pu),
+arms AS (
+  SELECT user_id % 2 AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS ax,
+         CAST(SUM(y) AS BIGINT) AS ay
+  FROM pu GROUP BY user_id % 2)
+SELECT arm, n_users,
+       CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_post,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+       CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)
+       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+         * (CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE)
+            - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_adjusted
+FROM arms, pooled
+"""
+
+
+# --- Benford first-digit audit --------------------------------------
+_BENFORD_CASE = (
+    "CASE digit WHEN 1 THEN 0.3010299956639812 "
+    "WHEN 2 THEN 0.17609125905568124 "
+    "WHEN 3 THEN 0.12493873660829992 "
+    "WHEN 4 THEN 0.09691001300805642 "
+    "WHEN 5 THEN 0.07918124604762482 "
+    "WHEN 6 THEN 0.06694678963061322 "
+    "WHEN 7 THEN 0.05799194697768673 "
+    "WHEN 8 THEN 0.05115252244738129 "
+    "ELSE 0.04575749056067514 END"
+)
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic fabricated-data / upstream-corruption screen a data
+    platform runs on financial measures. First digit extracts via
+    BIGINT→string (never ``log10``, whose last-ulp rounding differs
+    across libm builds); per-digit observed share and deviation from
+    the Benford expectation close as single IEEE divisions from
+    exact BIGINT counts, and the expected shares are shared literal
+    constants — so the driver hash-compares bit-for-bit. Output is
+    the 9-row per-digit table (no cross-row chi-square scalar: a
+    9-term double sum would be aggregation-order-dependent)."""
+    o = read(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) "
+            "AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr(_BENFORD_CASE).alias("expected_share"),
+            (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+                "observed_share"
+            ),
+            (
+                F.col("n").cast("double") / F.col("tot").cast("double")
+                - F.expr(_BENFORD_CASE)
+            ).alias("deviation"),
+        )
+    )
+
+
+SQL_BENFORD_PRICES = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+SELECT digit, n,
+       {_BENFORD_CASE} AS expected_share,
+       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS observed_share,
+       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+         - {_BENFORD_CASE} AS deviation
+FROM c, t
+"""
+
+
 # --- ML preprocessing: group-mean imputation -----------------------
 def q_impute_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL imputation with the per-group mean — the standard
@@ -2819,6 +2979,16 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "Welch's t-test per event type between user-parity arms, "
         "exact integer moments, bit-identical closing IEEE math",
         ("stats",)),
+    "ab_cuped": QueryDef(
+        q_ab_cuped, SQL_AB_CUPED,
+        "CUPED variance-reduced A/B means: pooled theta from exact "
+        "integer moments, per-arm adjusted post-period spend",
+        ("stats",)),
+    "benford_prices": QueryDef(
+        q_benford_prices, SQL_BENFORD_PRICES,
+        "Benford first-digit audit: string-extracted digits, exact "
+        "counts, per-digit deviation from literal expected shares",
+        ("stats", "quality")),
     "exact_median": QueryDef(
         q_exact_median, SQL_EXACT_MEDIAN,
         "distributed EXACT median (iterative histogram narrowing, no "

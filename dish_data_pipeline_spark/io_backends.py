@@ -473,9 +473,21 @@ class ManifestParquetBackend:
         keys: Sequence[str],
         ts_col: str,
         tiebreakers: Sequence[str] = (),
+        txn: tuple[str, int] | None = None,
         _pre_commit_hook=None,
-    ) -> None:
-        """Optimistic-retry MERGE (see class docstring).
+    ) -> int | None:
+        """Optimistic-retry MERGE (see class docstring). Returns the
+        committed version.
+
+        ``txn=(app_id, batch_id)`` gives MERGE the same idempotence
+        markers as :meth:`append` — the exactly-once device for a
+        streaming UPSERT sink: a replayed micro-batch whose marker is
+        already covered recomputes nothing and returns None. (A
+        keyed MERGE is idempotent in VALUE anyway — replaying the
+        same batch converges to the same rows — but the marker also
+        spares the replay's full read-upsert-write cycle and keeps
+        the version history one-commit-per-batch.)
+
         ``_pre_commit_hook(attempt)`` is a test seam invoked between
         materializing an attempt's result and trying its commit — the
         window where a rival can win the version race."""
@@ -486,8 +498,14 @@ class ManifestParquetBackend:
             base = self.latest_version(path)
             if base is None:
                 raise FileNotFoundError(f"no table at {path}; create() first")
+            man_base = self._manifest(path, base)
+            txns = dict(man_base.get("txns", {}))
+            if txn is not None:
+                if txns.get(txn[0], -1) >= txn[1]:
+                    return None  # replayed batch: already applied
+                txns[txn[0]] = txn[1]
             target = self.read(spark, path, base)
-            stats_cols = self._manifest(path, base).get("stats_cols") or []
+            stats_cols = man_base.get("stats_cols") or []
             files, schema, stats = self._write_data(
                 upsert(target, deduped, keys), path, stats_cols
             )
@@ -496,14 +514,14 @@ class ManifestParquetBackend:
             manifest = {"version": base + 1, "parent": base,
                         "files": files, "schema": schema,
                         "stats_cols": stats_cols, "stats": stats,
-                        "txns": self._manifest(path, base).get("txns", {})}
+                        "txns": txns}
             bloom = self._bloom_commit_entry(
-                spark, path, self._manifest(path, base), files
+                spark, path, man_base, files
             )
             if bloom is not None:
                 manifest["bloom"] = bloom
             if self._try_commit(path, base + 1, manifest):
-                return
+                return base + 1
         raise CommitConflict(
             f"lost the commit race {self.max_retries + 1} times at {path}"
         )
@@ -912,13 +930,19 @@ class ManifestParquetBackend:
             os.remove(self._manifest_path(path, v))
         return expired
 
-    def vacuum(self, path: str) -> list[str]:
+    def vacuum(self, path: str, min_age_seconds: float = 0.0) -> list[str]:
         """Delete data files referenced by NO committed manifest
-        (losers of commit races, crashed writers). Single-maintainer
-        operation: a concurrently *in-flight* writer's not-yet-
-        committed files look unreferenced too — run vacuum quiesced,
-        or accept that the in-flight writer retries (its commit loop
-        recomputes from scratch). Returns deleted relative paths."""
+        (losers of commit races, crashed writers, post-``expire_
+        versions`` orphans). ``min_age_seconds`` is the Delta
+        ``VACUUM ... RETAIN`` safety window: an unreferenced
+        directory younger than the window is SKIPPED, because it may
+        belong to a writer that has materialized its files but not
+        yet linked its manifest — deleting them mid-commit would
+        strand a manifest pointing at missing files. With the
+        default 0 this remains a quiesced single-maintainer
+        operation; with a window >= the longest plausible
+        write-to-commit gap it is safe to run alongside live
+        writers. Returns deleted relative paths."""
         log = self._log_dir(path)
         if not os.path.isdir(log):
             return []
@@ -929,11 +953,20 @@ class ManifestParquetBackend:
         referenced_dirs = {os.path.dirname(f) for f in referenced}
         deleted: list[str] = []
         data = os.path.join(path, "data")
+        now = __import__("time").time()
         for d in sorted(os.listdir(data)) if os.path.isdir(data) else []:
             rel = os.path.join("data", d)
-            if rel not in referenced_dirs:
-                shutil.rmtree(os.path.join(path, rel))
-                deleted.append(rel)
+            if rel in referenced_dirs:
+                continue
+            if min_age_seconds > 0:
+                try:
+                    age = now - os.path.getmtime(os.path.join(path, rel))
+                except OSError:
+                    continue  # raced with its own writer/cleaner
+                if age < min_age_seconds:
+                    continue
+            shutil.rmtree(os.path.join(path, rel))
+            deleted.append(rel)
         return deleted
 
 

@@ -1908,6 +1908,99 @@ GROUP BY event_type
 """
 
 
+# --- Streaming exactly-once lakehouse MERGE, replay-certified ------
+def q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NINTH streaming certification — the UPSERT sink
+    (``streaming.pipeline.stream_upsert_to_table``): micro-batch 1
+    ingests every event, micro-batch 2 re-delivers all click events
+    3 days later with doubled values (the late-correction shape a
+    CDC feed produces); each batch keep-latest-MERGEs into a
+    manifest lakehouse table under per-batch txn markers. The whole
+    stream then REPLAYS with a fresh checkpoint — self-check pins
+    that the replay recomputes nothing (version count unchanged:
+    create + one MERGE per batch, then nothing). Oracle: originals
+    with click values doubled — a leaked stale row or double-applied
+    correction fails the value hash."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.streaming.pipeline import (
+        stream_upsert_to_table,
+    )
+
+    e = (
+        read(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id", "user_id", "event_type",
+            F.col("ts").cast("timestamp").alias("ts"), "value",
+        )
+        .localCheckpoint()
+    )
+    corrections = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "event_type",
+        (F.col("ts") + F.expr("INTERVAL 3 DAYS")).alias("ts"),
+        (F.col("value") * 2).alias("value"),
+    )
+    work = _tmp.mkdtemp(prefix="stream_upsert_eo_")
+    src_dir = _os.path.join(work, "src")
+    _os.makedirs(src_dir)
+    table = _os.path.join(work, "table")
+    try:
+        for i, part in enumerate((e, corrections)):
+            tmp = _os.path.join(work, f"_stage{i}")
+            part.coalesce(1).write.parquet(tmp)
+            (src,) = [f for f in _os.listdir(tmp) if f.endswith(".parquet")]
+            _os.replace(
+                _os.path.join(tmp, src),
+                _os.path.join(src_dir, f"b{i}.parquet"),
+            )
+            _sh.rmtree(tmp)
+            _os.utime(
+                _os.path.join(src_dir, f"b{i}.parquet"),
+                (1_700_000_000 + i * 60,) * 2,
+            )
+        be = ManifestParquetBackend()
+        be.create(spark.createDataFrame([], e.schema), table)
+
+        def run(ck: str) -> None:
+            q = stream_upsert_to_table(
+                spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir),
+                table,
+                ["event_id"],
+                "ts",
+                _os.path.join(work, ck),
+                app_id="events_upsert",
+            )
+            q.awaitTermination(300)
+
+        run("ck1")
+        v1 = be.latest_version(table)
+        run("ck2")  # fresh checkpoint = full at-least-once replay
+        if not (v1 == 2 and be.latest_version(table) == 2):
+            raise RuntimeError(
+                f"exactly-once MERGE broken: versions {v1} -> "
+                f"{be.latest_version(table)}"
+            )
+        out = be.read(spark, table).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _sh.rmtree(work, ignore_errors=True)
+
+
+SQL_STREAM_UPSERT_REPLAY = """
+SELECT event_id, user_id, event_type,
+       CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+FROM events WHERE ts IS NOT NULL
+"""
+
+
 # --- Privacy release gate: k-anonymity + l-diversity ---------------
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Privacy release gate (``ops.privacy``): generalize customer
@@ -2968,6 +3061,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         q_stream_sink_exactly_once, SQL_STREAM_SINK_EXACTLY_ONCE,
         "exactly-once foreachBatch lakehouse sink: txn-marker "
         "appends, full fresh-checkpoint replay commits nothing",
+        ("streaming", "lakehouse", "io")),
+    "stream_upsert_replay": QueryDef(
+        q_stream_upsert_replay, SQL_STREAM_UPSERT_REPLAY,
+        "exactly-once streaming MERGE into the lakehouse tier: "
+        "late corrections upserted, fresh-checkpoint replay inert",
         ("streaming", "lakehouse", "io")),
     "k_anonymity": QueryDef(
         q_k_anonymity, SQL_K_ANONYMITY,

@@ -218,3 +218,45 @@ def stream_append_to_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert_to_table(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    ts_col: str,
+    checkpoint_dir: str,
+    app_id: str,
+    tiebreakers: Sequence[str] = (),
+):
+    """Streaming MERGE into a manifest lakehouse table: each
+    micro-batch keep-latest-dedups and upserts (same J2 semantics as
+    the batch path / ``stream_upsert_to_target``), but with the
+    lakehouse tier's multi-writer commit protocol AND per-batch txn
+    markers — so an at-least-once replay neither recomputes the
+    upsert nor adds a version. Keyed MERGE already converges in
+    value under replay; the marker upgrades that to exactly-once
+    version history. The table must exist (``create()`` first).
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    be = ManifestParquetBackend()
+
+    def do_upsert(batch: DataFrame, batch_id: int) -> None:
+        be.merge_keep_latest(
+            batch.sparkSession,
+            table_path,
+            batch,
+            keys,
+            ts_col,
+            tiebreakers,
+            txn=(app_id, batch_id),
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(do_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -820,3 +820,85 @@ def test_stream_append_exactly_once_across_replay(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert be.read(spark, table).count() == 20
+
+
+# --- merge txn markers + age-gated vacuum ----------------------------
+def test_merge_txn_replay_is_noop(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "mtxn")
+    be = ManifestParquetBackend()
+    be.create(spark.createDataFrame([Row(k="a", v=1, ts=1)]), path)
+    stg = spark.createDataFrame([Row(k="a", v=10, ts=2), Row(k="b", v=2, ts=2)])
+    assert be.merge_keep_latest(
+        spark, path, stg, ["k"], "ts", txn=("up", 0)
+    ) == 1
+    # replay: no recompute, no version
+    assert be.merge_keep_latest(
+        spark, path, stg, ["k"], "ts", txn=("up", 0)
+    ) is None
+    assert be.latest_version(path) == 1
+    got = sorted(map(tuple, be.read(spark, path).select("k", "v").collect()))
+    assert got == [("a", 10), ("b", 2)]
+
+
+def test_stream_upsert_exactly_once_versions(spark, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.streaming.pipeline import (
+        stream_upsert_to_table,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(6).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v"),
+        F.col("id").alias("ts"),
+    ).coalesce(1).write.parquet(src)
+    table = str(tmp_path / "table")
+    be = ManifestParquetBackend()
+    be.create(spark.createDataFrame([], "k bigint, v bigint, ts bigint"), table)
+    stream = spark.readStream.schema("k bigint, v bigint, ts bigint").parquet(src)
+    ck = str(tmp_path / "ck")
+    q = stream_upsert_to_table(stream, table, ["k"], "ts", ck, app_id="up")
+    q.awaitTermination(120)
+    v1 = be.latest_version(table)
+    # keep-latest per key: ids 3,4,5 win over 0,1,2
+    got = {r.k: r.v for r in be.read(spark, table).collect()}
+    assert got == {0: 3, 1: 4, 2: 5}
+    shutil.rmtree(ck)
+    q = stream_upsert_to_table(stream, table, ["k"], "ts", ck, app_id="up")
+    q.awaitTermination(120)
+    assert be.latest_version(table) == v1
+    assert {r.k: r.v for r in be.read(spark, table).collect()} == got
+
+
+def test_vacuum_age_window_protects_young_files(spark, tmp_path, monkeypatch):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "vac")
+    be = ManifestParquetBackend()
+    be.create(spark.range(3).select(F.col("id").alias("k")), path)
+    # simulate an in-flight writer: materialized files, no manifest yet
+    orphan, _schema, _stats = be._write_data(
+        spark.range(3).select(F.col("id").alias("k")), path, None
+    )
+    orphan_dir = os.path.dirname(orphan[0])
+    # young orphan survives a windowed vacuum...
+    assert be.vacuum(path, min_age_seconds=3600) == []
+    assert os.path.isdir(os.path.join(path, orphan_dir))
+    # ...but an aged one is reclaimed (backdate the directory mtime)
+    old = __import__("time").time() - 7200
+    os.utime(os.path.join(path, orphan_dir), (old, old))
+    assert be.vacuum(path, min_age_seconds=3600) == [orphan_dir]
+    assert not os.path.isdir(os.path.join(path, orphan_dir))
+    # committed data untouched
+    assert be.read(spark, path).count() == 3

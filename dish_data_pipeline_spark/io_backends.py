@@ -322,11 +322,19 @@ class ManifestParquetBackend:
             F.element_at(F.split(F.input_file_name(), "/"), -2),
             F.element_at(F.split(F.input_file_name(), "/"), -1),
         )
-        df = spark.read.parquet(
-            *[os.path.join(path, f) for f in rel_files]
-        ).select(key.alias("_f"), *cfg["cols"])
+        raw = spark.read.parquet(*[os.path.join(path, f) for f in rel_files])
+        # a mergeSchema append may write files LACKING a bloom column
+        # entirely — those files hold only NULLs for it, and a bloom
+        # never indexes NULL, so the correct entry is an EMPTY filter
+        # (prunes every equality probe on this column, soundly)
+        present = [c for c in cfg["cols"] if c in raw.columns]
+        df = raw.select(key.alias("_f"), *present)
         out: dict[str, dict] = {rel: {} for rel in rel_files}
         for col in cfg["cols"]:
+            if col not in present:
+                for rel in rel_files:
+                    out[rel][col] = {"m": m_of[rel], "pos": []}
+                continue
             h = spark_phash(f"cast(`{col}` as string)")
             pos_exprs = [
                 F.expr(f"({perm_expr(h, a, b)}) % {BLOOM_M_MAX}")

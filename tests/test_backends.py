@@ -902,3 +902,38 @@ def test_vacuum_age_window_protects_young_files(spark, tmp_path, monkeypatch):
     assert not os.path.isdir(os.path.join(path, orphan_dir))
     # committed data untouched
     assert be.read(spark, path).count() == 3
+
+
+def test_bloom_survives_merge_schema_append_without_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "bl_evo")
+    be = ManifestParquetBackend()
+    be.create(
+        spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("u")
+        ),
+        path,
+        bloom_cols=["u"],
+    )
+    # appended batch LACKS the bloom column entirely (additive
+    # evolution in the other direction): must not crash, and the new
+    # file's empty bloom soundly prunes every u probe against it
+    v = be.append(
+        spark.range(50, 60).select(F.col("id").alias("k")),
+        path,
+        merge_schema=True,
+    )
+    assert v == 1
+    kept, total = be.prune_files(path, {}, equals={"u": 3})
+    assert total == be._manifest(path, 1)["files"].__len__()
+    # u=3 exists only in v0 files; all appended files pruned
+    man = be._manifest(path, 1)
+    v0_files = set(be._manifest(path, 0)["files"])
+    assert all(f in v0_files for f in kept)
+    got = (
+        be.scan(spark, path, {}, equals={"u": 3}).filter("u = 3").count()
+    )
+    assert got == spark.range(50).filter("id % 7 = 3").count()

@@ -735,6 +735,7 @@ class ManifestParquetBackend:
         path: str,
         predicate: str,
         intervals: dict[str, tuple] | None = None,
+        equals: dict | None = None,
     ) -> tuple[int, int, int]:
         """Row-level ``DELETE ... WHERE`` as a new snapshot version,
         rewriting ONLY files that can possibly hold a match —
@@ -744,7 +745,12 @@ class ManifestParquetBackend:
         overlap are carried into the new manifest byte-UNCHANGED (no
         read, no write — at 100 TB this is the difference between a
         metadata-speed delete and rewriting the table; exactly why
-        Delta/Iceberg scope DELETE rewrites by file stats). Affected
+        Delta/Iceberg scope DELETE rewrites by file stats).
+        ``equals`` adds bloom-filter scoping for point predicates —
+        the right-to-be-forgotten shape: ``delete_where(spark, path,
+        "user_id = 123", equals={"user_id": 123})`` rewrites only
+        the files whose bloom may contain that user, typically a
+        handful out of a 100 TB table. Affected
         files rewrite through ``NOT coalesce(predicate, false)`` —
         rows where the predicate is NULL survive, standard SQL DELETE
         semantics — and only their stats recompute.
@@ -762,7 +768,9 @@ class ManifestParquetBackend:
         if base is None:
             raise FileNotFoundError(f"no table at {path}")
         man = self._manifest(path, base)
-        affected, _total = self.prune_files(path, intervals or {}, base)
+        affected, _total = self.prune_files(
+            path, intervals or {}, base, equals=equals
+        )
         affected_set = set(affected)
         carried = [f for f in man["files"] if f not in affected_set]
         stats_cols = man.get("stats_cols") or []

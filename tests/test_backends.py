@@ -937,3 +937,31 @@ def test_bloom_survives_merge_schema_append_without_column(spark, tmp_path):
         be.scan(spark, path, {}, equals={"u": 3}).filter("u = 3").count()
     )
     assert got == spark.range(50).filter("id % 7 = 3").count()
+
+
+def test_delete_where_bloom_scoped_forget_user(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "forget")
+    be = ManifestParquetBackend()
+    # clustered on k, user u unclustered; bloom on u
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 2654435761 % 997).alias("u")
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    be.create(df, path, stats_cols=["k"], bloom_cols=["u"])
+    # pick a user present in exactly one file
+    rows = [(r.k, r.u) for r in be.read(spark, path).collect()]
+    files_of_u = {}
+    for k, u in rows:
+        files_of_u.setdefault(u, set()).add(k * 4 // 400)
+    victim = next(u for u, fs in sorted(files_of_u.items()) if len(fs) == 1)
+    ver, rewrote, carried = be.delete_where(
+        spark, path, f"u = {victim}", equals={"u": victim}
+    )
+    assert ver == 1 and rewrote >= 1 and carried >= 1
+    assert rewrote + carried >= 4  # bloom scoped the rewrite
+    left = be.read(spark, path)
+    assert left.filter(f"u = {victim}").count() == 0
+    assert left.count() == 400 - sum(1 for _, u in rows if u == victim)

@@ -1688,6 +1688,103 @@ FROM orders o JOIN probe p ON o.o_custkey = p.o_custkey
 """
 
 
+def q_forget_user_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten, end to end on the lakehouse tier: the
+    table is clustered on ``o_orderkey`` with a BLOOM on the
+    unclustered ``o_custkey``; erasing one customer
+    (``delete_where(..., equals=...)``) rewrites ONLY the files
+    whose bloom may contain them — at 100 TB the difference between
+    a bounded compliance job and rewriting the table. Victim = the
+    fewest-orders customer (deterministic both engines). Self-check:
+    when the victim has fewer orders than the table has files, at
+    least one file must carry byte-unchanged; afterwards a bloom
+    probe for the victim must prune every live file (the erasure is
+    verifiable from metadata alone). Oracle: the aggregate over
+    everyone else."""
+    import shutil
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    row = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").asc(), F.col("o_custkey").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    victim, n_victim = row["o_custkey"], row["n"]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"forget_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    be = ManifestParquetBackend()
+    be.create(
+        o.repartitionByRange(8, F.col("o_orderkey")).sortWithinPartitions(
+            "o_orderkey"
+        ),
+        path,
+        stats_cols=["o_orderkey"],
+        bloom_cols=["o_custkey"],
+    )
+    ver, rewrote, carried = be.delete_where(
+        spark,
+        path,
+        f"o_custkey = {victim}",
+        equals={"o_custkey": victim},
+    )
+    kept_after, total_after = be.prune_files(
+        path, {}, version=1, equals={"o_custkey": victim}
+    )
+    # carried files were carried BECAUSE their bloom proved the
+    # victim absent, so none may survive the post-delete probe;
+    # rebuilt files may rarely false-positive (~0.2%/file), so the
+    # deterministic erasure check is value-level below
+    v0_files = set(be._manifest(path, 0)["files"])
+    leaked_carried = [f for f in kept_after if f in v0_files]
+    n_left = (
+        be.read(spark, path)
+        .filter(F.col("o_custkey") == F.lit(victim))
+        .count()
+    )
+    if (
+        ver != 1
+        or (n_victim < 8 and carried < 1)
+        or leaked_carried
+        or n_left != 0
+    ):
+        raise RuntimeError(
+            f"bloom-scoped forget not exercised: v{ver}, rewrote "
+            f"{rewrote}, carried {carried}, carried-file bloom leaks "
+            f"{leaked_carried}, victim rows left {n_left} "
+            f"(bloom keeps {len(kept_after)}/{total_after})"
+        )
+    return (
+        be.read(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+SQL_FORGET_USER_ROUNDTRIP = f"""
+WITH probe AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey
+  ORDER BY COUNT(*) ASC, o_custkey ASC LIMIT 1)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+WHERE o_custkey <> (SELECT o_custkey FROM probe)
+GROUP BY o_orderstatus
+"""
+
+
 def q_schema_evolution_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1865,6 +1962,12 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
         "lakehouse bloom data skipping: point lookup on an "
         "unclustered column prunes files min/max stats cannot",
         ("lakehouse", "io")),
+    "forget_user_roundtrip": QueryDef(
+        q_forget_user_roundtrip,
+        SQL_FORGET_USER_ROUNDTRIP,
+        "right-to-be-forgotten: bloom-scoped DELETE rewrites only "
+        "files that may hold the user; carried blooms prove erasure",
+        ("lakehouse", "privacy", "io")),
     "schema_evolution_roundtrip": QueryDef(
         q_schema_evolution_roundtrip,
         SQL_SCHEMA_EVOLUTION_ROUNDTRIP,

@@ -1688,6 +1688,69 @@ FROM orders o JOIN probe p ON o.o_custkey = p.o_custkey
 """
 
 
+def q_data_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation (``ops.contracts``, the
+    dbt-tests shape): key uniqueness, required columns, enumerated
+    domains, and referential integrity over ``orders``, evaluated as
+    aggregates into a per-rule violations report. Violations are
+    REAL, planted by construction: the accepted-values rule only
+    allows 3 of the 5 order priorities, and the FK check runs
+    against a restricted customer dim (every 3rd key removed), so
+    the counts exercise the counting paths rather than certifying
+    five zeros. Oracle: the same counts as UNION ALL scalar
+    subqueries."""
+    from dish_data_pipeline_spark.ops.contracts import contract_report
+
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 != 0
+    )
+    return contract_report(
+        o,
+        unique=[["o_orderkey"]],
+        not_null=["o_custkey", "o_orderdate"],
+        accepted={
+            "o_orderstatus": ["O", "F", "P"],
+            "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+        },
+        fks=[("o_custkey", c, "c_custkey")],
+    )
+
+
+SQL_DATA_CONTRACT_ORDERS = """
+SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'not_null(o_custkey)' AS rule,
+         CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+           AS n_violations FROM orders
+  UNION ALL
+  SELECT 'not_null(o_orderdate)',
+         CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus in [O, F, P])',
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'accepted_values(o_orderpriority in [1-URGENT, 2-HIGH, 3-MEDIUM])',
+         CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+              AND o_orderpriority NOT IN
+              ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'fk(o_custkey -> c_custkey)',
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders WHERE o_custkey IS NOT NULL
+    AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                          WHERE c_custkey % 3 <> 0)
+)
+"""
+
+
 def q_forget_user_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten, end to end on the lakehouse tier: the
     table is clustered on ``o_orderkey`` with a BLOOM on the
@@ -1962,6 +2025,12 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
         "lakehouse bloom data skipping: point lookup on an "
         "unclustered column prunes files min/max stats cannot",
         ("lakehouse", "io")),
+    "data_contract_orders": QueryDef(
+        q_data_contract_orders,
+        SQL_DATA_CONTRACT_ORDERS,
+        "declarative data contracts: unique/not-null/accepted-values"
+        "/FK rules as a per-rule violations report, planted failures",
+        ("quality", "contracts")),
     "forget_user_roundtrip": QueryDef(
         q_forget_user_roundtrip,
         SQL_FORGET_USER_ROUNDTRIP,

@@ -922,6 +922,79 @@ class ManifestParquetBackend:
             *[os.path.join(path, f) for f in kept]
         )
 
+    def restore(self, path: str, version: int) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION`` analog: commit a
+        NEW version whose manifest reuses ``version``'s files,
+        schema, and stats verbatim — a metadata-only rollback (no
+        data read or written; at 100 TB this undoes a bad load in
+        milliseconds). History is preserved: the bad versions remain
+        time-travelable until :meth:`expire_versions`, and the
+        restore itself is just another commit, so concurrent writers
+        race it with the usual optimistic protocol. Txn markers are
+        carried from the CURRENT latest (not the restore target) —
+        a restore must not make replayed ingest batches re-apply.
+        Returns the committed version; raises CommitConflict if a
+        rival commits first (re-examine state before retrying — the
+        rival may have been another restore)."""
+        base = self.latest_version(path)
+        if base is None:
+            raise FileNotFoundError(f"no table at {path}")
+        target = self._manifest(path, version)  # raises if expired
+        latest = self._manifest(path, base)
+        manifest = {
+            "version": base + 1,
+            "parent": base,
+            "restore_of": version,
+            "files": target["files"],
+            "schema": target["schema"],
+            "stats_cols": target.get("stats_cols") or [],
+            "stats": target.get("stats", {}),
+            "txns": latest.get("txns", {}),
+        }
+        if target.get("bloom") is not None:
+            manifest["bloom"] = target["bloom"]
+        if not self._try_commit(path, base + 1, manifest):
+            raise CommitConflict(
+                f"lost the restore race at {path}; re-examine state"
+            )
+        return base + 1
+
+    def history(self, path: str) -> list[dict]:
+        """``DESCRIBE HISTORY`` analog: one record per committed
+        version, oldest first — version, parent, operation
+        (create / append / merge-or-restore markers / compaction /
+        delete), file count, and the txn marker map. Driver-side
+        metadata only (manifests are small JSON); expired versions
+        are absent."""
+        log = self._log_dir(path)
+        if not os.path.isdir(log):
+            return []
+        out = []
+        for f in sorted(os.listdir(log)):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            m = self._manifest(path, int(f[1:-5]))
+            if m.get("restore_of") is not None:
+                op = f"restore(v{m['restore_of']})"
+            elif m.get("compaction"):
+                op = "compact"
+            elif m.get("delete") is not None:
+                op = f"delete({m['delete']})"
+            elif m.get("parent") is None:
+                op = "create"
+            else:
+                op = "write"
+            out.append(
+                {
+                    "version": m["version"],
+                    "parent": m.get("parent"),
+                    "operation": op,
+                    "n_files": len(m["files"]),
+                    "txns": m.get("txns", {}),
+                }
+            )
+        return out
+
     def expire_versions(self, path: str, keep_last: int = 7) -> list[int]:
         """Retention expiry: drop the manifests of all but the newest
         ``keep_last`` versions, shrinking the time-travel horizon so

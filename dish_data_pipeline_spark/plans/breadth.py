@@ -1688,6 +1688,66 @@ FROM orders o JOIN probe p ON o.o_custkey = p.o_custkey
 """
 
 
+def q_manifest_restore_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESTORE-to-version on the lakehouse tier (the Delta ``RESTORE
+    TABLE`` analog): create the table, apply a BAD load (a DELETE
+    that wrongly drops the low-key half), then roll back — a
+    metadata-only commit that REUSES v0's files (self-check: file
+    list identical, so the rollback moved zero bytes) while the bad
+    version stays time-travelable and replayed txn batches stay
+    inert. Oracle: the original table, because a correct restore is
+    indistinguishable from never having loaded the bad version."""
+    import shutil
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    o = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"restore_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    be = ManifestParquetBackend()
+    be.create(o, path, stats_cols=["o_orderkey"])
+    mx = o.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    be.delete_where(
+        spark, path, f"o_orderkey <= {mx // 2}",
+        {"o_orderkey": (None, mx // 2)},
+    )
+    ver = be.restore(path, 0)
+    man0, man2 = be._manifest(path, 0), be._manifest(path, 2)
+    if not (
+        ver == 2
+        and man2["files"] == man0["files"]
+        and be.history(path)[-1]["operation"] == "restore(v0)"
+    ):
+        raise RuntimeError(
+            f"restore not metadata-only: v{ver}, "
+            f"files_reused={man2['files'] == man0['files']}"
+        )
+    return (
+        be.read(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+SQL_MANIFEST_RESTORE_ROUNDTRIP = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def q_data_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-contract validation (``ops.contracts``, the
     dbt-tests shape): key uniqueness, required columns, enumerated
@@ -2024,6 +2084,12 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
         SQL_BLOOM_POINT_LOOKUP,
         "lakehouse bloom data skipping: point lookup on an "
         "unclustered column prunes files min/max stats cannot",
+        ("lakehouse", "io")),
+    "manifest_restore_roundtrip": QueryDef(
+        q_manifest_restore_roundtrip,
+        SQL_MANIFEST_RESTORE_ROUNDTRIP,
+        "RESTORE to version: metadata-only rollback reusing v0's "
+        "files byte-for-byte, bad version stays time-travelable",
         ("lakehouse", "io")),
     "data_contract_orders": QueryDef(
         q_data_contract_orders,

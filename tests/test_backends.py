@@ -965,3 +965,57 @@ def test_delete_where_bloom_scoped_forget_user(spark, tmp_path):
     left = be.read(spark, path)
     assert left.filter(f"u = {victim}").count() == 0
     assert left.count() == 400 - sum(1 for _, u in rows if u == victim)
+
+
+# --- restore (metadata-only rollback) + history ----------------------
+def test_restore_rolls_back_without_rewrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "restore1")
+    be = ManifestParquetBackend()
+    be.create(spark.range(10).select(F.col("id").alias("k")), path)
+    be.append(spark.range(10, 15).select(F.col("id").alias("k")), path)
+    be.delete_where(spark, path, "k < 5")
+    assert be.read(spark, path).count() == 10  # 5..14
+    v = be.restore(path, 0)
+    assert v == 3
+    # restored content == v0, and the manifest REUSES v0's files
+    assert sorted(r.k for r in be.read(spark, path).collect()) == list(range(10))
+    assert be._manifest(path, 3)["files"] == be._manifest(path, 0)["files"]
+    # bad versions remain time-travelable
+    assert be.read(spark, path, version=2).count() == 10
+
+
+def test_restore_carries_txn_markers_from_latest(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "restore2")
+    be = ManifestParquetBackend()
+    be.create(spark.range(3).select(F.col("id").alias("k")), path)
+    batch = spark.range(3, 5).select(F.col("id").alias("k"))
+    be.append(batch, path, txn=("app", 0))
+    be.restore(path, 0)
+    # replayed ingest batch must STILL be a no-op after the rollback
+    assert be.append(batch, path, txn=("app", 0)) is None
+    assert be.read(spark, path).count() == 3
+
+
+def test_history_describes_operations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "hist")
+    be = ManifestParquetBackend()
+    be.create(spark.range(4).select(F.col("id").alias("k")), path)
+    be.append(spark.range(4, 6).select(F.col("id").alias("k")), path)
+    be.delete_where(spark, path, "k = 0")
+    be.compact(spark, path, target_files=1)
+    be.restore(path, 1)
+    ops = [h["operation"] for h in be.history(path)]
+    assert ops == ["create", "write", "delete(k = 0)", "compact", "restore(v1)"]
+    assert [h["version"] for h in be.history(path)] == [0, 1, 2, 3, 4]

@@ -337,10 +337,18 @@ def temperature_sample(
     quantized-sqrt total cross-joined back (broadcast) → per-row
     hash coin. No driver collect, membership a pure row-key
     function — reproducible across runs, engines, cluster sizes."""
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
-    counts = counts.withColumn(
-        "_s",
-        F.expr(f"CAST(floor(sqrt(_n) * {TEMP_SQRT_SCALE}) AS BIGINT)"),
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    # persisted: the counts relation feeds BOTH the 1-row total and
+    # the rate join — without it the base-table scan+shuffle runs
+    # twice (stratum count is bounded, the cache is bytes)
+    counts = tracked_persist(
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_s",
+            F.expr(f"CAST(floor(sqrt(_n) * {TEMP_SQRT_SCALE}) AS BIGINT)"),
+        )
     )
     total = counts.agg(F.sum("_s").alias("_stot"))
     thresh = F.expr(

@@ -2141,9 +2141,15 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
     cents = F.floor(F.col("value") * 100).cast("bigint")
-    per_user = e.groupBy("user_id").agg(
-        F.coalesce(F.sum(F.when(pre, cents)), F.lit(0)).alias("x"),
-        F.coalesce(F.sum(F.when(~pre, cents)), F.lit(0)).alias("y"),
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    # persisted: both the pooled moments and the per-arm sums consume
+    # per_user — without it the events scan+shuffle runs twice
+    per_user = tracked_persist(
+        e.groupBy("user_id").agg(
+            F.coalesce(F.sum(F.when(pre, cents)), F.lit(0)).alias("x"),
+            F.coalesce(F.sum(F.when(~pre, cents)), F.lit(0)).alias("y"),
+        )
     )
     pooled = per_user.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2249,7 +2255,13 @@ def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS STRING), 1, 1) AS BIGINT)"
         ).alias("digit")
     )
-    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    # persisted: the 9-row counts feed BOTH the 1-row total and the
+    # final projection — without it the orders scan runs twice
+    counts = tracked_persist(
+        d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    )
     total = counts.agg(F.sum("n").alias("tot"))
     return (
         counts.crossJoin(F.broadcast(total))

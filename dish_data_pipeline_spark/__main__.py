@@ -44,6 +44,23 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("list-queries", help="list all catalog queries")
+
+    t = sub.add_parser(
+        "table", help="manifest lakehouse table maintenance"
+    )
+    t.add_argument(
+        "op",
+        choices=["history", "restore", "vacuum", "compact", "expire"],
+    )
+    t.add_argument("path", help="table path")
+    t.add_argument("--version", type=int, help="restore target version")
+    t.add_argument(
+        "--min-age", type=float, default=0.0,
+        help="vacuum retention window in seconds",
+    )
+    t.add_argument("--target-files", type=int, default=1)
+    t.add_argument("--zorder", help="comma-separated z-order columns")
+    t.add_argument("--keep-last", type=int, default=7)
     return p
 
 
@@ -56,6 +73,45 @@ def main(argv: list[str] | None = None, http_get=None) -> int:
         for name, qd in QUERIES.items():
             print(f"{name:24s} {qd.description}")
         return 0
+
+    if args.cmd == "table":
+        from dish_data_pipeline_spark.io_backends import (
+            ManifestParquetBackend,
+        )
+
+        be = ManifestParquetBackend()
+        if args.op == "history":
+            for h in be.history(args.path):
+                print(
+                    f"v{h['version']:>4}  parent={h['parent']}  "
+                    f"files={h['n_files']:>4}  {h['operation']}"
+                )
+            return 0
+        if args.op == "restore":
+            if args.version is None:
+                print("restore requires --version", file=sys.stderr)
+                return 2
+            v = be.restore(args.path, args.version)
+            print(f"restored v{args.version} as v{v}")
+            return 0
+        if args.op == "vacuum":
+            deleted = be.vacuum(args.path, min_age_seconds=args.min_age)
+            print(f"vacuumed {len(deleted)} data dirs")
+            return 0
+        if args.op == "expire":
+            expired = be.expire_versions(args.path, keep_last=args.keep_last)
+            print(f"expired versions: {expired or '-'}")
+            return 0
+        # compact needs a session
+        from dish_data_pipeline_spark import get_spark as _gs
+
+        zcols = args.zorder.split(",") if args.zorder else None
+        v = be.compact(
+            _gs("dish-data-pipeline-spark-cli"), args.path,
+            target_files=args.target_files, zorder_by=zcols,
+        )
+        print(f"compacted as v{v}" if v >= 0 else "compact aborted (race)")
+        return 0 if v >= 0 else 1
 
     from dish_data_pipeline_spark import get_spark
 

@@ -34,3 +34,28 @@ def test_cli_list_queries(capsys):
 
 def test_cli_query_unknown(capsys):
     assert main(["query", "nope"]) == 2
+
+
+def test_cli_table_lifecycle(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.__main__ import main
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "t")
+    be = ManifestParquetBackend()
+    be.create(spark.range(6).select(F.col("id").alias("k")), path)
+    be.delete_where(spark, path, "k < 3")
+
+    assert main(["table", "history", path]) == 0
+    out = capsys.readouterr().out
+    assert "create" in out and "delete(k < 3)" in out
+
+    assert main(["table", "restore", path, "--version", "0"]) == 0
+    assert be.read(spark, path).count() == 6
+
+    assert main(["table", "restore", path]) == 2  # missing --version
+
+    assert main(["table", "vacuum", path]) == 0
+    assert main(["table", "expire", path, "--keep-last", "2"]) == 0
+    assert [h["version"] for h in be.history(path)] == [1, 2]

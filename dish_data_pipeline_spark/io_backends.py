@@ -273,12 +273,19 @@ class ManifestParquetBackend:
             for f in os.listdir(out)
             if f.endswith(".parquet")
         )
+        import pyarrow.parquet as pq
+
         stats = {}
-        if stats_cols:
-            for rel in files:
+        for rel in files:
+            s = {}
+            if stats_cols:
                 s = _footer_min_max(os.path.join(path, rel), stats_cols)
-                if s:
-                    stats[rel] = s
+            # per-file row count (the Delta numRecords analog) — makes
+            # COUNT(*) and delete/compact accounting metadata-only
+            s["_rows"] = pq.ParquetFile(
+                os.path.join(path, rel)
+            ).metadata.num_rows
+            stats[rel] = s
         return files, df.schema.json(), stats
 
     def _bloom_for_files(
@@ -921,6 +928,27 @@ class ManifestParquetBackend:
         return spark.read.schema(schema).parquet(
             *[os.path.join(path, f) for f in kept]
         )
+
+    def count_rows(self, path: str, version: int | None = None) -> int | None:
+        """Metadata-only ``COUNT(*)``: sum of the per-file row counts
+        recorded in the manifest at write time (the Delta
+        ``numRecords`` analog) — no file is opened, no job runs; at
+        100 TB this answers the most common query in milliseconds.
+        Returns None when any live file predates the row-count stat
+        (a table written by an older version) — callers fall back to
+        a scan; soundness over guessing."""
+        v = self.latest_version(path) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no table at {path}")
+        man = self._manifest(path, v)
+        stats = man.get("stats") or {}
+        total = 0
+        for f in man["files"]:
+            n = stats.get(f, {}).get("_rows")
+            if n is None:
+                return None
+            total += n
+        return total
 
     def restore(self, path: str, version: int) -> int:
         """Delta ``RESTORE TABLE ... TO VERSION`` analog: commit a

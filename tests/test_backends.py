@@ -1019,3 +1019,47 @@ def test_history_describes_operations(spark, tmp_path):
     ops = [h["operation"] for h in be.history(path)]
     assert ops == ["create", "write", "delete(k = 0)", "compact", "restore(v1)"]
     assert [h["version"] for h in be.history(path)] == [0, 1, 2, 3, 4]
+
+
+# --- metadata-only COUNT(*) ------------------------------------------
+def test_count_rows_metadata_only(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "cnt")
+    be = ManifestParquetBackend()
+    be.create(spark.range(123).select(F.col("id").alias("k")), path)
+    assert be.count_rows(path) == 123
+    be.append(spark.range(123, 150).select(F.col("id").alias("k")), path)
+    assert be.count_rows(path) == 150
+    be.delete_where(spark, path, "k < 10")
+    assert be.count_rows(path) == 140
+    # time travel counts too
+    assert be.count_rows(path, version=0) == 123
+    # restore reuses old stats verbatim
+    be.restore(path, 0)
+    assert be.count_rows(path) == 123
+
+
+def test_count_rows_falls_back_on_legacy_manifest(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "legacy")
+    be = ManifestParquetBackend()
+    be.create(spark.range(5).select(F.col("id").alias("k")), path)
+    # simulate a manifest written before the _rows stat existed
+    mp = be._manifest_path(path, 0)
+    man = _json.load(open(mp))
+    for f in man.get("stats", {}):
+        man["stats"][f].pop("_rows", None)
+    _os.remove(mp)
+    with open(mp, "w") as fh:
+        _json.dump(man, fh)
+    assert be.count_rows(path) is None  # caller falls back to a scan
+    assert be.read(spark, path).count() == 5

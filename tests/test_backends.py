@@ -1063,3 +1063,37 @@ def test_count_rows_falls_back_on_legacy_manifest(spark, tmp_path):
         _json.dump(man, fh)
     assert be.count_rows(path) is None  # caller falls back to a scan
     assert be.read(spark, path).count() == 5
+
+
+# --- real concurrency: racing appends serialize without loss ---------
+def test_concurrent_appends_all_commit(spark, tmp_path):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "race")
+    be = ManifestParquetBackend(max_retries=20)
+    be.create(
+        spark.createDataFrame([], "w bigint, i bigint"), path
+    )
+
+    def writer(w: int) -> None:
+        for i in range(4):
+            be.append(
+                spark.range(1).select(
+                    F.lit(w).cast("bigint").alias("w"),
+                    F.lit(i).cast("bigint").alias("i"),
+                ),
+                path,
+            )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(writer, range(4)))
+
+    # every append won SOME version: 16 commits after v0, no losses,
+    # no duplicated versions (os.link is the arbiter)
+    assert be.latest_version(path) == 16
+    rows = sorted((r.w, r.i) for r in be.read(spark, path).collect())
+    assert rows == sorted((w, i) for w in range(4) for i in range(4))

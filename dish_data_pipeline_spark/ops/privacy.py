@@ -62,3 +62,78 @@ def l_diversity(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(sensitive).alias("l_div"),
     )
+
+
+def mondrian_anonymize(
+    df: DataFrame,
+    dims: Sequence[str],
+    rounds: int = 3,
+    k: int = 2,
+) -> DataFrame:
+    """Mondrian multidimensional k-anonymity (LeFevre et al., ICDE
+    2006) — GENERALIZATION, where :func:`k_anonymize` only
+    suppresses: the integer quasi-identifier space is recursively
+    median-split (round-robin over ``dims``, the classic k-d
+    discipline), producing axis-aligned cells; each cell released as
+    its per-dimension [min, max] ranges plus its population, cells
+    below ``k`` suppressed. Rare records thus survive inside WIDER
+    ranges instead of being dropped.
+
+    Median = the ceil(n/2)-th smallest value (nearest-rank, a value
+    from the data — deterministic for any tie order, and expressible
+    identically in any SQL engine, unlike interpolating medians);
+    rows equal to the median go left, so a split can be degenerate
+    (all rows one side) but never loses rows.
+
+    Scale shape: per-round medians come from
+    :func:`ops.selection.exact_quantile` (iterative histogram
+    narrowing — state bounded by cells × bins, NO global sort: a
+    per-cell window would move round 1's entire table through one
+    partition, Spark warns exactly this), then the ≤ 2^rounds cut
+    points broadcast back onto the data; one final groupBy.
+    ``dims`` must be integer-valued (quantize money to cents first);
+    NULLs in any dim are excluded up front — a NULL has no place on
+    a k-d axis (release them through :func:`k_anonymize` instead)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if not dims:
+        raise ValueError("at least one dimension required")
+    cur = df
+    for d in dims:
+        cur = cur.filter(F.col(d).isNotNull())
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+    from dish_data_pipeline_spark.ops.selection import exact_quantile
+
+    cur = cur.withColumn("_cell", F.lit(0))
+    for r in range(rounds):
+        d = dims[r % len(dims)]
+        # persisted: exact_quantile's narrowing rounds and the split
+        # join below both re-read this round's relation
+        cur = tracked_persist(cur)
+        med = exact_quantile(cur, d, 0.5, group_cols=["_cell"]).select(
+            "_cell", F.col("q").alias("_med")
+        )
+        cur = (
+            cur.join(F.broadcast(med), "_cell")
+            .withColumn(
+                "_cell",
+                F.col("_cell") * 2
+                + (F.col(d) > F.col("_med")).cast("int"),
+            )
+            .drop("_med")
+        )
+    agg = [F.count(F.lit(1)).alias("n")]
+    for d in dims:
+        agg.extend(
+            [F.min(d).alias(f"{d}_lo"), F.max(d).alias(f"{d}_hi")]
+        )
+    return (
+        cur.groupBy("_cell")
+        .agg(*agg)
+        .filter(F.col("n") >= k)
+        .select(
+            F.col("_cell").alias("cell"),
+            *[c for d in dims for c in (f"{d}_lo", f"{d}_hi")],
+            "n",
+        )
+    )

@@ -2034,6 +2034,70 @@ HAVING COUNT(*) >= 8
 """
 
 
+# --- Mondrian multidimensional k-anonymity --------------------------
+def q_mondrian_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian k-anonymity (``ops.privacy.mondrian_anonymize``) —
+    the GENERALIZATION tier above ``k_anonymity``'s suppression:
+    3 round-robin median cuts over (balance cents, nation) carve the
+    quasi-identifier plane into 8 axis-aligned cells, each released
+    as its per-dimension ranges + population, cells under k=25
+    suppressed. Oracle: the same 3 rounds unrolled as chained CTEs —
+    nearest-rank medians (ceil(n/2)-th smallest, a data value,
+    deterministic under ties) keep the cut points bit-identical
+    across engines."""
+    from dish_data_pipeline_spark.ops.privacy import mondrian_anonymize
+
+    c = read(spark, sf_dir, "customer").select(
+        F.expr("CAST(floor(c_acctbal * 100) AS BIGINT)").alias(
+            "bal_cents"
+        ),
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+    )
+    out = mondrian_anonymize(c, ["bal_cents", "nation"], rounds=3, k=25)
+    return out.withColumn("cell", F.col("cell").cast("bigint"))
+
+
+def _sql_mondrian_anonymity() -> str:
+    med = (
+        "SELECT cell, v AS med FROM ("
+        "SELECT cell, {d} AS v, "
+        "ROW_NUMBER() OVER (PARTITION BY cell ORDER BY {d}) AS rn, "
+        "COUNT(*) OVER (PARTITION BY cell) AS n FROM {src}) "
+        "WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)"
+    )
+    split = (
+        "SELECT d1, d2, {src}.cell * 2 + "
+        "CASE WHEN {d} > med THEN 1 ELSE 0 END AS cell "
+        "FROM {src} JOIN {m} ON {m}.cell = {src}.cell"
+    )
+    parts = [
+        "WITH b0 AS ("
+        "SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS d1, "
+        "CAST(c_nationkey AS BIGINT) AS d2, 0 AS cell "
+        "FROM customer "
+        "WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL)"
+    ]
+    for r, d in enumerate(["d1", "d2", "d1"]):
+        parts.append(
+            f"m{r + 1} AS ({med.format(d=d, src=f'b{r}')})"
+        )
+        parts.append(
+            f"b{r + 1} AS ("
+            + split.format(d=d, src=f"b{r}", m=f"m{r + 1}")
+            + ")"
+        )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT CAST(cell AS BIGINT) AS cell,
+       MIN(d1) AS bal_cents_lo, MAX(d1) AS bal_cents_hi,
+       MIN(d2) AS nation_lo, MAX(d2) AS nation_hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b3 GROUP BY cell HAVING COUNT(*) >= 25
+"""
+    )
+
+
 # --- Welch's t-test: A/B experiment readout -------------------------
 def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type Welch's unequal-variance t-test between two
@@ -3079,6 +3143,11 @@ ANALYTICS_QUERIES: dict[str, QueryDef] = {
         "exactly-once streaming MERGE into the lakehouse tier: "
         "late corrections upserted, fresh-checkpoint replay inert",
         ("streaming", "lakehouse", "io")),
+    "mondrian_anonymity": QueryDef(
+        q_mondrian_anonymity, _sql_mondrian_anonymity(),
+        "Mondrian k-anonymity: 3 round-robin nearest-rank median "
+        "cuts -> 8 generalized cells, unrolled-CTE oracle",
+        ("privacy",)),
     "k_anonymity": QueryDef(
         q_k_anonymity, SQL_K_ANONYMITY,
         "k-anonymity suppression (k=8) + l-diversity report over "

@@ -50,3 +50,55 @@ def test_k_anonymize_validates_args(spark, people):
         k_anonymize(people, [], k=2)
     with pytest.raises(ValueError, match="quasi-identifier"):
         l_diversity(people, [], "disease")
+
+
+# --- Mondrian multidimensional k-anonymity ---------------------------
+def test_mondrian_single_round_median_split(spark):
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.privacy import mondrian_anonymize
+
+    df = spark.createDataFrame([Row(x=i) for i in [1, 2, 3, 4, 5, 6]])
+    cells = {
+        r.cell: (r.x_lo, r.x_hi, r.n)
+        for r in mondrian_anonymize(df, ["x"], rounds=1, k=1).collect()
+    }
+    # median = ceil(6/2)=3rd smallest = 3; <=3 left, >3 right
+    assert cells == {0: (1, 3, 3), 1: (4, 6, 3)}
+
+
+def test_mondrian_round_robin_and_suppression(spark):
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.privacy import mondrian_anonymize
+
+    rows = [Row(x=x, y=y) for x in range(4) for y in range(4)]
+    out = mondrian_anonymize(
+        spark.createDataFrame(rows), ["x", "y"], rounds=2, k=4
+    ).collect()
+    # 16 points on a 4x4 grid split into quadrants of exactly 4
+    assert len(out) == 4 and all(r.n == 4 for r in out)
+    spans = {(r.x_lo, r.x_hi, r.y_lo, r.y_hi) for r in out}
+    assert spans == {
+        (0, 1, 0, 1), (0, 1, 2, 3), (2, 3, 0, 1), (2, 3, 2, 3)
+    }
+    # k above any cell population suppresses everything
+    assert (
+        mondrian_anonymize(
+            spark.createDataFrame(rows), ["x", "y"], rounds=2, k=5
+        ).count() == 0
+    )
+
+
+def test_mondrian_degenerate_split_loses_no_rows(spark):
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.ops.privacy import mondrian_anonymize
+
+    # constant dim: median == every value, all rows go left each round
+    df = spark.createDataFrame([Row(x=7, y=None)] * 5 + [Row(x=7, y=1)])
+    out = mondrian_anonymize(df, ["x"], rounds=3, k=1).collect()
+    assert len(out) == 1 and out[0].n == 6 and out[0].cell == 0
+    # NULLs in a DIM are excluded up front
+    out2 = mondrian_anonymize(df, ["y"], rounds=1, k=1).collect()
+    assert sum(r.n for r in out2) == 1

@@ -884,7 +884,10 @@ class ManifestParquetBackend:
             ok = True
             for col, (lo, hi) in intervals.items():
                 mm = fstats.get(col)
-                if mm is None:
+                # shape guard: a column literally named "_rows" would
+                # collide with the per-file row-count stat (an int,
+                # not a [min, max]); absence-of-stats semantics apply
+                if mm is None or not isinstance(mm, (list, tuple)):
                     continue
                 if (lo is not None and mm[1] < lo) or (
                     hi is not None and mm[0] > hi

@@ -122,16 +122,22 @@ def test_append_commits_new_files_and_keeps_stats(spark, table):
     assert be.read(spark, path).count() == 401
     assert be.read(spark, path, 0).count() == 400  # snapshot intact
     man = be._manifest(path, 1)
-    # empty part files carry no row groups → no stats (sound: they
-    # are never pruned); every non-empty file must have stats
+    # every file gets a stats entry (at least the _rows count); empty
+    # part files carry no row groups → no COLUMN stats (sound: they
+    # are never pruned on any column)
     assert set(man["stats"]) <= set(man["files"])
-    assert max(s["k"][1] for s in man["stats"].values()) == 900
+    assert max(
+        s["k"][1] for s in man["stats"].values() if "k" in s
+    ) == 900
     # appended files prunable immediately: only the k=900 file (plus
-    # any statless empties) survives this interval
+    # any column-statless empties) survives this interval
     kept, total = be.prune_files(path, {"k": (880, 920)})
     assert total == len(man["files"])
-    assert [f for f in kept if f in man["stats"]] == [
-        f for f, s in man["stats"].items() if s["k"][0] == 900
+    assert [
+        f for f in kept if "k" in man["stats"].get(f, {})
+    ] == [
+        f for f, s in man["stats"].items()
+        if "k" in s and s["k"][0] == 900
     ]
 
 

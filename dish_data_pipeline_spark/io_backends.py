@@ -320,7 +320,14 @@ class ManifestParquetBackend:
         m_of: dict[str, int] = {}
         for rel in rel_files:
             n = pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
-            m_of[rel] = max(1024, 1 << (bpr * max(n, 1)).bit_length())
+            # cap at BLOOM_M_MAX: build positions are folded mod
+            # BLOOM_M_MAX, and (x % BLOOM_M_MAX) % m == x % m only
+            # holds when m divides BLOOM_M_MAX — an uncapped m above
+            # it would probe different bits than were set (silent
+            # false negatives → dropped files in prune/delete)
+            m_of[rel] = min(
+                BLOOM_M_MAX, max(1024, 1 << (bpr * max(n, 1)).bit_length())
+            )
         # input_file_name is an absolute file: URI; key by the
         # stable data/<uuid>/<name> suffix it shares with rel paths
         key = F.concat_ws(
@@ -374,11 +381,15 @@ class ManifestParquetBackend:
         parent_man: dict,
         new_files: Sequence[str],
         carried: Sequence[str] = (),
+        prebuilt: dict | None = None,
     ) -> dict | None:
         """Bloom manifest entry for a commit: carried files keep
         their existing filters (immutable bytes → immutable filter),
         new files get freshly built ones. None when the table never
-        opted into blooms."""
+        opted into blooms. ``prebuilt`` supplies already-computed
+        filters for the new files (a retry loop builds them ONCE —
+        they depend only on the immutable file bytes, never on the
+        commit base)."""
         cfg = parent_man.get("bloom")
         if not cfg:
             return None
@@ -389,7 +400,11 @@ class ManifestParquetBackend:
             if rel in carried_set
         }
         if new_files:
-            files.update(self._bloom_for_files(spark, path, new_files, cfg))
+            files.update(
+                prebuilt
+                if prebuilt is not None
+                else self._bloom_for_files(spark, path, new_files, cfg)
+            )
         return {
             "cols": cfg["cols"],
             "k": cfg["k"],
@@ -622,6 +637,15 @@ class ManifestParquetBackend:
         # files are written ONCE — only the commit loop retries
         stats_cols = man0.get("stats_cols") or []
         files, _schema, stats = self._write_data(df, path, stats_cols)
+        # bloom filters for the new files depend only on their
+        # immutable bytes — build once, outside the retry loop (a
+        # lost race re-reads the base but must not re-aggregate)
+        bloom_cfg = man0.get("bloom")
+        new_bloom = (
+            self._bloom_for_files(df.sparkSession, path, files, bloom_cfg)
+            if bloom_cfg and files
+            else None
+        )
         for _ in range(self.max_retries + 1):
             base = self.latest_version(path)
             man = self._manifest(path, base)
@@ -671,7 +695,12 @@ class ManifestParquetBackend:
                         "stats": {**man.get("stats", {}), **stats},
                         "txns": txns}
             bloom = self._bloom_commit_entry(
-                df.sparkSession, path, man, files, carried=man["files"]
+                df.sparkSession,
+                path,
+                man,
+                files,
+                carried=man["files"],
+                prebuilt=new_bloom,
             )
             if bloom is not None:
                 manifest["bloom"] = bloom
@@ -875,6 +904,18 @@ class ManifestParquetBackend:
         coeffs = (
             perm_coeffs(bloom["k"], bloom["seed"]) if bloom else []
         )
+        for col, val in (equals or {}).items():
+            # the builder hashed Spark's CAST(col AS STRING); Python's
+            # str() agrees only for int/str (bool → 'True' vs 'true',
+            # float/Decimal formatting drifts) — anything else would
+            # hash differently and SILENTLY drop matching files, so
+            # fail loudly instead
+            if isinstance(val, bool) or not isinstance(val, (int, str)):
+                raise TypeError(
+                    f"equals[{col!r}] must be int or str (got "
+                    f"{type(val).__name__}); other types don't share "
+                    "Spark's string cast and would prune unsoundly"
+                )
         hashes = {
             col: py_phash(str(val)) for col, val in (equals or {}).items()
         }

@@ -2299,6 +2299,12 @@ _BENFORD_CASE = (
     "WHEN 8 THEN 0.05115252244738129 "
     "ELSE 0.04575749056067514 END"
 )
+# CAST to DOUBLE on BOTH engines: Spark types the bare fractional
+# literals as decimal(17,17) while DuckDB picks DECIMAL(16,16) — the
+# driver's value hash canonicalizes those differently even when the
+# floats are identical, so the shared constant must leave the CASE
+# as an IEEE double.
+_BENFORD_CASE_D = f"CAST({_BENFORD_CASE} AS DOUBLE)"
 
 
 def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2332,13 +2338,13 @@ def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             "n",
-            F.expr(_BENFORD_CASE).alias("expected_share"),
+            F.expr(_BENFORD_CASE_D).alias("expected_share"),
             (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
                 "observed_share"
             ),
             (
                 F.col("n").cast("double") / F.col("tot").cast("double")
-                - F.expr(_BENFORD_CASE)
+                - F.expr(_BENFORD_CASE_D)
             ).alias("deviation"),
         )
     )
@@ -2352,10 +2358,10 @@ WITH digits AS (
 c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit),
 t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
 SELECT digit, n,
-       {_BENFORD_CASE} AS expected_share,
+       {_BENFORD_CASE_D} AS expected_share,
        CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS observed_share,
        CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
-         - {_BENFORD_CASE} AS deviation
+         - {_BENFORD_CASE_D} AS deviation
 FROM c, t
 """
 

@@ -2602,9 +2602,9 @@ bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
             AS u(i)),
 pairs AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
           FROM bg GROUP BY w1, w2),
-lm AS (SELECT w1, SUM(n_xy) AS n_x FROM pairs GROUP BY w1),
-rm AS (SELECT w2, SUM(n_xy) AS n_y FROM pairs GROUP BY w2),
-tot AS (SELECT SUM(n_xy) AS n_total FROM pairs)
+lm AS (SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM pairs GROUP BY w1),
+rm AS (SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM pairs GROUP BY w2),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_total FROM pairs)
 SELECT p.w1, p.w2, p.n_xy, l.n_x, r.n_y,
        CAST(p.n_xy * t.n_total AS DOUBLE) / CAST(l.n_x * r.n_y AS DOUBLE)
          AS lift

@@ -744,6 +744,58 @@ def test_bloom_nulls_skipped(spark, tmp_path):
     assert kept == []  # odd → NULL, blooms never index NULL
 
 
+def test_bloom_m_capped_for_large_files(spark, tmp_path):
+    """Regression (r8 ADVICE, high): a file with >= 262144 rows at the
+    default 16 bits/row used to get m > BLOOM_M_MAX. Build positions
+    fold mod BLOOM_M_MAX but probes ran mod m, so (x % 2^22) % m !=
+    x % m → false negatives → prune/scan/delete silently dropped the
+    file. The cap keeps m a power-of-two divisor of BLOOM_M_MAX."""
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import (
+        BLOOM_M_MAX,
+        ManifestParquetBackend,
+    )
+
+    path = str(tmp_path / "blcap")
+    be = ManifestParquetBackend()
+    n = 262144 + 7
+    df = (
+        spark.range(n)
+        .repartition(1)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2654435761 % 1000000007).alias("u"),
+        )
+    )
+    be.create(df, path, bloom_cols=["u"])
+    man = be._manifest(path, 0)
+    for entry in man["bloom"]["files"].values():
+        assert entry["u"]["m"] <= BLOOM_M_MAX
+        assert BLOOM_M_MAX % entry["u"]["m"] == 0
+    # no false negatives on a sample of present values
+    sample = [r.u for r in be.read(spark, path).limit(50).collect()]
+    for u in sample[:10]:
+        kept, total = be.prune_files(path, {}, equals={"u": int(u)})
+        assert kept, f"present value {u} pruned away (false negative)"
+
+
+def test_prune_equals_rejects_unsound_types(spark, tmp_path):
+    """equals values outside int/str don't share Spark's string cast
+    (bool str()s as 'True' vs Spark's 'true'; float/Decimal formatting
+    drifts) — must raise instead of silently pruning wrong."""
+    import pytest
+
+    path = str(tmp_path / "bltyp")
+    be = _bloom_table(spark, path)
+    for bad in [True, 1.5, None]:
+        with pytest.raises(TypeError):
+            be.prune_files(path, {}, equals={"u": bad})
+    # int and str still fine
+    be.prune_files(path, {}, equals={"u": 7})
+    be.prune_files(path, {}, equals={"u": "7"})
+
+
 # --- txn-idempotent append (exactly-once sink device) ---------------
 def test_append_txn_replay_is_noop(spark, tmp_path):
     from pyspark.sql import functions as F

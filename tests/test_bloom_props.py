@@ -58,6 +58,40 @@ def test_fold_composition(h, m):
         assert py_perm(h, a, b) % BLOOM_M_MAX % m == py_perm(h, a, b) % m
 
 
+def test_m_cap_regression():
+    """The builder caps file filter size at BLOOM_M_MAX because build
+    positions are folded mod BLOOM_M_MAX: with m > BLOOM_M_MAX the
+    fold identity (x % BLOOM_M_MAX) % m == x % m breaks and probes
+    hit unset bits (false negatives → silently dropped files). Pin
+    both facts: the identity really does fail above the cap, and the
+    backend never chooses such an m (the r8 ADVICE bug: a file of
+    >=262144 rows at 16 bits/row overflowed the cap)."""
+    m_over = BLOOM_M_MAX << 2
+    a, b = COEFFS[0]
+    broken = any(
+        py_perm(h, a, b) % BLOOM_M_MAX % m_over != py_perm(h, a, b) % m_over
+        for h in range(10**6, 10**6 + 5000)
+    )
+    assert broken, "fold identity unexpectedly held above BLOOM_M_MAX"
+    # the backend's size rule, as applied in _bloom_for_files
+    for n_rows, bpr in [(262144, 16), (10**7, 16), (1, 16), (0, 16)]:
+        m = min(BLOOM_M_MAX, max(1024, 1 << (bpr * max(n_rows, 1)).bit_length()))
+        assert 1024 <= m <= BLOOM_M_MAX
+        assert BLOOM_M_MAX % m == 0  # power-of-two divisor → fold sound
+
+
+@given(
+    st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=40),
+    st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_no_false_negatives_at_cap(values, dense):
+    # m == BLOOM_M_MAX exactly (the capped regime for huge files)
+    entry = _build_entry(values, BLOOM_M_MAX, dense)
+    for v in values:
+        assert _bloom_membership(entry, py_phash(str(v)), COEFFS)
+
+
 @given(
     st.lists(st.text(min_size=0, max_size=20), min_size=1, max_size=40),
 )

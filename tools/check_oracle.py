@@ -49,6 +49,38 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class as the driver's value-hash would see it.
+
+    The float comparison in compare() hides engine typing drift that
+    the driver hash does NOT forgive: Spark decimal columns fetch as
+    object(Decimal) while DuckDB DECIMAL/HUGEINT fetch as float64, and
+    an int64-vs-float64 pair hashes as `123` vs `123.0`.  Classifying
+    the *fetched* dtypes and demanding equality catches both classes
+    (the r8 `benford_prices` / `collocation_lift` fails) before the
+    driver does.
+    """
+    import datetime as _dt
+    import decimal as _dec
+
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    non_null = s.dropna()
+    if len(non_null) == 0:
+        return "empty"
+    if all(isinstance(v, _dec.Decimal) for v in non_null):
+        return "decimal"
+    if all(isinstance(v, (_dt.date, _dt.datetime)) for v in non_null):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(oracle_pdf):
@@ -57,6 +89,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     if sc != oc:
         problems.append(f"columns {sc} vs {oc}")
         return problems
+    for c in sc:
+        ca, cb = dtype_class(spark_pdf[c]), dtype_class(oracle_pdf[c])
+        if "empty" in (ca, cb):
+            continue
+        if ca != cb:
+            problems.append(f"col {c}: dtype class spark={ca} vs oracle={cb}")
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     if len(a) != len(b):
         return problems

@@ -386,6 +386,255 @@ GROUP BY event_type
 """
 
 
+# --- REST ingest roundtrip (S1): paginated API → raw zone → agg ----
+REST_PAGE_SIZE = 100
+
+
+def q_rest_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end against an in-process fake paginated API
+    (reference pipeline/data_pipeline.py:26-65). The fake serves the
+    ``customer`` table sorted by key, 100 records/page, and pins all
+    three reference stop/envelope semantics observably:
+
+    - envelope alternates ``records`` (odd pages) / ``data`` (even
+      pages) — both must be honored (ref :41);
+    - continuation alternates ``pagination.has_next`` / ``hasMore``
+      (ref :55), and every served page claims more — so the ONLY
+      stop is…
+    - …a mid-stream non-200: pages past ``ceil(n/100) - 2`` return
+      404 (ref :36-38). A loop that ignored the status would fetch
+      2 extra pages and fail the count/sum oracle.
+
+    Records land page-per-file in a date-partitioned raw zone
+    (S2 layout), are re-read from the LANDED files with an explicit
+    schema, and aggregate per segment. The driver-side collect IS the
+    fake API's backing store — bounded by the feed scale (the
+    reference ingests ~3k rows/run), not a distributed-path collect.
+    """
+    import json as _json
+    import shutil
+
+    from dish_data_pipeline_spark.sources.rest import fetch_paginated_data
+
+    c = (
+        read(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .orderBy("c_custkey")
+    )
+    rows = [r.asDict() for r in c.collect()]
+    ps = REST_PAGE_SIZE
+    pages = [rows[i : i + ps] for i in range(0, len(rows), ps)]
+    last_ok = max(len(pages) - 2, 1)  # pages past this 404 mid-stream
+
+    def fake_get(url: str):
+        page = int(url.rsplit("page=", 1)[1])
+        if page > last_ok:
+            return 404, None
+        chunk = pages[page - 1]
+        if page % 2 == 1:
+            return 200, {"records": chunk, "pagination": {"has_next": True}}
+        return 200, {"data": chunk, "hasMore": True}
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"rest_raw_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    records, landed = fetch_paginated_data(
+        "http://fake", "customers", http_get=fake_get,
+        raw_zone_dir=out, name="customers",
+    )
+    assert len(landed) == last_ok, "one landed JSON file per fetched page"
+    back = spark.read.schema(
+        "c_custkey long, c_mktsegment string, c_acctbal double"
+    ).json(landed)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        F.min("c_custkey").alias("min_ck"),
+        F.max("c_custkey").alias("max_ck"),
+    )
+
+
+SQL_REST_INGEST_ROUNDTRIP = f"""
+WITH lim AS (
+  SELECT GREATEST(CAST(CEIL(COUNT(*) / {REST_PAGE_SIZE}.0) AS BIGINT) - 2, 1)
+         * {REST_PAGE_SIZE} AS k
+  FROM customer),
+fetched AS (
+  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+  FROM customer
+  QUALIFY ROW_NUMBER() OVER (ORDER BY c_custkey) <= (SELECT k FROM lim))
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('c_acctbal')} AS sum_acctbal,
+       MIN(c_custkey) AS min_ck, MAX(c_custkey) AS max_ck
+FROM fetched GROUP BY c_mktsegment
+"""
+
+
+# --- Distributed REST fetch (S1 scale tier) -------------------------
+REST_DIST_PAGES = 40
+REST_DIST_PER_PAGE = 50
+
+
+def _rest_dist_page_get(url: str):
+    """Module-level fake HTTP for the DISTRIBUTED fetch tier — must be
+    picklable into executor tasks, so it's a pure function of the page
+    number (each record's payload derives from its global index via
+    the Knuth multiplier; both engines recompute it exactly). Envelope
+    alternates records/data so the executor-side extraction pins the
+    same reference semantics as the driver tier."""
+    page = int(url.rsplit("page=", 1)[1])
+    if page > REST_DIST_PAGES:
+        return 404, None
+    base = (page - 1) * REST_DIST_PER_PAGE
+    chunk = [
+        {"k": base + i, "v": ((base + i) * 2654435761) % 1000003}
+        for i in range(REST_DIST_PER_PAGE)
+    ]
+    if page % 2 == 1:
+        return 200, {"records": chunk, "pagination": {"has_next": True}}
+    return 200, {"data": chunk, "hasMore": True}
+
+
+def q_rest_distributed_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's 100 TB path: a known page range fanned out over executors
+    with ``mapPartitions`` (``fetch_pages_distributed``,
+    sources/rest.py:124 — each task fetches its page slice with its
+    own HTTP session). The returned raw-JSON strings parse against an
+    EXPLICIT schema (``from_json``; inference drift is a recorded
+    reference defect class, SURVEY.md §7.4.4) and aggregate per
+    bucket — any dropped/duplicated page or mangled record shifts the
+    counts and index-derived checksums."""
+    from dish_data_pipeline_spark.sources.rest import (
+        fetch_pages_distributed,
+    )
+
+    read(spark, sf_dir, "region")  # pin session confs like every entry
+    raw = fetch_pages_distributed(
+        spark, "http://fake", "items", n_pages=REST_DIST_PAGES,
+        partitions=8, http_get=_rest_dist_page_get,
+    )
+    parsed = raw.select(
+        F.from_json(F.col("json"), "k long, v long").alias("r")
+    ).select("r.k", "r.v")
+    return (
+        parsed.groupBy((F.col("k") % 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_REST_DISTRIBUTED_FETCH = f"""
+WITH ks AS (
+  SELECT UNNEST(generate_series(0,
+           {REST_DIST_PAGES * REST_DIST_PER_PAGE - 1})) AS k)
+SELECT k % 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((k * 2654435761) % 1000003) AS BIGINT) AS sum_v,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM ks GROUP BY bucket
+"""
+
+
+# --- Audit trail (S4): run_feed success + DQ-failure paths ---------
+def q_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end-to-end: two feeds through ``run_feed`` (reference
+    main(), pipeline/data_pipeline.py:245-272), then the audit table
+    itself is the result — certifying the ARRAY<STRING>
+    ``source_files`` column (ref :219-242) and the audit-on-DQ-failure
+    row (ref :259-262, minus its unbound-variable bug).
+
+    - ``nation_feed``: every nation row served TWICE (10/page) —
+      the pre-DQ keyed dedup (D1, ref :84-85) must collapse them so
+      DQ passes and the audited count is the distinct-key count;
+    - ``region_feed``: rows served without ``r_name`` while the
+      policy requires it → fatal DQ (Q2) → FAILED audit row with
+      count 0 but the landed page still in ``source_files``.
+
+    Output projects the deterministic audit columns (the audit
+    timestamp is wall-clock by contract, X2) plus the landed-file
+    COUNT — the paths themselves embed tmp dir + load date.
+    """
+    import shutil
+
+    from dish_data_pipeline_spark.pipeline import FeedConfig, run_feed
+
+    serve: dict[str, list[dict]] = {}
+    n_rows = [
+        r.asDict()
+        for r in read(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+    ]
+    serve["nations"] = [r for r in n_rows for _ in (0, 1)]  # each twice
+    serve["regions"] = [
+        {"r_regionkey": r["r_regionkey"]}  # r_name withheld → Q2 fatal
+        for r in read(spark, sf_dir, "region")
+        .select("r_regionkey")
+        .orderBy("r_regionkey")
+        .collect()
+    ]
+
+    def fake_get(url: str):
+        endpoint = url.rsplit("/", 1)[1].split("?")[0]
+        page = int(url.rsplit("page=", 1)[1])
+        rows = serve[endpoint]
+        chunk = rows[(page - 1) * 10 : page * 10]
+        return 200, {
+            "records": chunk,
+            "pagination": {"has_next": page * 10 < len(rows)},
+        }
+
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        f"audit_wh_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    feeds = [
+        FeedConfig("nation_feed", "nations", keys=["n_nationkey"],
+                   required=["n_nationkey", "n_name"]),
+        FeedConfig("region_feed", "regions", keys=["r_regionkey"],
+                   required=["r_regionkey", "r_name"]),
+    ]
+    for feed in feeds:
+        run_feed(spark, feed, "http://fake", wh, http_get=fake_get,
+                 load_date=dt.date(2024, 2, 1))
+    audit = spark.read.parquet(os.path.join(wh, "load_audit"))
+    return (
+        audit.select(
+            "table_name",
+            "record_count",
+            "status",
+            F.size("source_files").alias("n_source_files"),
+        ).orderBy("table_name")
+    )
+
+
+SQL_AUDIT_TRAIL = """
+SELECT 'nation_feed' AS table_name,
+       (SELECT CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) FROM nation)
+         AS record_count,
+       'SUCCESS' AS status,
+       CAST((SELECT CEIL(COUNT(*) * 2 / 10.0) FROM nation) AS INT)
+         AS n_source_files
+UNION ALL
+SELECT 'region_feed',
+       CAST(0 AS BIGINT),
+       'FAILED: Missing required columns: [''r_name'']',
+       CAST((SELECT CEIL(COUNT(*) / 10.0) FROM region) AS INT)
+ORDER BY table_name
+"""
+
+
 # --- Load-metadata enrichment (P1/P2, deterministic replay form) --
 def q_enrich_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read(spark, sf_dir, "events")
@@ -2073,6 +2322,18 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
     "raw_zone_roundtrip": QueryDef(
         q_raw_zone_roundtrip, SQL_RAW_ZONE_ROUNDTRIP,
         "S2 raw-zone partitioned write + pruned read", ("io",)),
+    "rest_ingest_roundtrip": QueryDef(
+        q_rest_ingest_roundtrip, SQL_REST_INGEST_ROUNDTRIP,
+        "S1 paginated REST fetch -> raw zone -> re-read + agg",
+        ("io", "pipeline")),
+    "rest_distributed_fetch": QueryDef(
+        q_rest_distributed_fetch, SQL_REST_DISTRIBUTED_FETCH,
+        "S1 scale tier: executor-side page fetch via mapPartitions",
+        ("io", "pipeline")),
+    "audit_trail": QueryDef(
+        q_audit_trail, SQL_AUDIT_TRAIL,
+        "S4 audit rows from run_feed success + DQ-failure paths",
+        ("io", "pipeline")),
     "bucketed_join_zero_shuffle": QueryDef(
         q_bucketed_join_zero_shuffle,
         SQL_BUCKETED_JOIN_ZERO_SHUFFLE,

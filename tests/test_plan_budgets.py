@@ -1,0 +1,82 @@
+"""Executed-plan budgets for scale-critical catalog queries.
+
+PLANS.md documents every query's physical plan; this test PINS the
+shuffle/broadcast shape of the flagship scale paths so a future edit
+that silently degrades one (a lost broadcast hint → SortMergeJoin, a
+new Exchange from a dropped co-partitioning, an accidental
+row-at-a-time UDF breaking codegen) fails HERE at sf0.001 instead of
+surfacing as a 100 TB regression.
+
+Budgets are CEILINGS read from the round-9 PLANS.md audit (generated
+at sf0.01; shuffle counts are data-size independent for these
+queries): fewer shuffles is always acceptable, more is a plan
+regression. Broadcast joins are asserted as floors where the plan
+depends on them (a small side that stops broadcasting re-plans into
+a shuffle join — the exact failure mode the budget exists to catch).
+AQE can only CONVERT shuffle joins to broadcast at runtime (never
+the reverse), so floors are stable across machines.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dish_data_pipeline_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query -> (max shuffle Exchanges, min BroadcastHashJoins, forbid SMJ)
+BUDGETS: dict[str, tuple[int, int, bool]] = {
+    # one-pass aggregations: a single shuffle, JVM-side end to end
+    "pricing_summary": (1, 0, True),
+    "exact_dedup": (2, 0, True),
+    "keep_latest_events": (2, 0, True),
+    "dq_summary": (2, 0, True),
+    # zero-shuffle map-only text analytics
+    "text_stats": (0, 0, True),
+    "quality_score": (0, 0, True),
+    "doc_sample": (0, 0, True),
+    # top-k with broadcast dims: the dims must stay broadcast
+    "topk_revenue": (1, 2, True),
+    # banded near-dup: bounded shuffles, candidate joins broadcast
+    "simhash_neardup": (4, 1, True),
+    "embedding_dedup": (2, 1, True),
+    # broadcast-query ANN: the query side must never shuffle-join
+    "knn_ivfpq": (2, 1, True),
+    # decontamination: the Bloom build/probe stays broadcast-sided
+    "bloom_decontaminate": (5, 2, True),
+    "leakage_split": (1, 1, True),
+    "dup_span_mask": (2, 0, False),  # 5-gram join may SMJ at scale
+    "training_corpus": (1, 1, True),
+    "temperature_mix": (1, 1, True),
+    "sequence_packing": (2, 0, True),
+}
+
+
+def _final_plan(df) -> str:
+    df.collect()  # AQE: only the executed plan shows final strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    return plan
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_budget(spark, name):
+    max_shuffles, min_bhj, forbid_smj = BUDGETS[name]
+    plan = _final_plan(QUERIES[name].fn(spark, SF_DIR))
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    assert shuffles <= max_shuffles, (
+        f"{name}: {shuffles} shuffle Exchanges (budget {max_shuffles})\n{plan}"
+    )
+    assert bhj >= min_bhj, (
+        f"{name}: {bhj} BroadcastHashJoins (needs >= {min_bhj} — a small "
+        f"side stopped broadcasting)\n{plan}"
+    )
+    if forbid_smj:
+        assert "SortMergeJoin" not in plan, (
+            f"{name}: SortMergeJoin appeared — a broadcast was lost\n{plan}"
+        )

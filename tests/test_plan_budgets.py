@@ -52,6 +52,37 @@ BUDGETS: dict[str, tuple[int, int, bool]] = {
     "training_corpus": (1, 1, True),
     "temperature_mix": (1, 1, True),
     "sequence_packing": (2, 0, True),
+    # LSH / set-similarity family: banded candidates, broadcast rescore
+    "minhash_neardup": (7, 0, True),
+    "ngram_jaccard": (7, 0, True),
+    "jaccard_simjoin": (4, 0, True),
+    "containment_pairs": (2, 0, True),
+    # 7 not 4: ReusedExchange nodes print their referent inline, so the
+    # textual count exceeds the 4 physical exchanges PLANS.md records
+    "fuzzy_part_match": (7, 0, True),
+    "embedding_neardup": (2, 0, True),
+    "semantic_dedup": (6, 0, True),
+    "segment_dedup": (4, 0, True),
+    "incremental_dedup": (3, 0, True),
+    "best_of_cluster": (2, 0, True),
+    # ANN tiers: query side broadcast, shuffles carry codes not vectors
+    "knn_bruteforce": (1, 0, True),
+    "knn_ivf": (2, 0, True),
+    "knn_pq": (1, 0, True),
+    "knn_rrf": (9, 0, False),  # fusion joins ranked lists; SMJ legal
+    # sketches / text / sampling: map-side state, bounded exchanges
+    "sketch_merge": (10, 0, True),
+    "cms_topk": (3, 0, True),
+    "hll_windows": (12, 0, True),
+    "contamination": (3, 0, True),
+    "tfidf_topterms": (5, 0, True),
+    "bm25_search": (1, 0, True),
+    "sessionize": (1, 0, True),
+    "domain_quota": (1, 0, True),
+    "winnow_fingerprint": (1, 0, True),
+    "doc_chunks": (0, 0, True),
+    "pii_redaction": (0, 0, True),
+    "corpus_pipeline": (7, 0, True),
 }
 
 

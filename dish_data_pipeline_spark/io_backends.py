@@ -1115,6 +1115,24 @@ class ManifestParquetBackend:
         deleted: list[str] = []
         data = os.path.join(path, "data")
         now = __import__("time").time()
+        # stale commit scratch: _try_commit unlinks its .tmp-* in a
+        # finally, so one only survives a HARD crash between create
+        # and cleanup. They are never referenced (commits are the
+        # hard-linked v*.json), but accumulate forever; reclaim them
+        # under the same age window that protects in-flight writers.
+        for f in os.listdir(log):
+            if not f.startswith(".tmp-"):
+                continue
+            fp = os.path.join(log, f)
+            try:
+                if min_age_seconds > 0 and (
+                    now - os.path.getmtime(fp) < min_age_seconds
+                ):
+                    continue
+                os.unlink(fp)
+                deleted.append(os.path.join("_log", f))
+            except OSError:
+                continue  # raced with its own committer
         for d in sorted(os.listdir(data)) if os.path.isdir(data) else []:
             rel = os.path.join("data", d)
             if rel in referenced_dirs:

@@ -222,6 +222,35 @@ def test_expire_versions_and_vacuum_reclaim(spark, table):
     assert be.read(spark, path).count() == 402
 
 
+def test_vacuum_reclaims_crashed_commit_scratch(spark, table):
+    import os
+    import time
+
+    be, path = table
+    log = be._log_dir(path)
+    # simulate a writer hard-killed between creating its commit
+    # scratch and the finally-unlink: a stale .tmp-* in the log dir
+    stale = os.path.join(log, ".tmp-deadbeef")
+    with open(stale, "w") as f:
+        f.write("{}")
+    old = time.time() - 3600
+    os.utime(stale, (old, old))
+    fresh = os.path.join(log, ".tmp-in-flight")
+    with open(fresh, "w") as f:
+        f.write("{}")
+    # windowed vacuum: the hour-old scratch goes, the in-flight stays
+    deleted = be.vacuum(path, min_age_seconds=600)
+    assert os.path.join("_log", ".tmp-deadbeef") in deleted
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+    # quiesced vacuum (window 0) reclaims the rest
+    deleted = be.vacuum(path)
+    assert os.path.join("_log", ".tmp-in-flight") in deleted
+    assert not os.path.exists(fresh)
+    # the table itself is untouched
+    assert be.read(spark, path).count() == 400
+
+
 def test_expire_versions_never_drops_latest(spark, table):
     be, path = table
     assert be.expire_versions(path, keep_last=5) == []

@@ -183,6 +183,12 @@ def _bloom_membership(entry: dict, h: int, coeffs) -> bool:
     from dish_data_pipeline_spark.ops.portable import py_perm
 
     m = entry["m"]
+    if m > BLOOM_M_MAX:
+        # legacy entry from the uncapped builder: its positions were
+        # folded mod BLOOM_M_MAX at build time, so probing mod m is
+        # unsound (false negatives). "Maybe present" is always sound —
+        # the file just isn't pruned; rebuild blooms via compact().
+        return True
     positions = [py_perm(h, a, b) % m for a, b in coeffs]
     if "pos" in entry:
         s = set(entry["pos"])

@@ -80,6 +80,15 @@ def test_m_cap_regression():
         assert BLOOM_M_MAX % m == 0  # power-of-two divisor → fold sound
 
 
+def test_legacy_uncapped_entry_is_never_pruned():
+    """Entries written by the pre-cap builder (m > BLOOM_M_MAX) carry
+    positions folded mod BLOOM_M_MAX; probing them mod m is unsound.
+    The prober must answer 'maybe present' for every probe — sound
+    (no pruning) instead of silently dropping files."""
+    entry = {"m": BLOOM_M_MAX << 2, "pos": []}  # empty = worst case
+    assert _bloom_membership(entry, py_phash("anything"), COEFFS)
+
+
 @given(
     st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=40),
     st.booleans(),

@@ -96,10 +96,19 @@ def run_feed(
         )
         df = records_to_dataframe(spark, records, feed.schema)
         df = add_load_metadata(normalize_records(df), load_date=load_date)
-        # Reference pre-dedup (D1): keyed when the key columns exist,
-        # full-row otherwise (pipeline/data_pipeline.py:84-85).
-        pre_keys = [k for k in feed.keys if k in df.columns]
-        df = dedup_keyed(df, pre_keys or None)
+        # Reference pre-dedup (D1, pipeline/data_pipeline.py:84-85):
+        # KEYED only when ``visit_date`` is present (the daily_visits
+        # shape); FULL-ROW for every other feed — so key-duplicates
+        # that are not exact-row duplicates survive to the DQ gate
+        # and exercise the recoverable-duplicate routing below (D2,
+        # reference :253-258). Generalizing this to "keyed whenever
+        # the key columns exist" (the pre-round-10 behavior) made the
+        # recovery branch dead code for all feeds.
+        if "visit_date" in df.columns:
+            pre_keys = [k for k in feed.keys if k in df.columns]
+            df = dedup_keyed(df, pre_keys or None)
+        else:
+            df = dedup_keyed(df, None)
 
         # Feed-specific config wins over the built-in defaults — a
         # feed named like a default (daily_visits/ga_sessions) must

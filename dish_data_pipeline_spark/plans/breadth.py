@@ -635,6 +635,94 @@ ORDER BY table_name
 """
 
 
+# --- DQ recovery (D2/X9): recoverable-duplicate dedup-and-continue
+DQ_RECOVERY_PER_PAGE = 200
+
+
+def q_dq_recovery_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/X9 end-to-end: the recoverable-duplicate routing of
+    ``run_feed`` (reference pipeline/data_pipeline.py:253-258 — the
+    "duplicate" containment branch that dedups and CONTINUES the
+    load instead of skipping it).
+
+    A ga_sessions-shaped feed serves every visitId TWICE with
+    DIFFERENT payloads (hits 1 vs 2). No ``visit_date`` column, so
+    the pre-DQ dedup is FULL-ROW (D1, ref :84-85) and both copies
+    survive to the DQ gate; Q4 flags ``Found N duplicate records``
+    (recoverable), run_feed dedups by the feed keys and continues,
+    and the SUCCESS audit row carries the DEDUPED count. Had the
+    recovery branch not fired, the count would be 2N (DQ silently
+    green) or the status FAILED (fatal routing) — either way a
+    driver hash mismatch.
+
+    ``dedup_keyed`` keeps an arbitrary row per key, so the output
+    pins only key-deterministic facts: the audit row plus target
+    aggregates over columns both copies agree on.
+    """
+    import shutil
+
+    from dish_data_pipeline_spark.pipeline import FeedConfig, run_feed
+
+    custs = [
+        (int(r["c_custkey"]), r["c_mktsegment"])
+        for r in read(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+        .collect()
+    ]
+    rows = [
+        {"visitId": k, "channelGrouping": seg, "hits": h}
+        for k, seg in custs
+        for h in (1, 2)  # key-duplicate, NOT an exact-row duplicate
+    ]
+
+    def fake_get(url: str):
+        page = int(url.rsplit("page=", 1)[1])
+        per = DQ_RECOVERY_PER_PAGE
+        chunk = rows[(page - 1) * per : page * per]
+        return 200, {
+            "records": chunk,
+            "pagination": {"has_next": page * per < len(rows)},
+        }
+
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        f"dqrec_wh_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    feed = FeedConfig("ga_sessions", "ga_sessions",
+                      keys=["visitId", "source_file"],
+                      required=["visitId", "channelGrouping"])
+    run_feed(spark, feed, "http://fake", wh, http_get=fake_get,
+             load_date=dt.date(2024, 2, 1))
+    audit = spark.read.parquet(os.path.join(wh, "load_audit")).select(
+        "table_name",
+        "record_count",
+        "status",
+        F.size("source_files").alias("n_source_files"),
+    )
+    tgt = spark.read.parquet(os.path.join(wh, "tgt_ga_sessions")).agg(
+        F.count(F.lit(1)).alias("tgt_rows"),
+        F.sum("visitId").alias("sum_visit_ids"),
+        F.count_distinct("channelGrouping").alias("n_channels"),
+    )
+    return audit.crossJoin(tgt)
+
+
+SQL_DQ_RECOVERY_ROUNDTRIP = f"""
+SELECT 'ga_sessions' AS table_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS record_count,
+       'SUCCESS' AS status,
+       CAST(CEIL((SELECT COUNT(*) FROM customer) * 2
+                 / {DQ_RECOVERY_PER_PAGE}.0) AS INT) AS n_source_files,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS tgt_rows,
+       (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM customer)
+         AS sum_visit_ids,
+       (SELECT CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+          FROM customer) AS n_channels
+"""
+
+
 # --- Load-metadata enrichment (P1/P2, deterministic replay form) --
 def q_enrich_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read(spark, sf_dir, "events")
@@ -2333,6 +2421,10 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
     "audit_trail": QueryDef(
         q_audit_trail, SQL_AUDIT_TRAIL,
         "S4 audit rows from run_feed success + DQ-failure paths",
+        ("io", "pipeline")),
+    "dq_recovery_roundtrip": QueryDef(
+        q_dq_recovery_roundtrip, SQL_DQ_RECOVERY_ROUNDTRIP,
+        "D2/X9 recoverable-duplicate dedup-and-continue routing",
         ("io", "pipeline")),
     "bucketed_join_zero_shuffle": QueryDef(
         q_bucketed_join_zero_shuffle,

@@ -73,3 +73,43 @@ def test_nested_feed_flattens_and_merges(spark, tmp_path):
     assert rows["v1"].totals_hits == 99  # updated
     assert rows["v6"].totals_hits == 6  # retained from run 1
     assert rows["v7"].totals_hits == 7  # inserted
+
+
+def dup_sessions_server(n=6):
+    """Every visitId served twice with DIFFERENT hits — key-dups that
+    are NOT exact-row dups, so the full-row pre-dedup (D1) keeps both
+    and they reach the DQ gate."""
+    recs = [
+        {"visitId": f"v{i}", "channelGrouping": "Direct", "hits": h}
+        for i in range(1, n + 1)
+        for h in (1, 2)
+    ]
+
+    def http_get(url):
+        page = int(url.rsplit("=", 1)[1])
+        if page == 1:
+            return 200, {"records": recs, "hasMore": False}
+        return 200, {"records": []}
+
+    return http_get
+
+
+def test_recoverable_duplicates_dedup_and_continue(spark, tmp_path):
+    """D2/X9 (reference pipeline/data_pipeline.py:253-258): key-dups
+    surviving pre-dedup trigger the recoverable branch — DQ reports
+    the duplicates, run_feed dedups by the feed keys and CONTINUES,
+    and the SUCCESS audit carries the deduped count."""
+    wh = str(tmp_path / "wh")
+    res = run_feed(
+        spark, FEED, "http://fake", wh, http_get=dup_sessions_server(6),
+        load_date=dt.date(2024, 3, 1),
+    )
+    assert res.status == "SUCCESS", res.issues
+    # The route was D2, not D1: DQ saw and reported the duplicates.
+    assert any("duplicate" in i.lower() for i in res.issues), res.issues
+    assert res.record_count == 6  # deduped, not the 12 served
+    tgt = spark.read.parquet(f"{wh}/tgt_ga_sessions")
+    assert tgt.count() == 6
+    audit = spark.read.parquet(f"{wh}/load_audit").collect()
+    assert len(audit) == 1
+    assert audit[0].status == "SUCCESS" and audit[0].record_count == 6

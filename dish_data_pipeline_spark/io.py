@@ -120,10 +120,43 @@ def write_raw_zone(df: DataFrame, path: str, fmt: str = "json") -> None:
 
 
 #: Formats the generic table reader/writer accepts — the Spark-native
-#: columnar pair plus the text interchange pair. Avro needs the
-#: external spark-avro package (not baked into this container), so it
-#: is deliberately absent; add "avro" here on a cluster that ships it.
-TABLE_FORMATS = ("parquet", "orc", "json", "csv")
+#: columnar pair, the text interchange pair, and Avro behind a
+#: runtime gate (the spark-avro JVM package is external; see
+#: :func:`avro_available`). Using "avro" on a session without the
+#: package raises :class:`FormatUnavailable` with the install hint
+#: instead of Spark's opaque ClassNotFoundException.
+TABLE_FORMATS = ("parquet", "orc", "json", "csv", "avro")
+
+
+class FormatUnavailable(RuntimeError):
+    """The requested format needs an external package this session
+    doesn't ship (mirror of the DeltaBackend import gate)."""
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro JVM package is on the session
+    classpath (``--packages org.apache.spark:spark-avro_2.13:<ver>``
+    or a cluster image that bakes it in). Resolved through Spark's
+    own DataSource registry — a bare ``Class.forName`` is NOT enough
+    (some distributions ship avro classes without registering the
+    data source module)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _gate_avro(spark: SparkSession) -> None:
+    if not avro_available(spark):
+        raise FormatUnavailable(
+            "fmt='avro' needs the external spark-avro package on the "
+            "JVM classpath (launch with --packages "
+            "org.apache.spark:spark-avro_2.13:<spark version>); "
+            "parquet/orc/json/csv have no extra dependencies"
+        )
 
 
 def write_table(
@@ -136,6 +169,8 @@ def write_table(
     header so the file round-trips through :func:`read_any`."""
     if fmt not in TABLE_FORMATS:
         raise ValueError(f"fmt must be one of {TABLE_FORMATS}, got {fmt!r}")
+    if fmt == "avro":
+        _gate_avro(df.sparkSession)
     w = df.write.mode(mode).format(fmt)
     if fmt == "csv":
         w = w.option("header", "true")
@@ -152,6 +187,8 @@ def read_any(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
         raise ValueError(f"fmt must be one of {TABLE_FORMATS}, got {fmt!r}")
     if fmt == "parquet":
         return read_parquet(spark, path)
+    if fmt == "avro":
+        _gate_avro(spark)
     r = spark.read.format(fmt)
     if fmt == "csv":
         r = r.option("header", "true").option("inferSchema", "true")

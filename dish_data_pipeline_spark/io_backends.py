@@ -420,7 +420,13 @@ class ManifestParquetBackend:
         }
 
     def _try_commit(self, path: str, version: int, manifest: dict) -> bool:
-        """Atomically claim ``version``; False if a rival got there."""
+        """Atomically claim ``version``; False if a rival got there.
+
+        A vanished scratch file (an overlapping ``vacuum(min_age_
+        seconds=0)`` reclaiming ``.tmp-*`` between our create and the
+        link) is treated as losing the race — the caller re-reads the
+        log and retries — rather than an uncaught FileNotFoundError;
+        no committed state is touched either way."""
         log = self._log_dir(path)
         os.makedirs(log, exist_ok=True)
         tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
@@ -435,8 +441,13 @@ class ManifestParquetBackend:
             return True
         except FileExistsError:
             return False
+        except FileNotFoundError:
+            return False  # scratch vacuumed mid-commit: retryable loss
         finally:
-            os.unlink(tmp)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     # -- TableBackend protocol --------------------------------------
     def exists(self, spark: SparkSession, path: str) -> bool:
@@ -893,8 +904,12 @@ class ManifestParquetBackend:
         ``equals`` value. Files without stats/bloom for a column are
         always kept — pruning is sound, never required. ``equals``
         values hash via ``str(value)`` (int/string columns; matches
-        the builder's Spark string cast). Returns (kept relative
-        files, total files)."""
+        the builder's Spark string cast). Probing a BLOOM-INDEXED
+        column with a non-int/str value raises TypeError (other
+        types don't share Spark's string cast, so the probe would
+        prune unsoundly); columns the table never bloom-indexed are
+        a sound keep-all no-op regardless of value type. Returns
+        (kept relative files, total files)."""
         from dish_data_pipeline_spark.ops.portable import (
             perm_coeffs,
             py_phash,
@@ -910,20 +925,28 @@ class ManifestParquetBackend:
         coeffs = (
             perm_coeffs(bloom["k"], bloom["seed"]) if bloom else []
         )
+        bloom_cols = set(bloom.get("cols") or [])
         for col, val in (equals or {}).items():
             # the builder hashed Spark's CAST(col AS STRING); Python's
             # str() agrees only for int/str (bool → 'True' vs 'true',
             # float/Decimal formatting drifts) — anything else would
             # hash differently and SILENTLY drop matching files, so
-            # fail loudly instead
-            if isinstance(val, bool) or not isinstance(val, (int, str)):
+            # fail loudly instead. Only enforced for columns the table
+            # actually bloom-indexed: a non-indexed column is never
+            # hashed, so any value type is a sound keep-all no-op
+            # (back-compat with bloom-less tables).
+            if col in bloom_cols and (
+                isinstance(val, bool) or not isinstance(val, (int, str))
+            ):
                 raise TypeError(
                     f"equals[{col!r}] must be int or str (got "
                     f"{type(val).__name__}); other types don't share "
                     "Spark's string cast and would prune unsoundly"
                 )
         hashes = {
-            col: py_phash(str(val)) for col, val in (equals or {}).items()
+            col: py_phash(str(val))
+            for col, val in (equals or {}).items()
+            if col in bloom_cols
         }
         kept = []
         for f in man["files"]:
@@ -1215,18 +1238,87 @@ class DeltaBackend:
         )
 
 
+class IcebergBackend:
+    """Native Apache Iceberg MERGE for Iceberg-standardized estates.
+
+    Unlike the path-addressed backends, Iceberg tables live in a
+    session CATALOG — ``path`` arguments are table identifiers
+    (``catalog.db.tbl``). Requires the iceberg-spark-runtime JVM
+    package AND a session configured with a SparkCatalog +
+    IcebergSparkSessionExtensions; the gate raises
+    :class:`BackendUnavailable` with the setup hint otherwise (the
+    default ManifestParquetBackend covers MERGE atomicity, time
+    travel, and data skipping with no extra dependencies)."""
+
+    name = "iceberg"
+
+    @staticmethod
+    def _gate(spark: SparkSession) -> None:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+        except Exception as exc:
+            raise BackendUnavailable(
+                "IcebergBackend needs the iceberg-spark-runtime package "
+                "(--packages org.apache.iceberg:iceberg-spark-runtime-"
+                "4.0_2.13:<ver>) and a session configured with "
+                "spark.sql.catalog.<name>=org.apache.iceberg.spark."
+                "SparkCatalog plus IcebergSparkSessionExtensions"
+            ) from exc
+
+    def exists(self, spark: SparkSession, path: str) -> bool:
+        self._gate(spark)
+        return spark.catalog.tableExists(path)
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        self._gate(spark)
+        return spark.read.table(path)
+
+    def create(self, df: DataFrame, path: str) -> None:
+        self._gate(df.sparkSession)
+        df.writeTo(path).using("iceberg").createOrReplace()
+
+    def merge_keep_latest(
+        self,
+        spark: SparkSession,
+        path: str,
+        staging: DataFrame,
+        keys: Sequence[str],
+        ts_col: str,
+        tiebreakers: Sequence[str] = (),
+    ) -> None:
+        self._gate(spark)
+        deduped = keep_latest(staging, keys, ts_col, tiebreakers)
+        view = f"_merge_src_{uuid.uuid4().hex}"
+        deduped.createOrReplaceTempView(view)
+        try:
+            spark.sql(
+                f"MERGE INTO {path} t USING {view} s "
+                f"ON {merge_condition(keys)} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+
+
 _BACKENDS = {
     "parquet": ParquetSwapBackend,
     "manifest": ManifestParquetBackend,
     "delta": DeltaBackend,
+    "iceberg": IcebergBackend,
 }
 
 
 def get_backend(name: str) -> TableBackend:
-    """Resolve a backend by name ('parquet' default path, 'delta').
+    """Resolve a backend by name ('parquet' default path, 'manifest',
+    'delta', 'iceberg').
 
     Raises ``ValueError`` for unknown names, ``BackendUnavailable``
-    when the named backend's optional dependency is missing."""
+    when the named backend's optional dependency is missing (delta
+    gates at construction; iceberg is session-scoped, so it gates on
+    first use)."""
     try:
         cls = _BACKENDS[name]
     except KeyError:

@@ -794,6 +794,15 @@ def test_prune_equals_rejects_unsound_types(spark, tmp_path):
     # int and str still fine
     be.prune_files(path, {}, equals={"u": 7})
     be.prune_files(path, {}, equals={"u": "7"})
+    # back-compat: a column the table never bloom-indexed is never
+    # hashed, so any value type is a sound keep-all no-op — including
+    # on tables with no blooms at all
+    kept, total = be.prune_files(path, {}, equals={"k": 1.5})
+    assert kept and len(kept) == total
+    plain = str(path) + "_nobloom"
+    be.create(be.read(spark, path), plain)  # no bloom_cols
+    kept, total = be.prune_files(plain, {}, equals={"u": 1.5})
+    assert kept and len(kept) == total
 
 
 # --- txn-idempotent append (exactly-once sink device) ---------------
@@ -1149,3 +1158,182 @@ def test_concurrent_appends_all_commit(spark, tmp_path):
     assert be.latest_version(path) == 16
     rows = sorted((r.w, r.i) for r in be.read(spark, path).collect())
     assert rows == sorted((w, i) for w in range(4) for i in range(4))
+
+
+def test_concurrent_merge_keep_latest_all_commit(spark, tmp_path):
+    """Racing MERGE writers on OVERLAPPING keys serialize: every
+    writer's upsert lands in some version, losers re-read and
+    re-merge, and the final state is the keep-latest winner per key
+    exactly as a serial execution would produce."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "mrace")
+    be = ManifestParquetBackend(max_retries=20)
+    be.create(
+        spark.range(6).select(
+            F.col("id").alias("k"),
+            F.lit(-1).cast("bigint").alias("ts"),
+            F.lit("seed").alias("who"),
+        ),
+        path,
+    )
+
+    def writer(w: int) -> int:
+        # each writer touches keys {w, w+1, w+2}: key overlap across
+        # writers, so losers MUST re-merge against the winner's
+        # snapshot or an update is lost
+        staging = spark.createDataFrame(
+            [(k, w, f"w{w}") for k in (w, w + 1, w + 2)],
+            "k bigint, ts bigint, who string",
+        )
+        return be.merge_keep_latest(spark, path, staging, ["k"], "ts")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(ex.map(writer, range(4)))
+
+    # every merge committed its own version, no two alike
+    assert sorted(versions) == [1, 2, 3, 4]
+    assert be.latest_version(path) == 4
+    # serial-equivalent final state for the OBSERVED commit order:
+    # MERGE replaces matched keys unconditionally (J1), so key k is
+    # owned by the writer that committed LAST among those touching it;
+    # seed rows nobody touched survive verbatim
+    rows = {r.k: (r.ts, r.who) for r in be.read(spark, path).collect()}
+    expect = {k: (-1, "seed") for k in range(6)}
+    order = sorted(range(4), key=lambda w: versions[w])
+    for w in order:
+        for k in (w, w + 1, w + 2):
+            expect[k] = (w, f"w{w}")
+    assert rows == expect
+
+
+def test_compact_aborts_when_append_lands_mid_compact(spark, tmp_path):
+    """compact() claims abort-on-race: a rival commit landing between
+    compact's snapshot read and its commit attempt must make compact
+    return -1 and leave the rival's rows as the latest state (a
+    committed stale compaction would silently DROP them)."""
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "crace")
+    be = ManifestParquetBackend()
+    be.create(spark.range(10).select(F.col("id").alias("k")), path)
+
+    rival = ManifestParquetBackend()
+    state = {"fired": False}
+    orig = be._write_data
+
+    def write_then_rival_appends(df, p, stats_cols):
+        out = orig(df, p, stats_cols)
+        if not state["fired"]:  # fire once: inside compact's window
+            state["fired"] = True
+            rival.append(
+                spark.range(10, 15).select(F.col("id").alias("k")), p
+            )
+        return out
+
+    be._write_data = write_then_rival_appends
+    assert be.compact(spark, path, target_files=1) == -1
+    assert state["fired"]
+    # rival's commit (v1 after the v0 create) is the surviving latest
+    assert be.latest_version(path) == 1
+    assert be.read(spark, path).count() == 15
+    # the aborted compaction's orphan files are reclaimable
+    be._write_data = orig
+    assert be.vacuum(path)
+    assert be.read(spark, path).count() == 15
+
+
+def test_concurrent_compact_and_appends_never_lose_rows(spark, tmp_path):
+    """Nondeterministic thread race: appends (retrying) vs repeated
+    compactions (abort-on-race). Invariant regardless of interleaving:
+    every appended row is present at the end, and every compaction
+    either committed a version preserving its parent's rows or
+    returned -1."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "carace")
+    be = ManifestParquetBackend(max_retries=20)
+    be.create(
+        spark.createDataFrame([], "w bigint, i bigint"), path
+    )
+
+    def appender(w: int) -> None:
+        for i in range(3):
+            be.append(
+                spark.range(1).select(
+                    F.lit(w).cast("bigint").alias("w"),
+                    F.lit(i).cast("bigint").alias("i"),
+                ),
+                path,
+            )
+
+    compact_results: list[int] = []
+
+    def compactor() -> None:
+        for _ in range(3):
+            compact_results.append(be.compact(spark, path, target_files=1))
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [ex.submit(appender, w) for w in range(3)]
+        futs.append(ex.submit(compactor))
+        for f in futs:
+            f.result()
+
+    rows = sorted((r.w, r.i) for r in be.read(spark, path).collect())
+    assert rows == sorted((w, i) for w in range(3) for i in range(3))
+    # 9 appends always commit; each compaction adds a version only when
+    # it won its race
+    wins = sum(1 for v in compact_results if v != -1)
+    assert be.latest_version(path) == 9 + wins
+
+
+def _iceberg_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_backend_gated_when_dependency_missing(spark):
+    """IcebergBackend resolves by name but every session-touching
+    method raises the setup hint when the iceberg-spark-runtime
+    package is absent (gate is session-scoped, unlike delta's
+    import-time gate, because iceberg needs no Python package)."""
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import (
+        BackendUnavailable,
+        IcebergBackend,
+        get_backend,
+    )
+
+    be = get_backend("iceberg")
+    assert isinstance(be, IcebergBackend)
+    if _iceberg_available(spark):
+        import pytest as _pytest
+
+        _pytest.skip("iceberg-spark-runtime installed; gate not testable")
+    import pytest as _pytest
+
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with _pytest.raises(BackendUnavailable, match="iceberg-spark-runtime"):
+        be.exists(spark, "cat.db.t")
+    with _pytest.raises(BackendUnavailable, match="iceberg-spark-runtime"):
+        be.read(spark, "cat.db.t")
+    with _pytest.raises(BackendUnavailable, match="iceberg-spark-runtime"):
+        be.create(df, "cat.db.t")
+    with _pytest.raises(BackendUnavailable, match="iceberg-spark-runtime"):
+        be.merge_keep_latest(spark, "cat.db.t", df, ["k"], "k")

@@ -82,10 +82,14 @@ def test_write_read_roundtrip_all_table_formats(spark, tmp_path):
 
     from dish_data_pipeline_spark.io import TABLE_FORMATS, read_any, write_table
 
+    from dish_data_pipeline_spark.io import avro_available
+
     df = spark.createDataFrame(
         [Row(k=1, name="a", v=1.5), Row(k=2, name="b", v=-2.0)]
     )
     for fmt in TABLE_FORMATS:
+        if fmt == "avro" and not avro_available(spark):
+            continue  # gated separately below
         path = str(tmp_path / f"t_{fmt}")
         write_table(df, path, fmt)
         got = sorted(
@@ -103,4 +107,34 @@ def test_write_read_roundtrip_all_table_formats(spark, tmp_path):
     assert "PushedFilters" in plan and "k" in plan
 
     with _pytest.raises(ValueError, match="fmt"):
-        write_table(df, str(tmp_path / "x"), "avro")
+        write_table(df, str(tmp_path / "x"), "protobuf")
+
+
+def test_avro_gate(spark, tmp_path):
+    """Avro is a first-class TABLE_FORMATS member behind a runtime
+    classpath gate (mirror of the DeltaBackend import gate): with
+    spark-avro present it round-trips like any other format; without
+    it the engine raises the install hint instead of Spark's opaque
+    ClassNotFoundException."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.io import (
+        FormatUnavailable,
+        avro_available,
+        read_any,
+        write_table,
+    )
+
+    df = spark.createDataFrame([Row(k=1, name="a")])
+    path = str(tmp_path / "t_avro")
+    if avro_available(spark):
+        write_table(df, path, "avro")
+        assert [tuple(r) for r in read_any(spark, path, "avro").collect()] == [
+            (1, "a")
+        ]
+    else:
+        with _pytest.raises(FormatUnavailable, match="spark-avro"):
+            write_table(df, path, "avro")
+        with _pytest.raises(FormatUnavailable, match="spark-avro"):
+            read_any(spark, path, "avro")

@@ -7,10 +7,10 @@ new Exchange from a dropped co-partitioning, an accidental
 row-at-a-time UDF breaking codegen) fails HERE at sf0.001 instead of
 surfacing as a 100 TB regression.
 
-Budgets are CEILINGS read from the round-9 PLANS.md audit (generated
-at sf0.01; shuffle counts are data-size independent for these
-queries): fewer shuffles is always acceptable, more is a plan
-regression. Broadcast joins are asserted as floors where the plan
+Budgets are CEILINGS calibrated to the measured structural exchange
+count of each executed plan (shuffle counts are data-size independent
+for these queries): fewer shuffles is always acceptable, more is a
+plan regression. Broadcast joins are asserted as floors where the plan
 depends on them (a small side that stops broadcasting re-plans into
 a shuffle join — the exact failure mode the budget exists to catch).
 AQE can only CONVERT shuffle joins to broadcast at runtime (never
@@ -44,36 +44,34 @@ BUDGETS: dict[str, tuple[int, int, bool]] = {
     "simhash_neardup": (4, 1, True),
     "embedding_dedup": (2, 1, True),
     # broadcast-query ANN: the query side must never shuffle-join
-    "knn_ivfpq": (2, 1, True),
+    "knn_ivfpq": (1, 1, True),
     # decontamination: the Bloom build/probe stays broadcast-sided
     "bloom_decontaminate": (5, 2, True),
     "leakage_split": (1, 1, True),
-    "dup_span_mask": (2, 0, False),  # 5-gram join may SMJ at scale
+    "dup_span_mask": (1, 0, False),  # 5-gram join may SMJ at scale
     "training_corpus": (1, 1, True),
     "temperature_mix": (1, 1, True),
     "sequence_packing": (2, 0, True),
     # LSH / set-similarity family: banded candidates, broadcast rescore
-    "minhash_neardup": (7, 0, True),
-    "ngram_jaccard": (7, 0, True),
-    "jaccard_simjoin": (4, 0, True),
+    "minhash_neardup": (2, 0, True),
+    "ngram_jaccard": (2, 0, True),
+    "jaccard_simjoin": (2, 0, True),
     "containment_pairs": (2, 0, True),
-    # 7 not 4: ReusedExchange nodes print their referent inline, so the
-    # textual count exceeds the 4 physical exchanges PLANS.md records
-    "fuzzy_part_match": (7, 0, True),
+    "fuzzy_part_match": (3, 0, True),
     "embedding_neardup": (2, 0, True),
-    "semantic_dedup": (6, 0, True),
+    "semantic_dedup": (4, 0, True),
     "segment_dedup": (4, 0, True),
-    "incremental_dedup": (3, 0, True),
+    "incremental_dedup": (2, 0, True),
     "best_of_cluster": (2, 0, True),
     # ANN tiers: query side broadcast, shuffles carry codes not vectors
     "knn_bruteforce": (1, 0, True),
-    "knn_ivf": (2, 0, True),
+    "knn_ivf": (1, 0, True),
     "knn_pq": (1, 0, True),
-    "knn_rrf": (9, 0, False),  # fusion joins ranked lists; SMJ legal
+    "knn_rrf": (8, 0, False),  # fusion joins ranked lists; SMJ legal
     # sketches / text / sampling: map-side state, bounded exchanges
-    "sketch_merge": (10, 0, True),
+    "sketch_merge": (6, 0, True),
     "cms_topk": (3, 0, True),
-    "hll_windows": (12, 0, True),
+    "hll_windows": (9, 0, True),
     "contamination": (3, 0, True),
     "tfidf_topterms": (5, 0, True),
     "bm25_search": (1, 0, True),
@@ -82,7 +80,7 @@ BUDGETS: dict[str, tuple[int, int, bool]] = {
     "winnow_fingerprint": (1, 0, True),
     "doc_chunks": (0, 0, True),
     "pii_redaction": (0, 0, True),
-    "corpus_pipeline": (7, 0, True),
+    "corpus_pipeline": (6, 0, True),
 }
 
 
@@ -94,12 +92,42 @@ def _final_plan(df) -> str:
     return plan
 
 
+# a physical-plan tree line: tree art (":  +- " etc), an optional
+# whole-stage-codegen "*(N) " marker, then the node class name. Naming
+# the NODE (not substring-matching the line) keeps ReusedExchange,
+# ShuffleQueryStage, AQEShuffleRead, and BroadcastExchange lines from
+# inflating the shuffle count, so budgets survive toString format
+# drift across Spark versions.
+_NODE_RE = re.compile(r"^[\s:+|\-]*(?:\*\(\d+\)\s*)?([A-Za-z][A-Za-z0-9]*)")
+_PLAN_ID_RE = re.compile(r"plan_id=(\d+)")
+
+
+def _node_lines(plan: str, node: str) -> list[str]:
+    out = []
+    for line in plan.splitlines():
+        m = _NODE_RE.match(line)
+        if m and m.group(1) == node:
+            out.append(line)
+    return out
+
+
+def _count_shuffles(plan: str) -> int:
+    """Physical shuffle Exchanges, deduped by plan_id so a reprinted
+    subtree (ReusedExchange referents, AQE stage reprints) counts its
+    exchange once."""
+    keys = set()
+    for i, line in enumerate(_node_lines(plan, "Exchange")):
+        m = _PLAN_ID_RE.search(line)
+        keys.add(m.group(1) if m else f"line-{i}")
+    return len(keys)
+
+
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_plan_budget(spark, name):
     max_shuffles, min_bhj, forbid_smj = BUDGETS[name]
     plan = _final_plan(QUERIES[name].fn(spark, SF_DIR))
-    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
-    bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    shuffles = _count_shuffles(plan)
+    bhj = len(_node_lines(plan, "BroadcastHashJoin"))
     assert shuffles <= max_shuffles, (
         f"{name}: {shuffles} shuffle Exchanges (budget {max_shuffles})\n{plan}"
     )
@@ -108,6 +136,6 @@ def test_plan_budget(spark, name):
         f"side stopped broadcasting)\n{plan}"
     )
     if forbid_smj:
-        assert "SortMergeJoin" not in plan, (
+        assert not _node_lines(plan, "SortMergeJoin"), (
             f"{name}: SortMergeJoin appeared — a broadcast was lost\n{plan}"
         )

@@ -3432,13 +3432,26 @@ def q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion, constant 9× on one side) where the naive spelling is
     a cross join. Squared distances are exact BIGINTs — no sqrt, no
     trig, so the brute-force quadratic oracle must agree
-    bit-for-bit."""
+    bit-for-bit.
+
+    The plane side length is the scale dial: a FIXED plane under 10×
+    points means 10× density, so pairs-within-radius (and the
+    operator's grid-cell candidates) grow ~100× — the sf1.0 probe
+    measured 27.9× wall for 10× data. Side = 10000·isqrt(n/15000)
+    keeps point density ~constant like a real geo corpus growing in
+    COVERAGE, and is INERT at the oracle-evaluated scales (sf0.01
+    n=1500 and sf0.1 n=15000 both give the SQL twin's literal
+    10000)."""
+    from math import isqrt
+
     from dish_data_pipeline_spark.ops.spatial import proximity_join
 
-    c = read(spark, sf_dir, "customer").select(
+    c = read(spark, sf_dir, "customer")
+    side = 10000 * isqrt(max(1, c.count() // 15000))
+    c = c.select(
         "c_custkey",
-        ((F.col("c_custkey") * 2654435761) % 10000).alias("px"),
-        ((F.col("c_custkey") * 40503 + 12345) % 10000).alias("py"),
+        ((F.col("c_custkey") * 2654435761) % side).alias("px"),
+        ((F.col("c_custkey") * 40503 + 12345) % side).alias("py"),
     )
     pairs = proximity_join(c, "c_custkey", "px", "py", radius=150)
     return pairs.orderBy(
@@ -3873,7 +3886,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies carry higher ids, so the pairwise lowest-id-wins rule
     must drop exactly the copies (minus any whose scaled twin
     crossed a cluster boundary — the documented cluster-scoped
-    recall trade, replicated identically by the oracle)."""
+    recall trade, replicated identically by the oracle).
+
+    n_centroids is the SemDeDup scale dial (cluster count ~
+    corpus/target_cluster_size so each cluster's O(c²) block
+    self-join stays executor-sized): ``max(8, n // 400)``. The rule
+    is INERT at every oracle-evaluated scale — sf0.01 (n=240) and
+    sf0.1 (n=2400) both resolve to the SQL twin's pinned k=8 — and
+    engages above that (sf1.0: n=24000 → k=60, ~7.5× fewer candidate
+    pairs; without it the fixed-k block self-join grew 45× for 10×
+    data in the sf1.0 scaling probe)."""
     from dish_data_pipeline_spark.ops.similarity import semantic_dedup
 
     emb = read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -3888,7 +3910,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     src = emb.unionByName(exact).unionByName(scaled)
-    out = semantic_dedup(src, n_centroids=8, n_iters=3, quant=1000)
+    k = max(8, src.count() // 400)
+    out = semantic_dedup(src, n_centroids=k, n_iters=3, quant=1000)
     return out.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.col("kept").cast("bigint")).cast("bigint").alias("n_kept"),

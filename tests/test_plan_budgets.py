@@ -19,8 +19,6 @@ the reverse), so floors are stable across machines.
 
 from __future__ import annotations
 
-import re
-
 import pytest
 
 from dish_data_pipeline_spark.plans import QUERIES
@@ -84,42 +82,14 @@ BUDGETS: dict[str, tuple[int, int, bool]] = {
 }
 
 
-def _final_plan(df) -> str:
-    df.collect()  # AQE: only the executed plan shows final strategies
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    if "== Initial Plan ==" in plan:
-        plan = plan.split("== Initial Plan ==")[0]
-    return plan
-
-
-# a physical-plan tree line: tree art (":  +- " etc), an optional
-# whole-stage-codegen "*(N) " marker, then the node class name. Naming
-# the NODE (not substring-matching the line) keeps ReusedExchange,
-# ShuffleQueryStage, AQEShuffleRead, and BroadcastExchange lines from
-# inflating the shuffle count, so budgets survive toString format
-# drift across Spark versions.
-_NODE_RE = re.compile(r"^[\s:+|\-]*(?:\*\(\d+\)\s*)?([A-Za-z][A-Za-z0-9]*)")
-_PLAN_ID_RE = re.compile(r"plan_id=(\d+)")
-
-
-def _node_lines(plan: str, node: str) -> list[str]:
-    out = []
-    for line in plan.splitlines():
-        m = _NODE_RE.match(line)
-        if m and m.group(1) == node:
-            out.append(line)
-    return out
-
-
-def _count_shuffles(plan: str) -> int:
-    """Physical shuffle Exchanges, deduped by plan_id so a reprinted
-    subtree (ReusedExchange referents, AQE stage reprints) counts its
-    exchange once."""
-    keys = set()
-    for i, line in enumerate(_node_lines(plan, "Exchange")):
-        m = _PLAN_ID_RE.search(line)
-        keys.add(m.group(1) if m else f"line-{i}")
-    return len(keys)
+# structural node-name counting (plan_id-deduped) shared with the
+# PLANS.md audit — see plans/plan_text.py for why substring matching
+# over-counts (ReusedExchange referents, AQE stage nodes)
+from dish_data_pipeline_spark.plans.plan_text import (  # noqa: E402
+    count_shuffles as _count_shuffles,
+    final_plan as _final_plan,
+    node_lines as _node_lines,
+)
 
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))

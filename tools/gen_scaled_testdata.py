@@ -14,14 +14,19 @@ output, and with CONTENT transforms chosen so within-shard structure
 shape) is preserved exactly while cross-shard accidental structure is
 broken — the properties a real 10x corpus would have:
 
-- documents.text: bijective per-shard word remap (w -> w + "x{c}").
-  True within-shard Jaccard/containment/shingle relations are exactly
-  preserved (bijection on the token alphabet); across shards no
+- documents.text: bijective LENGTH-PRESERVING per-shard letter
+  rotation (Caesar shift by c on a-z/A-Z; shard 0 identity). True
+  within-shard Jaccard/containment/shingle relations are exactly
+  preserved (bijection on the token alphabet), across shards no
   shingle is shared, so near-dup pair counts scale LINEARLY in C
-  instead of quadratically as naive replication would make them.
-- part.p_name: same remap — keeps the edit-distance-1 blocking
-  (fuzzy_part_match) from matching shard c's "ring" to shard c''s,
-  which would inflate fuzzy-join outputs ~C^2.
+  instead of quadratically as naive replication would make them —
+  and total char volume scales EXACTLY with rows, so char-bound
+  text queries see a true 10x (a suffix-append remap was measured
+  to inflate chars ~1.3x and skew their growth ratios to ~13x).
+- part.p_name: same rotation — keeps the edit-distance-1 blocking
+  (fuzzy_part_match) from matching shard c's "ring" to shard c''s
+  (every letter differs between shards, so cross-shard edit distance
+  >= word length), which would inflate fuzzy-join outputs ~C^2.
 - embeddings.embedding: per-shard deterministic sign-flip pattern on
   dimensions (shard 0 = identity). Sign flips are orthogonal maps, so
   within-shard cosines/norms are EXACTLY preserved; cross-shard
@@ -41,7 +46,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -66,13 +70,19 @@ KEY_COLS = {
 FIXED_TABLES = ("region", "nation")
 TABLES = FIXED_TABLES + tuple(KEY_COLS)
 
-_WORD_RE = re.compile(r"\S+")
-
-
 def _remap_text(text: str, c: int) -> str:
-    """Bijective word remap for shard c (identity for c=0)."""
-    suf = f"x{c}"
-    return _WORD_RE.sub(lambda m: m.group(0) + suf, text)
+    """Bijective, length-preserving letter rotation for shard c
+    (identity for c=0): a-z and A-Z each rotate by c. Digits,
+    punctuation, and whitespace are untouched, so token boundaries,
+    lengths, and all non-letter structure survive verbatim."""
+    if c == 0:
+        return text
+    lo = "abcdefghijklmnopqrstuvwxyz"
+    hi = lo.upper()
+    tbl = str.maketrans(
+        lo + hi, lo[c:] + lo[:c] + hi[c:] + hi[:c]
+    )
+    return text.translate(tbl)
 
 
 def _shard(

@@ -52,6 +52,8 @@ def bucketed_join(
 def count_shuffles(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan
     (BroadcastExchange excluded) — the metric bucketing drives to
-    zero."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange") - plan.count("BroadcastExchange")
+    zero. Structural node-name counting (plans/plan_text.py), so
+    ReusedExchange/AQE-stage reprints never inflate it."""
+    from dish_data_pipeline_spark.plans.plan_text import count_shuffles as _cs
+
+    return _cs(df._jdf.queryExecution().executedPlan().toString())

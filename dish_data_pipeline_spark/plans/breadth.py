@@ -1945,11 +1945,13 @@ def q_bucketed_join_zero_shuffle(
             F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
         ).alias("revenue"),
     )
-    res.collect()
-    plan = res._jdf.queryExecution().executedPlan().toString()
-    if "== Initial Plan ==" in plan:
-        plan = plan.split("== Initial Plan ==")[0]
-    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    from dish_data_pipeline_spark.plans.plan_text import (
+        count_shuffles,
+        final_plan,
+    )
+
+    plan = final_plan(res)
+    shuffles = count_shuffles(plan)
     if shuffles > 1 or "SortMergeJoin" not in plan:
         raise RuntimeError(
             f"bucketed join not shuffle-free: {shuffles} shuffles, "

@@ -79,6 +79,28 @@ BUDGETS: dict[str, tuple[int, int, bool]] = {
     "doc_chunks": (0, 0, True),
     "pii_redaction": (0, 0, True),
     "corpus_pipeline": (6, 0, True),
+    # lakehouse roundtrips: bloom probe is manifest-only (0 shuffles),
+    # RTBF pays one rewrite shuffle
+    "bloom_point_lookup": (0, 0, True),
+    "forget_user_roundtrip": (1, 0, True),
+    # iterative graph/cluster ops: per-round exchanges ran eagerly;
+    # the FINAL plan reads localCheckpoints — pin that it stays flat
+    "label_propagation": (1, 0, True),
+    "supplier_kcore": (1, 0, True),
+    "trade_pagerank_directed": (0, 0, True),
+    "dup_clusters": (0, 0, True),
+    # round-10 scale-dial queries
+    "proximity_pairs": (0, 1, True),
+    "kmeans_clusters": (1, 1, True),
+    # reference-lifecycle certification (D2 recovery branch)
+    "dq_recovery_roundtrip": (2, 0, True),
+    # remaining flagship text/ANN paths
+    "substring_search": (1, 1, True),
+    "dup_ngram_coverage": (2, 1, True),
+    "knn_lsh": (4, 1, True),
+    "exact_median": (0, 0, True),
+    "mondrian_anonymity": (1, 3, True),
+    "part_entities": (2, 3, True),
 }
 
 

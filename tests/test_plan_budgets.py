@@ -57,7 +57,7 @@ BUDGETS: dict[str, tuple[int, int, bool]] = {
     "containment_pairs": (2, 0, True),
     "fuzzy_part_match": (3, 0, True),
     "embedding_neardup": (2, 0, True),
-    "semantic_dedup": (4, 0, True),
+    "semantic_dedup": (2, 0, True),
     "segment_dedup": (4, 0, True),
     "incremental_dedup": (2, 0, True),
     "best_of_cluster": (2, 0, True),

@@ -139,14 +139,35 @@ def avro_available(spark: SparkSession) -> bool:
     or a cluster image that bakes it in). Resolved through Spark's
     own DataSource registry — a bare ``Class.forName`` is NOT enough
     (some distributions ship avro classes without registering the
-    data source module)."""
+    data source module).
+
+    Only the EXPECTED absence signal is treated as "unavailable" —
+    Spark's AnalysisException "Failed to find data source: avro" or
+    a bare ClassNotFoundException from the registry lookup. Any
+    other failure (py4j transport, classloader corruption, ...)
+    propagates: a fail-closed gate must not masquerade a real error
+    as a missing optional dependency."""
+    from pyspark.errors.exceptions.captured import (  # noqa: PLC0415
+        AnalysisException,
+    )
+
     try:
         spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
             "avro", spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
         )
         return True
-    except Exception:
-        return False
+    except AnalysisException as e:
+        # Spark 4 raises _LEGACY_ERROR_TEMP_1139 / "Failed to find
+        # data source: avro" when the module is not deployed
+        if "failed to find" in str(e).lower():
+            return False
+        raise
+    except Exception as e:
+        jexc = getattr(e, "java_exception", None)
+        jcls = jexc.getClass().getName() if jexc is not None else ""
+        if "ClassNotFoundException" in jcls:
+            return False
+        raise
 
 
 def _gate_avro(spark: SparkSession) -> None:

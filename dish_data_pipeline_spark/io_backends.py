@@ -1252,20 +1252,61 @@ class IcebergBackend:
 
     name = "iceberg"
 
+    _SETUP_HINT = (
+        "IcebergBackend needs the iceberg-spark-runtime package "
+        "(--packages org.apache.iceberg:iceberg-spark-runtime-"
+        "4.0_2.13:<ver>) and a session configured with "
+        "spark.sql.catalog.<name>=org.apache.iceberg.spark."
+        "SparkCatalog plus IcebergSparkSessionExtensions"
+    )
+
     @staticmethod
     def _gate(spark: SparkSession) -> None:
+        # half 1: the runtime jar must be on the classpath
         try:
             spark._jvm.java.lang.Class.forName(
                 "org.apache.iceberg.spark.SparkCatalog"
             )
         except Exception as exc:
+            raise BackendUnavailable(IcebergBackend._SETUP_HINT) from exc
+        # half 2: some spark.sql.catalog.* entry must actually resolve
+        # to SparkCatalog — a jar-present-but-unconfigured session
+        # would otherwise pass the gate and die later in opaque
+        # catalog-resolution errors instead of this hint
+        entries = dict(spark.sparkContext.getConf().getAll())
+        try:
+            it = (
+                spark._jsparkSession.sessionState()
+                .conf()
+                .getAllConfs()
+                .iterator()
+            )
+            while it.hasNext():
+                kv = it.next()
+                entries[kv._1()] = kv._2()
+        except Exception:
+            # internal accessor moved: SparkConf launch entries
+            # (the common --conf path) still cover the check
+            pass
+        if not IcebergBackend._catalog_configured(entries):
             raise BackendUnavailable(
-                "IcebergBackend needs the iceberg-spark-runtime package "
-                "(--packages org.apache.iceberg:iceberg-spark-runtime-"
-                "4.0_2.13:<ver>) and a session configured with "
-                "spark.sql.catalog.<name>=org.apache.iceberg.spark."
-                "SparkCatalog plus IcebergSparkSessionExtensions"
-            ) from exc
+                "iceberg-spark-runtime is on the classpath but no "
+                "spark.sql.catalog.* entry resolves to SparkCatalog; "
+                + IcebergBackend._SETUP_HINT
+            )
+
+    @staticmethod
+    def _catalog_configured(entries: dict) -> bool:
+        """True when some top-level ``spark.sql.catalog.<name>`` entry
+        (exactly one name segment — ``...<name>.type`` etc. are
+        catalog OPTIONS, not implementations) points at Iceberg's
+        SparkCatalog."""
+        return any(
+            k.startswith("spark.sql.catalog.")
+            and k.count(".") == 3
+            and v == "org.apache.iceberg.spark.SparkCatalog"
+            for k, v in entries.items()
+        )
 
     def exists(self, spark: SparkSession, path: str) -> bool:
         self._gate(spark)

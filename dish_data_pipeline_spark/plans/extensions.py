@@ -3439,9 +3439,10 @@ def q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's grid-cell candidates) grow ~100× — the sf1.0 probe
     measured 27.9× wall for 10× data. Side = 10000·isqrt(n/15000)
     keeps point density ~constant like a real geo corpus growing in
-    COVERAGE, and is INERT at the oracle-evaluated scales (sf0.01
-    n=1500 and sf0.1 n=15000 both give the SQL twin's literal
-    10000)."""
+    COVERAGE. The SQL twin computes the SAME side (exact integer
+    sqrt via float-sqrt + ±1 correction), so the two engines stay
+    bit-identical at every scale, not just sf≤0.1 where the dial
+    resolves to 10000."""
     from math import isqrt
 
     from dish_data_pipeline_spark.ops.spatial import proximity_join
@@ -3460,11 +3461,24 @@ def q_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PROXIMITY_PAIRS = """
-WITH p AS (
+WITH nx AS (
+  SELECT GREATEST(1, COUNT(*) // 15000) AS x FROM customer),
+r0 AS (
+  SELECT x, CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT) AS r
+  FROM nx),
+sd AS (
+  -- exact integer sqrt: float sqrt then +-1 correction, matching
+  -- Python math.isqrt so side = 10000*isqrt(max(1, n//15000)) is
+  -- bit-identical to the Spark side at every scale
+  SELECT 10000 * (CASE WHEN (r + 1) * (r + 1) <= x THEN r + 1
+                       WHEN r * r > x THEN r - 1
+                       ELSE r END) AS side
+  FROM r0),
+p AS (
   SELECT c_custkey,
-         (c_custkey * 2654435761) % 10000 AS px,
-         (c_custkey * 40503 + 12345) % 10000 AS py
-  FROM customer)
+         (c_custkey * 2654435761) % side AS px,
+         (c_custkey * 40503 + 12345) % side AS py
+  FROM customer CROSS JOIN sd)
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST((a.px - b.px) * (a.px - b.px)
             + (a.py - b.py) * (a.py - b.py) AS BIGINT) AS dist2
@@ -3789,12 +3803,17 @@ def _sql_kmeans_prefix(
     n_iters: int = 3,
     k: int = 8,
     src: str = "SELECT vec_id, embedding FROM embeddings",
+    k_expr: str | None = None,
 ) -> str:
     """Unrolled-CTE DuckDB replay of the exact k-means trajectory —
     one (dots -> argmax -> new sums -> carry-forward) block per
     iteration plus the final assignment CTE ``a{n_iters+1}``
     (vec_id, cid). Shared by `kmeans_clusters` and
-    `semantic_dedup`; ``src`` parameterizes the corpus relation."""
+    `semantic_dedup`; ``src`` parameterizes the corpus relation and
+    ``k_expr`` (a SQL scalar expression, may reference ``src``)
+    overrides the literal centroid count so scale-proportional
+    dials stay bit-identical between engines at every scale."""
+    k_sql = k_expr if k_expr is not None else str(k)
     sql = f"""
 WITH src AS ({src}),
 base AS (
@@ -3803,8 +3822,10 @@ base AS (
            AS qv
   FROM src, range(1, 65) t(i)),
 init AS (
-  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
-  FROM src ORDER BY vec_id LIMIT {k}),
+  SELECT vec_id, rn - 1 AS cid FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+    FROM src) ranked
+  WHERE rn <= ({k_sql})),
 c0 AS (
   SELECT init.cid, base.pos, base.qv AS S, CAST(1 AS BIGINT) AS N
   FROM init JOIN base USING (vec_id))"""
@@ -3890,12 +3911,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_centroids is the SemDeDup scale dial (cluster count ~
     corpus/target_cluster_size so each cluster's O(c²) block
-    self-join stays executor-sized): ``max(8, n // 400)``. The rule
-    is INERT at every oracle-evaluated scale — sf0.01 (n=240) and
-    sf0.1 (n=2400) both resolve to the SQL twin's pinned k=8 — and
-    engages above that (sf1.0: n=24000 → k=60, ~7.5× fewer candidate
-    pairs; without it the fixed-k block self-join grew 45× for 10×
-    data in the sf1.0 scaling probe)."""
+    self-join stays executor-sized): ``max(8, n // 400)``. The SQL
+    twin computes the SAME ``GREATEST(8, COUNT(*) // 400)`` from its
+    own src relation, so the two engines stay bit-identical at every
+    scale — at sf0.01 (n=240) and sf0.1 (n=2400) both resolve to
+    k=8; at sf1.0 (n=24000) both resolve to k=60, ~7.5× fewer
+    candidate pairs than fixed-k (which grew 45× for 10× data in
+    the sf1.0 scaling probe)."""
     from dish_data_pipeline_spark.ops.similarity import semantic_dedup
 
     emb = read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -3922,8 +3944,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_semantic_dedup(n_iters: int = 3, k: int = 8) -> str:
+    # Same scale dial as the Spark side (max(8, n // 400)), computed
+    # IN the oracle so both engines stay bit-identical at every
+    # scale, not just the sf<=0.1 range where the dial is inert.
     f = n_iters + 1
-    return _sql_kmeans_prefix(n_iters, k, src=SEMDEDUP_SRC_SQL) + f""",
+    k_expr = "SELECT GREATEST(8, COUNT(*) // 400) FROM src"
+    return _sql_kmeans_prefix(
+        n_iters, k, src=SEMDEDUP_SRC_SQL, k_expr=k_expr
+    ) + f""",
 qn AS (
   SELECT vec_id, SUM(qv * qv) AS n2 FROM base GROUP BY 1),
 drops AS (

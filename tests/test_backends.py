@@ -1337,3 +1337,33 @@ def test_iceberg_backend_gated_when_dependency_missing(spark):
         be.create(df, "cat.db.t")
     with _pytest.raises(BackendUnavailable, match="iceberg-spark-runtime"):
         be.merge_keep_latest(spark, "cat.db.t", df, ["k"], "k")
+
+
+def test_iceberg_gate_catalog_predicate():
+    """The jar-present half of the gate: a session with the runtime
+    on the classpath but NO SparkCatalog configured must still be
+    refused with the setup hint (the other documented half of the
+    requirement) — checked via the extracted conf predicate."""
+    from dish_data_pipeline_spark.io_backends import IcebergBackend
+
+    ok = IcebergBackend._catalog_configured
+    assert ok(
+        {"spark.sql.catalog.lake": "org.apache.iceberg.spark.SparkCatalog"}
+    )
+    assert ok(
+        {
+            "spark.app.name": "x",
+            "spark.sql.catalog.spark_catalog":
+                "org.apache.iceberg.spark.SparkCatalog",
+            "spark.sql.catalog.spark_catalog.type": "hive",
+        }
+    )
+    # unconfigured, misconfigured, or option-only entries don't pass
+    assert not ok({})
+    assert not ok({"spark.app.name": "x"})
+    assert not ok(
+        {"spark.sql.catalog.lake": "com.example.SomeOtherCatalog"}
+    )
+    assert not ok(
+        {"spark.sql.catalog.lake.type": "hadoop"}  # option, no impl
+    )

@@ -100,6 +100,52 @@ def test_embedding_signflip_preserves_norms_and_decorrelates(scaled):
         )
 
 
+def test_rejects_copies_beyond_rotation_period(tmp_path):
+    # shard 26's Caesar rotation is identity — verbatim duplicate text —
+    # so the tool must refuse rather than silently emit quadratic
+    # cross-shard near-dups
+    r = subprocess.run(
+        [sys.executable, TOOL, "--src", SRC,
+         "--dest", str(tmp_path / "x"), "--copies", "27"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode != 0
+    assert "1..26" in r.stderr
+
+
+def test_sparse_keys_stay_collision_free(tmp_path):
+    # offsets derive from max(key)+1, not row count: a table whose keys
+    # are sparse (gaps) must still shard without key collisions
+    import pyarrow as pa
+
+    src_dir = tmp_path / "sparse_src"
+    src_dir.mkdir()
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents",
+                 "embeddings"):
+        t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        if name == "documents":
+            # make doc_id sparse: 0, 10, 20, ... (max >> row count)
+            sparse = pa.array(
+                [v * 10 for v in t["doc_id"].to_pylist()],
+                type=t.schema.field("doc_id").type,
+            )
+            t = t.set_column(
+                t.schema.get_field_index("doc_id"), "doc_id", sparse
+            )
+        pq.write_table(t, str(src_dir / f"{name}.parquet"))
+    dest = tmp_path / "sparse_out"
+    subprocess.run(
+        [sys.executable, TOOL, "--src", str(src_dir),
+         "--dest", str(dest), "--copies", "3"],
+        check=True, capture_output=True,
+    )
+    ids = pq.read_table(str(dest / "documents.parquet"))[
+        "doc_id"
+    ].to_pylist()
+    assert len(set(ids)) == len(ids)
+
+
 def test_part_names_cross_shard_edit_distance(scaled):
     src_names = _t(SRC, "part")["p_name"].to_pylist()
     out_names = _t(scaled, "part")["p_name"].to_pylist()

@@ -5,11 +5,13 @@ probes (SCALING.md sf0.1 -> sf1.0) without touching the read-only
     python tools/gen_scaled_testdata.py [--src /root/testdata/sf0.1] \
         [--dest .localdata/sf1.0] [--copies 10]
 
-Method: C deterministic "shards". Shard 0 is the source data verbatim;
-shard c>0 is the source with every key column offset by c * (table key
-range) so FK integrity (customer->nation, orders->customer,
+Method: C deterministic "shards" (C <= 26 — the text rotation's
+period). Shard 0 is the source data verbatim; shard c>0 is the source
+with every key column offset by c * (max(table primary key) + 1) so FK
+integrity (customer->nation, orders->customer,
 lineitem->orders/part/supplier, events->user) holds across the whole
-output, and with CONTENT transforms chosen so within-shard structure
+output even for sparse key spaces, and with CONTENT transforms chosen
+so within-shard structure
 (duplicate rate, near-dup geometry, name-collision rate, session
 shape) is preserved exactly while cross-shard accidental structure is
 broken — the properties a real 10x corpus would have:
@@ -53,6 +55,17 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 # key ranges are read from the SOURCE so the tool works at any base SF
+# (span = max(primary key) + 1, NOT the row count — collision-free even
+# when source keys are sparse or don't start at 0)
+PRIMARY_KEYS = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
 KEY_COLS = {
     "customer": {"c_custkey": "customer"},
     "supplier": {"s_suppkey": "supplier"},
@@ -148,13 +161,21 @@ def main() -> None:
     ap.add_argument("--dest", default=".localdata/sf1.0")
     ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
+    if not 1 <= args.copies <= 26:
+        # the per-shard Caesar rotation is identity at c % 26 == 0, so
+        # shard 26 would duplicate shard 0's text verbatim and near-dup
+        # pair counts would grow quadratically across those shards
+        ap.error("--copies must be in 1..26 (letter rotation period)")
     os.makedirs(args.dest, exist_ok=True)
 
     srcs = {
         n: pq.read_table(os.path.join(args.src, f"{n}.parquet"))
         for n in TABLES
     }
-    spans = {n: len(srcs[n]) for n in KEY_COLS}
+    spans = {
+        n: int(pc.max(srcs[n][pk]).as_py()) + 1
+        for n, pk in PRIMARY_KEYS.items()
+    }
     umax = pc.max(srcs["events"]["user_id"]).as_py()
     spans["_events_user"] = int(umax) + 1
 

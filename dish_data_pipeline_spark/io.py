@@ -120,11 +120,13 @@ def write_raw_zone(df: DataFrame, path: str, fmt: str = "json") -> None:
 
 
 #: Formats the generic table reader/writer accepts — the Spark-native
-#: columnar pair, the text interchange pair, and Avro behind a
-#: runtime gate (the spark-avro JVM package is external; see
-#: :func:`avro_available`). Using "avro" on a session without the
-#: package raises :class:`FormatUnavailable` with the install hint
-#: instead of Spark's opaque ClassNotFoundException.
+#: columnar pair, the text interchange pair, and Avro. Avro is
+#: two-tier: the vectorized spark-avro JVM module when it's on the
+#: classpath (see :func:`avro_available`), else the dependency-free
+#: pure-Python container-file tier (``sources.avro_python`` —
+#: spec-faithful, distributed, slow path), so an Avro estate is
+#: always functional. :class:`FormatUnavailable` remains for
+#: features only the JVM module has (e.g. snappy-coded input).
 TABLE_FORMATS = ("parquet", "orc", "json", "csv", "avro")
 
 
@@ -170,14 +172,10 @@ def avro_available(spark: SparkSession) -> bool:
         raise
 
 
-def _gate_avro(spark: SparkSession) -> None:
-    if not avro_available(spark):
-        raise FormatUnavailable(
-            "fmt='avro' needs the external spark-avro package on the "
-            "JVM classpath (launch with --packages "
-            "org.apache.spark:spark-avro_2.13:<spark version>); "
-            "parquet/orc/json/csv have no extra dependencies"
-        )
+AVRO_INSTALL_HINT = (
+    "the external spark-avro package (launch with --packages "
+    "org.apache.spark:spark-avro_2.13:<spark version>)"
+)
 
 
 def write_table(
@@ -190,8 +188,15 @@ def write_table(
     header so the file round-trips through :func:`read_any`."""
     if fmt not in TABLE_FORMATS:
         raise ValueError(f"fmt must be one of {TABLE_FORMATS}, got {fmt!r}")
-    if fmt == "avro":
-        _gate_avro(df.sparkSession)
+    if fmt == "avro" and not avro_available(df.sparkSession):
+        from dish_data_pipeline_spark.sources.avro_python import write_avro
+
+        if mode not in ("overwrite", "append"):
+            raise ValueError(
+                f"python avro tier supports overwrite|append, got {mode!r}"
+            )
+        write_avro(df, path, mode=mode)
+        return
     w = df.write.mode(mode).format(fmt)
     if fmt == "csv":
         w = w.option("header", "true")
@@ -208,8 +213,10 @@ def read_any(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
         raise ValueError(f"fmt must be one of {TABLE_FORMATS}, got {fmt!r}")
     if fmt == "parquet":
         return read_parquet(spark, path)
-    if fmt == "avro":
-        _gate_avro(spark)
+    if fmt == "avro" and not avro_available(spark):
+        from dish_data_pipeline_spark.sources.avro_python import read_avro
+
+        return read_avro(spark, path)
     r = spark.read.format(fmt)
     if fmt == "csv":
         r = r.option("header", "true").option("inferSchema", "true")

@@ -386,6 +386,66 @@ GROUP BY event_type
 """
 
 
+# --- Avro interchange roundtrip: two-tier write + read + agg ------
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro interchange certification, end to end through the io
+    entry points' two-tier routing: orders → ``write_table(fmt=
+    "avro")`` → ``read_any`` → aggregate. On a session with the
+    spark-avro JVM module this exercises the vectorized path; on a
+    bare session (this sandbox, the driver harness) it exercises the
+    pure-Python object-container tier (``sources.avro_python`` —
+    executor-parallel encode to one container file per partition,
+    ``binaryFiles``-fanned decode), whose spec conformance is pinned
+    cross-implementation against the Apache Avro Java library in
+    tests/test_avro_python.py. Values survive bit-exactly either
+    way: the oracle aggregates the same columns straight from the
+    parquet source. Money rides as floor-quantized BIGINT cents so
+    the hash compare is float-order-free."""
+    import tempfile
+
+    from dish_data_pipeline_spark.io import read_any, write_table
+
+    o = read(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"avro_rt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    write_table(
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+        ),
+        out,
+        "avro",
+    )
+    back = read_any(spark, out, "avro")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)"
+            )
+        ).alias("cents"),
+        F.min("o_orderdate").alias("first_day"),
+        F.max("o_orderdate").alias("last_day"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+
+
+SQL_AVRO_ROUNDTRIP = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100)
+                     AS BIGINT)) AS BIGINT) AS cents,
+       MIN(o_orderdate) AS first_day,
+       MAX(o_orderdate) AS last_day,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # --- REST ingest roundtrip (S1): paginated API → raw zone → agg ----
 REST_PAGE_SIZE = 100
 
@@ -2412,6 +2472,11 @@ BREADTH_QUERIES: dict[str, QueryDef] = {
     "raw_zone_roundtrip": QueryDef(
         q_raw_zone_roundtrip, SQL_RAW_ZONE_ROUNDTRIP,
         "S2 raw-zone partitioned write + pruned read", ("io",)),
+    "avro_roundtrip": QueryDef(
+        q_avro_roundtrip, SQL_AVRO_ROUNDTRIP,
+        "avro interchange write+read via the two-tier io entry "
+        "points (JVM spark-avro or pure-Python container tier)",
+        ("io", "formats")),
     "rest_ingest_roundtrip": QueryDef(
         q_rest_ingest_roundtrip, SQL_REST_INGEST_ROUNDTRIP,
         "S1 paginated REST fetch -> raw zone -> re-read + agg",

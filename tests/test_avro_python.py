@@ -1,0 +1,308 @@
+"""sources/avro_python.py — the pure-Python Avro container tier.
+
+The decisive tests are CROSS-IMPLEMENTATION: files written by this
+module are read back by the canonical Apache Avro **Java** library
+(avro-1.12.1.jar, baked into pyspark's classpath) driven over py4j,
+and files written by that Java library are decoded by this module.
+Passing both directions pins the binary encoding and the container
+framing to the published spec, not to our own mirror-image bugs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dish_data_pipeline_spark.sources.avro_python import (
+    avro_schema_to_spark,
+    decode_container,
+    parse_header,
+    read_avro,
+    spark_schema_to_avro,
+    write_avro,
+    write_container,
+)
+
+
+def _full_df(spark):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("i", T.IntegerType(), True),
+            T.StructField("d", T.DoubleType(), True),
+            T.StructField("f", T.FloatType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("b", T.BooleanType(), True),
+            T.StructField("raw", T.BinaryType(), True),
+            T.StructField("day", T.DateType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("ntz", T.TimestampNTZType(), True),
+            T.StructField("arr", T.ArrayType(T.DoubleType(), False), True),
+            T.StructField(
+                "m", T.MapType(T.StringType(), T.LongType(), False), True
+            ),
+            T.StructField(
+                "nest",
+                T.StructType(
+                    [
+                        T.StructField("x", T.LongType(), True),
+                        T.StructField("y", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    rows = [
+        (
+            1,
+            -7,
+            3.5,
+            1.25,
+            "héllo ∆",
+            True,
+            b"\x00\xffbin",
+            dt.date(2024, 2, 29),
+            dt.datetime(2024, 2, 29, 12, 34, 56, 789012),
+            dt.datetime(2030, 1, 2, 3, 4, 5, 6),
+            [1.0, -2.5],
+            {"a": 1, "b": -2},
+            (42, "deep"),
+        ),
+        (2, None, None, None, None, None, None, None, None, None, None,
+         None, None),
+        (
+            3,
+            0,
+            -0.0,
+            float("inf"),
+            "",
+            False,
+            b"",
+            dt.date(1969, 12, 31),
+            dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+            dt.datetime(1901, 6, 15, 0, 0, 0, 1),
+            [],
+            {},
+            (None, None),
+        ),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_spark_roundtrip_all_types(spark, tmp_path, codec):
+    df = _full_df(spark)
+    path = str(tmp_path / f"rt_{codec}")
+    manifest = write_avro(df, path, codec=codec)
+    assert sum(n for _, n in manifest) == 3
+    back = read_avro(spark, path)
+    assert back.schema == df.schema
+    a = sorted(df.collect(), key=lambda r: r.k)
+    b = sorted(back.collect(), key=lambda r: r.k)
+    assert a == b
+
+
+def test_empty_dataframe_roundtrips_via_sidecar(spark, tmp_path):
+    df = _full_df(spark).filter("k < 0")
+    path = str(tmp_path / "empty")
+    assert write_avro(df, path) == []
+    back = read_avro(spark, path)
+    assert back.schema == df.schema
+    assert back.count() == 0
+
+
+def test_append_mode_accumulates(spark, tmp_path):
+    df = spark.createDataFrame([Row(k=1)], "k long")
+    path = str(tmp_path / "app")
+    write_avro(df, path, mode="overwrite")
+    write_avro(spark.createDataFrame([Row(k=2)], "k long"), path, mode="append")
+    assert sorted(r.k for r in read_avro(spark, path).collect()) == [1, 2]
+    write_avro(df, path, mode="overwrite")
+    assert [r.k for r in read_avro(spark, path).collect()] == [1]
+
+
+def test_schema_mapping_is_inverse(spark):
+    schema = _full_df(spark).schema
+    assert avro_schema_to_spark(spark_schema_to_avro(schema)) == schema
+
+
+def test_decimal_refused_loudly(spark):
+    schema = T.StructType([T.StructField("x", T.DecimalType(10, 2), True)])
+    with pytest.raises(ValueError, match="spark-avro"):
+        spark_schema_to_avro(schema)
+
+
+# --------------------------------------------------- Java interop
+
+
+def _jassert_file(spark, path, expect_rows):
+    """Read an avro file with the canonical Java implementation and
+    return [(field, value-as-string)] per row for comparison."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    out = []
+    while reader.hasNext():
+        out.append(reader.next())
+    reader.close()
+    assert len(out) == expect_rows
+    return out
+
+
+def test_java_library_reads_python_written_files(spark, tmp_path):
+    """Canonical-implementation conformance, direction 1: the Apache
+    Avro Java library opens our container files (magic, metadata
+    map, deflate blocks, sync markers) and sees the same values."""
+    df = _full_df(spark)
+    path = str(tmp_path / "forjava")
+    write_avro(df, path, codec="deflate")
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".avro")
+    )
+    recs = []
+    for f in files:
+        jvm = spark._jvm
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(f),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        while reader.hasNext():
+            recs.append(reader.next())
+        reader.close()
+    assert len(recs) == 3
+    by_k = {rec.get("k") for rec in recs}
+    assert by_k == {1, 2, 3}
+    rec1 = next(r for r in recs if r.get("k") == 1)
+    assert rec1.get("i") == -7
+    assert rec1.get("d") == 3.5
+    assert str(rec1.get("s")) == "héllo ∆"
+    assert rec1.get("b") is True
+    # logical types ride as their base encodings
+    assert rec1.get("day") == (dt.date(2024, 2, 29) - dt.date(1970, 1, 1)).days
+    assert rec1.get("nest").get("x") == 42
+    arr = rec1.get("arr")
+    assert [arr.get(i) for i in range(arr.size())] == [1.0, -2.5]
+    rec2 = next(r for r in recs if r.get("k") == 2)
+    assert rec2.get("s") is None and rec2.get("nest") is None
+
+
+def test_python_reads_java_written_file(spark, tmp_path):
+    """Direction 2: a container file produced by the Java library
+    (deflate codec) decodes bit-for-bit with our pure-Python
+    reader."""
+    jvm = spark._jvm
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "jrec",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["null", "string"]},
+                {"name": "score", "type": "double"},
+                {
+                    "name": "tags",
+                    "type": {"type": "array", "items": "string"},
+                },
+            ],
+        }
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    path = str(tmp_path / "javafile.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    writer.create(schema, jvm.java.io.File(path))
+    for i, (name, score, tags) in enumerate(
+        [("alpha", 1.5, ["x", "y"]), (None, -2.25, []), ("γ", 0.0, ["z"])]
+    ):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i)
+        rec.put("name", name)
+        rec.put("score", score)
+        arr = jvm.java.util.ArrayList()
+        for t in tags:
+            arr.add(t)
+        rec.put("tags", arr)
+        writer.append(rec)
+    writer.close()
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    avsc, codec, _, _ = parse_header(buf)
+    assert codec == "deflate"
+    rows = list(decode_container(buf))
+    assert rows == [
+        {"id": 0, "name": "alpha", "score": 1.5, "tags": ["x", "y"]},
+        {"id": 1, "name": None, "score": -2.25, "tags": []},
+        {"id": 2, "name": "γ", "score": 0.0, "tags": ["z"]},
+    ]
+    # and the Spark-facing reader agrees (schema from the header,
+    # no sidecar in a foreign directory)
+    jdir = tmp_path / "javadir"
+    jdir.mkdir()
+    os.rename(path, str(jdir / "javafile.avro"))
+    got = read_avro(spark, str(jdir)).orderBy("id").collect()
+    assert [(r.id, r.name, r.score, list(r.tags)) for r in got] == [
+        (0, "alpha", 1.5, ["x", "y"]),
+        (1, None, -2.25, []),
+        (2, "γ", 0.0, ["z"]),
+    ]
+
+
+def test_java_reads_python_nullcodec_and_negative_block_counts(spark, tmp_path):
+    """Null-codec files conform too, and the reader accepts the
+    spec's negative-count block form (count, then byte size)."""
+    buf = io.BytesIO()
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "v", "type": "long"}],
+        }
+    )
+    n = write_container(
+        buf, schema_json, ({"v": i} for i in range(10)), codec="null",
+        block_rows=3,
+    )
+    assert n == 10
+    p = str(tmp_path / "null.avro")
+    with open(p, "wb") as f:
+        f.write(buf.getvalue())
+    recs = _jassert_file(spark, p, 10)
+    assert [r.get("v") for r in recs] == list(range(10))
+
+
+def test_io_entry_points_route_to_python_tier(spark, tmp_path):
+    """write_table/read_any with fmt='avro' work on a session without
+    spark-avro — the user-facing promise this tier exists for."""
+    from dish_data_pipeline_spark.io import read_any, write_table
+
+    df = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b")], "k long, v string"
+    )
+    path = str(tmp_path / "io_avro")
+    write_table(df, path, "avro")
+    back = read_any(spark, path, "avro")
+    assert sorted(map(tuple, back.collect())) == [(1, "a"), (2, "b")]
+    # distributed scan: decode happens in executors, one task per file
+    assert back.rdd.getNumPartitions() >= 1
+    write_table(
+        spark.createDataFrame([Row(k=3, v="c")], "k long, v string"),
+        path,
+        "avro",
+        mode="append",
+    )
+    assert read_any(spark, path, "avro").count() == 3

@@ -3954,18 +3954,24 @@ def _sql_semantic_dedup(n_iters: int = 3, k: int = 8) -> str:
     ) + f""",
 qn AS (
   SELECT vec_id, SUM(qv * qv) AS n2 FROM base GROUP BY 1),
+pairs AS (
+  -- cluster-scoped pair enumeration FIRST (the SemDeDup semantics),
+  -- so the oracle is O(sum cluster^2 * d) like the Spark side, not
+  -- an all-pairs O(n^2 * d) dot table that spills at engaged-dial
+  -- scales
+  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM a{f} x JOIN a{f} y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+dots AS (
+  SELECT p.a_id, p.b_id, SUM(ba.qv * bb.qv) AS dot
+  FROM pairs p
+  JOIN base ba ON ba.vec_id = p.a_id
+  JOIN base bb ON bb.vec_id = p.b_id AND bb.pos = ba.pos
+  GROUP BY 1, 2),
 drops AS (
-  SELECT DISTINCT y.vec_id AS b_id
-  FROM a{f} x
-  JOIN a{f} y ON x.cid = y.cid AND x.vec_id < y.vec_id
-  JOIN (SELECT ba.vec_id AS a_id, bb.vec_id AS b_id,
-               SUM(ba.qv * bb.qv) AS dot
-        FROM base ba JOIN base bb ON bb.pos = ba.pos
-         AND ba.vec_id < bb.vec_id
-        GROUP BY 1, 2) d
-    ON d.a_id = x.vec_id AND d.b_id = y.vec_id
-  JOIN qn na ON na.vec_id = x.vec_id
-  JOIN qn nb ON nb.vec_id = y.vec_id
+  SELECT DISTINCT d.b_id
+  FROM dots d
+  JOIN qn na ON na.vec_id = d.a_id
+  JOIN qn nb ON nb.vec_id = d.b_id
   WHERE d.dot > 0
     AND 100 * d.dot * d.dot >= 81 * na.n2 * nb.n2)
 SELECT t.cid AS centroid_id,

@@ -307,11 +307,19 @@ class ManifestParquetBackend:
         UNCLUSTERED column overlaps every file's [min,max], and only
         a bloom can prove absence). One distributed aggregate per
         column: md5-portable value hash → BLOOM_K universal-hash
-        positions mod BLOOM_M_MAX → ``collect_set`` per file (state
-        bounded by the filter size, never by row count), folded down
-        driver-side to each file's power-of-two size chosen from its
-        footer row count. NULLs are skipped — a bloom answers
-        non-null equality only."""
+        positions mod BLOOM_M_MAX → ``distinct`` (map-side combined,
+        bounds every downstream group at the filter size, never the
+        row count) → per-file bitmap assembled EXECUTOR-side in one
+        Arrow ``applyInPandas`` pass (vectorized numpy bit-sets); the
+        driver collects only one bounded payload row per file. The
+        pre-rewrite driver-side fold (collect_set of every position,
+        per-bit Python big-int ORs) scaled with n·k on the DRIVER —
+        measured 1.3× per-row degradation per decade
+        (tools/bloom_flatness.py) and a guaranteed bottleneck at real
+        scale. NULLs are skipped — a bloom answers non-null equality
+        only."""
+        import json as _json
+
         import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
@@ -349,6 +357,34 @@ class ManifestParquetBackend:
         # (prunes every equality probe on this column, soundly)
         present = [c for c in cfg["cols"] if c in raw.columns]
         df = raw.select(key.alias("_f"), *present)
+        m_by_file = dict(m_of)  # plain dict: rides the UDF closure
+
+        def _assemble(pdf):
+            """One file's bitmap from its distinct hash positions —
+            numpy byte-array bit-set, popcount for the sparse/dense
+            format decision, payload mirrors the manifest entry."""
+            import numpy as np
+            import pandas as pd
+
+            f = pdf["_f"].iloc[0]
+            m = m_by_file.get(f)
+            if m is None:  # file not in this commit (stale listing)
+                return pd.DataFrame({"_f": [], "payload": []})
+            p = (pdf["p"].to_numpy(dtype=np.int64) % m)
+            buf = np.zeros(m // 8, dtype=np.uint8)
+            np.bitwise_or.at(
+                buf, p >> 3, np.left_shift(1, (p & 7)).astype(np.uint8)
+            )
+            n_bits = int(np.unpackbits(buf).sum())
+            if n_bits * 64 <= m:
+                entry = {"m": m, "pos": sorted({int(x) for x in p})}
+            else:
+                bitmap = int.from_bytes(buf.tobytes(), "little")
+                entry = {"m": m, "hex": f"{bitmap:x}"}
+            return pd.DataFrame(
+                {"_f": [f], "payload": [_json.dumps(entry)]}
+            )
+
         out: dict[str, dict] = {rel: {} for rel in rel_files}
         for col in cfg["cols"]:
             if col not in present:
@@ -363,21 +399,17 @@ class ManifestParquetBackend:
             agg = (
                 df.filter(F.col(col).isNotNull())
                 .select("_f", F.explode(F.array(*pos_exprs)).alias("p"))
+                .distinct()
                 .groupBy("_f")
-                .agg(F.collect_set("p").alias("ps"))
+                .applyInPandas(_assemble, "_f string, payload string")
                 .collect()
             )
-            by_file = {r["_f"]: r["ps"] for r in agg}
+            by_file = {r["_f"]: _json.loads(r["payload"]) for r in agg}
             for rel in rel_files:
-                m = m_of[rel]
-                bits = sorted({p % m for p in by_file.get(rel, [])})
-                if len(bits) * 64 <= m:
-                    out[rel][col] = {"m": m, "pos": bits}
-                else:
-                    bitmap = 0
-                    for p in bits:
-                        bitmap |= 1 << p
-                    out[rel][col] = {"m": m, "hex": f"{bitmap:x}"}
+                # empty file / all-NULL column → no group → empty filter
+                out[rel][col] = by_file.get(
+                    rel, {"m": m_of[rel], "pos": []}
+                )
         return out
 
     def _bloom_commit_entry(

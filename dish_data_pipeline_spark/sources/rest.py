@@ -76,6 +76,7 @@ def fetch_paginated_data(
     raw_zone_dir: str | None = None,
     name: str | None = None,
     max_pages: int = 10_000,
+    clock=None,
 ) -> tuple[list[dict], list[str]]:
     """Driver-side fetch loop → (records, landed file paths).
 
@@ -84,11 +85,17 @@ def fetch_paginated_data(
     ``<raw_zone_dir>/<name>/year=/month=/day=/<name>_page_<p>.json``
     (reference layout, pipeline/data_pipeline.py:46-53) so Spark can
     re-read the raw zone with partition pruning.
+
+    The partition date is captured ONCE per run (``clock`` injectable
+    for tests), not per page — the reference stamps now() per page,
+    so a run straddling midnight splits its raw files across day
+    partitions (defect ledger row 9, pipeline/data_pipeline.py:46-50).
     """
     import datetime as dt
 
     records: list[dict] = []
     source_files: list[str] = []
+    now = (clock or (lambda: dt.datetime.now(dt.timezone.utc)))()
     page = 1
     while page <= max_pages:
         status, payload = http_get(page_url(base_url, endpoint, page))
@@ -100,7 +107,6 @@ def fetch_paginated_data(
         records.extend(page_records)
 
         if raw_zone_dir and name:
-            now = dt.datetime.now(dt.timezone.utc)
             part_dir = os.path.join(
                 raw_zone_dir,
                 name,

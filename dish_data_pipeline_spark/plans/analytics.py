@@ -18,6 +18,7 @@ from dish_data_pipeline_spark.plans.common import (
     read,
     sql_davg,
     sql_dsum,
+    widen,
 )
 
 
@@ -106,7 +107,9 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read(spark, sf_dir, "events")
+    # widen: the distinct pre-aggregation is per-row work that a
+    # small single-row-group local scan serializes onto one task
+    e = widen(read(spark, sf_dir, "events"), spark)
     return profile_columns(e, ["user_id", "event_type", "value"])
 
 

@@ -1546,7 +1546,7 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabet²-bounded count."""
     from dish_data_pipeline_spark.ops.text import char_pair_counts
 
-    d = read(spark, sf_dir, "documents")
+    d = widen(read(spark, sf_dir, "documents"), spark)
     return char_pair_counts(d, "text")
 
 
@@ -1761,7 +1761,9 @@ def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (index materialized once per corpus version, reused per query)."""
     from dish_data_pipeline_spark.ops.trgm import trigram_search
 
-    d = read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = widen(
+        read(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     return trigram_search(d, SEARCH_PATTERN)
 
 
@@ -2217,13 +2219,14 @@ CLASSIFIER_BIAS = 50
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate (fastText-shape inference): hashed
     bag-of-words linear margin per document with a frozen quantized
-    weight table, thresholded keep bit. Zero-shuffle map-side
-    projection at any corpus size; the portable 60-bit hash makes
+    weight table, thresholded keep bit. Map-side projection at any
+    corpus size (widened when a small local scan under-provisions —
+    no-op on a real corpus); the portable 60-bit hash makes
     the bucket assignment — and therefore every margin — replayable
     bit-identically by the DuckDB twin."""
     from dish_data_pipeline_spark.ops.text import hashed_linear_score
 
-    d = read(spark, sf_dir, "documents")
+    d = widen(read(spark, sf_dir, "documents"), spark)
     return hashed_linear_score(
         d, list(CLASSIFIER_WEIGHTS), bias=CLASSIFIER_BIAS, threshold=0.0
     )

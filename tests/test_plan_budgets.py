@@ -95,7 +95,12 @@ BUDGETS: dict[str, tuple[int, int, bool]] = {
     # reference-lifecycle certification (D2 recovery branch)
     "dq_recovery_roundtrip": (2, 0, True),
     # remaining flagship text/ANN paths
-    "substring_search": (1, 1, True),
+    # +2 Exchanges: widen() engages on the under-provisioned local
+    # scan and the widened corpus feeds both the index and the verify
+    # branch (not plan-reused across them) — no-op at real scale
+    # where the corpus carries >= cluster-width splits; bought 9x at
+    # the sf1.0 probe
+    "substring_search": (3, 1, True),
     "dup_ngram_coverage": (2, 1, True),
     "knn_lsh": (4, 1, True),
     "exact_median": (0, 0, True),

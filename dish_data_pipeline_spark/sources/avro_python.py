@@ -480,6 +480,129 @@ def decode_container(buf: bytes) -> Iterator[dict]:
         pos += 16
 
 
+# ------------------------------------------------- schema resolution
+
+
+def _type_name(node: Any) -> Any:
+    """Bare type tag of a node (unions keep their list identity)."""
+    if isinstance(node, list):
+        return "union"
+    return node if isinstance(node, str) else node["type"]
+
+
+_PROMOTIONS = {
+    # (writer, reader) → converter; the spec's numeric/string ladder
+    ("int", "long"): int,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): float,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _default_value(node: Any, default: Any) -> Any:
+    """Convert a reader field's JSON default to the runtime value
+    (logical types ride their base encodings in defaults)."""
+    if isinstance(node, list):  # union default applies to FIRST branch
+        return _default_value(node[0], default)
+    t = node if isinstance(node, str) else node["type"]
+    logical = node.get("logicalType") if isinstance(node, dict) else None
+    if default is None:
+        return None
+    if logical == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=int(default))
+    if logical == "timestamp-micros":
+        return _EPOCH_TS + _dt.timedelta(microseconds=int(default))
+    if logical == "local-timestamp-micros":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=int(default)
+        )
+    if t == "bytes" and isinstance(default, str):
+        # spec: bytes defaults are JSON strings of latin-1 code points
+        return default.encode("latin-1")
+    return default
+
+
+def build_resolver(writer: Any, reader: Any):
+    """Spec schema resolution: a converter taking a WRITER-decoded
+    value to the READER's shape, built once per (writer, reader)
+    pair. Covers the evolution cases a long-lived feed actually
+    hits: record fields added (with default) / dropped / reordered,
+    the numeric/string promotion ladder, nullable-union wrapping
+    differences, and arrays/maps/records recursively. Anything else
+    raises at resolver-BUILD time (loud, before any data moves)."""
+    if isinstance(writer, list) or isinstance(reader, list):
+        w_branches = writer if isinstance(writer, list) else [writer]
+        r_branches = reader if isinstance(reader, list) else [reader]
+        w_non_null = [b for b in w_branches if b != "null"]
+        r_non_null = [b for b in r_branches if b != "null"]
+        if len(w_non_null) != 1 or len(r_non_null) != 1:
+            raise ValueError(
+                f"only [null, T] unions resolve: {writer} -> {reader}"
+            )
+        if "null" in w_branches and "null" not in r_branches:
+            inner_nn = build_resolver(w_non_null[0], r_non_null[0])
+
+            def strict(v):
+                if v is None:
+                    raise ValueError(
+                        "writer value is null but reader type is "
+                        "non-nullable"
+                    )
+                return inner_nn(v)
+
+            return strict
+        inner = build_resolver(w_non_null[0], r_non_null[0])
+        return lambda v: None if v is None else inner(v)
+
+    wt, rt = _type_name(writer), _type_name(reader)
+    w_logical = writer.get("logicalType") if isinstance(writer, dict) else None
+    r_logical = reader.get("logicalType") if isinstance(reader, dict) else None
+    if wt == rt and w_logical == r_logical:
+        if wt == "record":
+            w_fields = {f["name"]: f for f in writer["fields"]}
+            steps = []
+            for rf in reader["fields"]:
+                name = rf["name"]
+                if name in w_fields:
+                    conv = build_resolver(w_fields[name]["type"], rf["type"])
+                    steps.append((name, conv, False, None))
+                elif "default" in rf:
+                    steps.append(
+                        (name, None, True,
+                         _default_value(rf["type"], rf["default"]))
+                    )
+                else:
+                    raise ValueError(
+                        f"reader field {name!r} missing from writer "
+                        "schema and has no default"
+                    )
+
+            def rec_conv(v, steps=steps):
+                return {
+                    n: (d if is_def else c(v[n]))
+                    for n, c, is_def, d in steps
+                }
+
+            return rec_conv
+        if wt == "array":
+            item = build_resolver(writer["items"], reader["items"])
+            return lambda v: [item(x) for x in v]
+        if wt == "map":
+            val = build_resolver(writer["values"], reader["values"])
+            return lambda v: {k: val(x) for k, x in v.items()}
+        return lambda v: v  # identical primitive/logical
+    conv = _PROMOTIONS.get((wt, rt))
+    if conv is None:
+        raise ValueError(
+            f"cannot resolve writer type {wt!r} to reader type {rt!r}"
+        )
+    return lambda v: None if v is None else conv(v)
+
+
 # ---------------------------------------------------------- spark sink
 
 
@@ -526,12 +649,24 @@ def write_avro(
     return manifest
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    reader_schema: "T.StructType | dict | None" = None,
+) -> DataFrame:
     """Distributed Avro scan: Hadoop-FS listing via
     ``sc.binaryFiles`` (one task per container file — Avro's deflate
     blocks aren't splittable without an index, matching Spark's own
     wholefile semantics for compressed sources), executor-side block
-    decode, schema from the sidecar or from ONE file header."""
+    decode, schema from the sidecar or from ONE file header.
+
+    ``reader_schema`` opts into the spec's schema resolution (the
+    evolution contract Avro estates rely on): pass an Avro record
+    schema dict — with field ``default``s for fields the writer
+    lacks — or a Spark StructType (nullable added fields default to
+    NULL). Writer fields absent from the reader are dropped; the
+    numeric/string promotion ladder applies. Unresolvable pairs
+    raise on the DRIVER before any data moves."""
     sidecar = os.path.join(path, "_avro_schema.avsc")
     if os.path.exists(sidecar):
         with open(sidecar) as f:
@@ -542,7 +677,26 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             raise FileNotFoundError(f"no .avro files under {path}")
         with open(files[0], "rb") as f:
             avsc, _, _, _ = parse_header(f.read())
-    spark_schema = avro_schema_to_spark(avsc)
+
+    resolver = None
+    if reader_schema is not None:
+        if isinstance(reader_schema, T.StructType):
+            reader_avsc = spark_schema_to_avro(reader_schema)
+            # StructType carries no defaults: nullable added fields
+            # default to null (their union leads with "null")
+            writer_names = {f["name"] for f in avsc["fields"]}
+            for f in reader_avsc["fields"]:
+                if f["name"] not in writer_names and isinstance(
+                    f["type"], list
+                ):
+                    f["default"] = None
+        else:
+            reader_avsc = reader_schema
+        resolver = build_resolver(avsc, reader_avsc)
+        avsc_out = reader_avsc
+    else:
+        avsc_out = avsc
+    spark_schema = avro_schema_to_spark(avsc_out)
     if not isinstance(spark_schema, T.StructType):
         raise ValueError("top-level avro schema must be a record")
     names = [f.name for f in spark_schema.fields]
@@ -553,6 +707,8 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     def _decode_file(kv) -> Iterator[list]:
         _, content = kv
         for rec in decode_container(bytes(content)):
+            if resolver is not None:
+                rec = resolver(rec)
             yield [rec[n] for n in names]
 
     rdd = spark.sparkContext.binaryFiles(

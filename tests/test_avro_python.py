@@ -306,3 +306,126 @@ def test_io_entry_points_route_to_python_tier(spark, tmp_path):
         mode="append",
     )
     assert read_any(spark, path, "avro").count() == 3
+
+
+# ---------------------------------------------- schema resolution
+
+
+def test_schema_resolution_add_drop_promote(spark, tmp_path):
+    """The spec's evolution contract: reader drops a writer field,
+    adds one with a default, and promotes int->long / float->double,
+    all resolved at the container level."""
+    from dish_data_pipeline_spark.sources.avro_python import (
+        build_resolver,
+    )
+
+    v1 = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("legacy", T.DoubleType(), True),
+            T.StructField("ratio", T.FloatType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 9.9, 0.5), (2, None, 8.8, 1.5)], v1
+    )
+    path = str(tmp_path / "evo")
+    write_avro(df, path)
+
+    reader_avsc = {
+        "type": "record",
+        "name": "v2",
+        "fields": [
+            {"name": "k", "type": "long"},           # int -> long
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "ratio", "type": ["null", "double"]},  # f -> d
+            {"name": "score", "type": "double", "default": 1.25},
+            {"name": "tag", "type": ["null", "string"], "default": None},
+            # 'legacy' dropped
+        ],
+    }
+    got = read_avro(spark, path, reader_schema=reader_avsc)
+    assert [f.name for f in got.schema.fields] == [
+        "k", "name", "ratio", "score", "tag",
+    ]
+    assert dict(got.dtypes)["k"] == "bigint"
+    rows = sorted(got.collect(), key=lambda r: r.k)
+    assert rows[0].k == 1 and rows[0].name == "a"
+    assert rows[0].ratio == 0.5 and rows[0].score == 1.25
+    assert rows[0].tag is None
+    assert rows[1].name is None and rows[1].ratio == 1.5
+
+    # unresolvable pair fails at BUILD time, before any data moves
+    with pytest.raises(ValueError, match="cannot resolve"):
+        build_resolver("string", "long")
+    # added field without default fails loudly
+    with pytest.raises(ValueError, match="no default"):
+        read_avro(
+            spark,
+            path,
+            reader_schema={
+                "type": "record",
+                "name": "bad",
+                "fields": [{"name": "nonexistent", "type": "long"}],
+            },
+        )
+
+
+def test_schema_resolution_structtype_reader(spark, tmp_path):
+    """A Spark StructType works as the reader schema: nullable added
+    fields default to NULL, dropped fields vanish."""
+    df = spark.createDataFrame(
+        [Row(k=1, v="a")], "k long, v string"
+    )
+    path = str(tmp_path / "evo2")
+    write_avro(df, path)
+    v2 = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("extra", T.StringType(), True),
+        ]
+    )
+    rows = read_avro(spark, path, reader_schema=v2).collect()
+    assert [(r.k, r.extra) for r in rows] == [(1, None)]
+
+
+def test_schema_resolution_java_written_file(spark, tmp_path):
+    """Evolution against a file the Java library wrote: same
+    resolution semantics on a foreign container."""
+    jvm = spark._jvm
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "jv1",
+            "fields": [
+                {"name": "id", "type": "int"},
+                {"name": "junk", "type": "string"},
+            ],
+        }
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    jdir = tmp_path / "jevo"
+    jdir.mkdir()
+    p = str(jdir / "f.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.create(schema, jvm.java.io.File(p))
+    for i in range(3):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i)
+        rec.put("junk", "x" * i)
+        writer.append(rec)
+    writer.close()
+    reader_avsc = {
+        "type": "record",
+        "name": "jv2",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "lang", "type": "string", "default": "en"},
+        ],
+    }
+    rows = read_avro(spark, str(jdir), reader_schema=reader_avsc)
+    got = sorted((r.id, r.lang) for r in rows.collect())
+    assert got == [(0, "en"), (1, "en"), (2, "en")]

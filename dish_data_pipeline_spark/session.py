@@ -39,6 +39,12 @@ _DEFAULT_CONF: dict[str, str] = {
     # shingle rows). Only honored when this session launches the
     # JVM; a pre-existing session keeps its own heap.
     "spark.driver.memory": "12g",
+    # Route JVM unified logging (GC warnings etc.) to stderr: its
+    # default stdout sink can interleave with bench.py's JSON stdout
+    # protocol mid-line (observed: a GCLocker allocation warning
+    # corrupting the metrics line under an sf1.0 run). Only honored
+    # when this session launches the JVM.
+    "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
     # Quieter, deterministic local runs.
     "spark.ui.enabled": "false",
     "spark.sql.parquet.int96RebaseModeInWrite": "CORRECTED",

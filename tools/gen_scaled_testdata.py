@@ -183,14 +183,23 @@ def main() -> None:
         pq.write_table(srcs[n], os.path.join(args.dest, f"{n}.parquet"))
         print(f"{n}: {len(srcs[n])} rows (fixed dim)")
     for n in KEY_COLS:
-        shards = [_shard(n, srcs[n], c, spans) for c in range(args.copies)]
-        out = pa.concat_tables(shards)
-        pq.write_table(
-            out,
-            os.path.join(args.dest, f"{n}.parquet"),
-            row_group_size=1 << 20,
-        )
-        print(f"{n}: {len(out)} rows ({args.copies} shards)")
+        # one part file per shard, like a real growing corpus — a
+        # single concatenated file cannot split below its row groups,
+        # which serializes every Spark scan onto one task and skews
+        # scaling ratios with a parallelism artifact instead of plan
+        # behavior (engine readers and DuckDB both take directories)
+        table_dir = os.path.join(args.dest, f"{n}.parquet")
+        os.makedirs(table_dir, exist_ok=True)
+        total = 0
+        for c in range(args.copies):
+            shard = _shard(n, srcs[n], c, spans)
+            pq.write_table(
+                shard,
+                os.path.join(table_dir, f"part-{c:02d}.parquet"),
+                row_group_size=1 << 20,
+            )
+            total += len(shard)
+        print(f"{n}: {total} rows ({args.copies} shards, 1 file each)")
 
     # bench.py warms up on a sibling sf0.001 dir — plant a symlink
     smoke = os.path.join(os.path.dirname(args.dest.rstrip("/")), "sf0.001")

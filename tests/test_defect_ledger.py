@@ -122,11 +122,20 @@ def test_row5_dockerfile_copies_exist_and_entrypoint_runs():
                 assert os.path.exists(os.path.join(REPO, s)), (
                     f"Dockerfile COPYs nonexistent {s}"
                 )
-    entry = [ln for ln in lines if ln.startswith("ENTRYPOINT")]
-    assert entry, "no ENTRYPOINT"
-    mod = json.loads(entry[0].split(None, 1)[1])[-1]
-    assert importlib.util.find_spec(mod) is not None
-    assert importlib.util.find_spec(mod + ".__main__") is not None
+    entries = [ln for ln in lines if ln.startswith("ENTRYPOINT")]
+    assert entries, "no ENTRYPOINT"
+    for entry in entries:  # every stage's entry module must import
+        argv = json.loads(entry.split(None, 1)[1])
+        assert "-m" in argv, entry
+        mod = argv[argv.index("-m") + 1]
+        assert importlib.util.find_spec(mod) is not None, mod
+    # the runtime (default, last) stage runs the package CLI
+    assert (
+        importlib.util.find_spec(
+            json.loads(entries[-1].split(None, 1)[1])[-1] + ".__main__"
+        )
+        is not None
+    )
 
 
 def test_row6_package_reexports_are_importable():

@@ -2216,6 +2216,52 @@ CLASSIFIER_WEIGHTS: tuple[int, ...] = tuple(
 CLASSIFIER_BIAS = 50
 
 
+# --- Dictionary tagging (Aho-Corasick multi-pattern matching) -------
+#: Lexicon with deliberate pattern-overlap stress: "can" is a suffix
+#: of "scan", "able" a suffix of "table", two multi-word phrases, and
+#: "a a" whose occurrences can self-overlap (non-overlapping greedy
+#: counting is the contract both engines share).
+DICT_TERMS = [
+    "scan", "can", "table", "able",
+    "fast table", "value table part", "merge batch", "a a", "row",
+]
+
+
+def q_dict_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term lexicon coverage over the corpus via
+    :func:`ops.dicttag.dict_tag_totals` — ONE Aho-Corasick automaton
+    pass per document matches all K phrases (the FlashText /
+    brand-safety / PII-lexicon shape), vs K per-term scans. Matching
+    is case-insensitive substring with NON-overlapping leftmost
+    counting — exactly ``str.count`` and exactly SQL's
+    replace-length trick, so the DuckDB twin agrees bit-for-bit
+    (including "can" firing inside every "scan" and "able" inside
+    every "table"). Map-side Arrow scan; the only shuffle is the
+    |terms|-bounded rollup."""
+    from dish_data_pipeline_spark.ops.dicttag import dict_tag_totals
+
+    d = widen(read(spark, sf_dir, "documents"), spark)
+    return dict_tag_totals(d, DICT_TERMS)
+
+
+def _sql_dict_tag() -> str:
+    values = ", ".join(f"('{t}')" for t in DICT_TERMS)
+    return f"""
+WITH terms(term) AS (VALUES {values}),
+counts AS (
+  SELECT t.term,
+         CAST((length(lower(d.text))
+               - length(replace(lower(d.text), t.term, '')))
+              // length(t.term) AS BIGINT) AS n
+  FROM documents d CROSS JOIN terms t)
+SELECT term,
+       CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_occurrences
+FROM counts GROUP BY term
+HAVING SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) > 0
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate (fastText-shape inference): hashed
     bag-of-words linear margin per document with a frozen quantized
@@ -4192,6 +4238,11 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         "BPE segmentation replay: fixed merge table as zero-shuffle "
         "nested folds",
         ("text",)),
+    "dict_tag": QueryDef(
+        q_dict_tag, _sql_dict_tag(),
+        "Aho-Corasick dictionary tagging: K-phrase lexicon coverage "
+        "in one automaton pass per doc, replace-trick oracle",
+        ("text", "lexicon", "matching")),
     "quality_classifier": QueryDef(
         q_quality_classifier, _sql_quality_classifier(),
         "hashed bag-of-words linear quality gate (fastText-shape "

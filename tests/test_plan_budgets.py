@@ -32,6 +32,8 @@ BUDGETS: dict[str, tuple[int, int, bool]] = {
     "exact_dedup": (2, 0, True),
     "keep_latest_events": (2, 0, True),
     "dq_summary": (2, 0, True),
+    # dictionary tagging: widen + the |terms|-bounded rollup agg
+    "dict_tag": (2, 0, True),
     # zero-shuffle map-only text analytics
     "text_stats": (0, 0, True),
     "quality_score": (0, 0, True),

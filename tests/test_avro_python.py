@@ -429,3 +429,34 @@ def test_schema_resolution_java_written_file(spark, tmp_path):
     rows = read_avro(spark, str(jdir), reader_schema=reader_avsc)
     got = sorted((r.id, r.lang) for r in rows.collect())
     assert got == [(0, "en"), (1, "en"), (2, "en")]
+
+
+def test_java_reads_multiblock_deflate(spark, tmp_path):
+    """Multi-block deflate framing (several compressed blocks, each
+    sync-delimited) conforms: the Java reader sees all rows in
+    order."""
+    buf = io.BytesIO()
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "mb",
+            "fields": [
+                {"name": "v", "type": "long"},
+                {"name": "s", "type": "string"},
+            ],
+        }
+    )
+    n = write_container(
+        buf,
+        schema_json,
+        ({"v": i, "s": f"row-{i}" * 10} for i in range(1000)),
+        codec="deflate",
+        block_rows=128,  # 8 blocks
+    )
+    assert n == 1000
+    p = str(tmp_path / "mb.avro")
+    with open(p, "wb") as f:
+        f.write(buf.getvalue())
+    recs = _jassert_file(spark, p, 1000)
+    assert [r.get("v") for r in recs] == list(range(1000))
+    assert str(recs[999].get("s")).startswith("row-999")

@@ -12,7 +12,12 @@ be small enough to always survive and parse):
 baseline — the suite-wide machine-speed drift (this box swings up to
 ~30% with ambient load). Each flagged regression carries both the
 raw ``ratio`` and ``adj_ratio`` (ratio ÷ drift): adj_ratio ≈ 1 means
-the machine was slow, not the query.
+the machine was slow, not the query. Full-suite runs then
+SELF-ADJUDICATE every flag: three fresh-process isolated sweeps
+(``python bench.py <q>`` subprocesses — fresh JVM each) whose median
+lands in the entry as ``isolated_median`` / ``isolated_ratio``
+alongside the raw sweep times, so a flag whose isolated_ratio ≈ 1 is
+machine traffic, not a regression, with no manual round-trip.
 
 Each query is fully executed JVM-side via the ``noop`` sink (no
 driver-side collect — measures the engine, not pandas transfer).
@@ -52,6 +57,16 @@ REGRESSION_ABS_FLOOR_SEC = 0.75  # ignore sub-second jitter
 # pin keep the single-shot time (re-timing them buys nothing).
 RERUN_RATIO = 1.3
 MAX_RERUNS = 2
+# Self-adjudication (round-12): three consecutive rounds (r9-r11) of
+# in-suite regression flags evaporated under the manual isolated
+# 3-sweep protocol (fresh `python bench.py <q>` process per sweep,
+# median of 3) — suite-neighbor contention, not plan regressions. The
+# bench now runs that exact protocol itself for every flagged query
+# and attaches the result, so a consumer can separate "slow in suite
+# traffic" (isolated_ratio ≈ 1) from "actually regressed"
+# (isolated_ratio ≫ 1) without a manual round-trip.
+ADJUDICATION_SWEEPS = 3
+ADJUDICATION_TIMEOUT_SEC = 600
 
 
 def load_baseline(sf: float) -> dict[str, float]:
@@ -108,6 +123,42 @@ def find_regressions(
                 "adj_ratio": round(t / ref / drift, 2),
             }
     return out
+
+
+def isolated_sweeps(name: str, sf_dir: str) -> list[float]:
+    """Re-measure one query in ISOLATION: a fresh ``python bench.py
+    <name>`` subprocess per sweep (fresh JVM, own warmup, nothing
+    else in the session) — the exact protocol the manual
+    BENCH_ADJUDICATION files used. Returns the per-sweep seconds
+    (empty if every sweep failed; failures never fail the bench)."""
+    import subprocess  # noqa: PLC0415
+
+    times: list[float] = []
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    me = os.path.abspath(__file__)
+    for _ in range(ADJUDICATION_SWEEPS):
+        try:
+            p = subprocess.run(
+                [sys.executable, me, name],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=ADJUDICATION_TIMEOUT_SEC,
+            )
+            # first stdout line = full record with per-query timings
+            rec = json.loads(p.stdout.strip().splitlines()[0])
+            t = rec["queries"].get(name, -1.0)
+            if t >= 0:
+                times.append(float(t))
+        except Exception as exc:
+            print(f"# adjudication error {name}: {exc}", file=sys.stderr)
+    return times
+
+
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return round(xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2, 3)
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -240,6 +291,19 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     regressions = find_regressions(timings, baseline)
     drift = median_ratio(timings, baseline)
+    # Self-adjudicate every flag (full-suite runs only: `only` mode IS
+    # the adjudication subprocess — recursing would fork-bomb).
+    if not only:
+        for name, entry in regressions.items():
+            sweeps = isolated_sweeps(name, sf_dir)
+            if not sweeps:
+                continue
+            med = _median(sweeps)
+            entry["isolated_secs"] = sweeps
+            entry["isolated_median"] = med
+            entry["isolated_ratio"] = round(
+                med / entry["baseline_sec"], 2
+            )
     # Two JSON lines, full first and minimal LAST: the driver stores
     # only a tail window of stdout, and round 3's single ~2.5 KB line
     # lost its head ("parsed: null" — 86 compact timings overflow the

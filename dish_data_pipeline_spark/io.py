@@ -143,32 +143,45 @@ def avro_available(spark: SparkSession) -> bool:
     (some distributions ship avro classes without registering the
     data source module).
 
-    Only the EXPECTED absence signal is treated as "unavailable" —
-    Spark's AnalysisException "Failed to find data source: avro" or
-    a bare ClassNotFoundException from the registry lookup. Any
-    other failure (py4j transport, classloader corruption, ...)
-    propagates: a fail-closed gate must not masquerade a real error
-    as a missing optional dependency."""
-    from pyspark.errors.exceptions.captured import (  # noqa: PLC0415
-        AnalysisException,
-    )
-
+    Only the EXPECTED absence signal is treated as "unavailable",
+    and detection does not hinge on any one exception class: pyspark
+    installs a py4j capture hook that (version-depending) converts
+    the Java SparkClassNotFoundException into a captured
+    AnalysisException, while a hook-less path surfaces the raw
+    Py4JJavaError. Both forms are inspected — the Python-side
+    message for the stable absence markers ("Failed to find data
+    source", DATA_SOURCE_NOT_FOUND, _LEGACY_ERROR_TEMP_1139), and
+    the Java exception's full cause chain for a
+    *ClassNotFoundException class name. Any other failure (py4j
+    transport, classloader corruption, ...) propagates: a
+    fail-closed gate must not masquerade a real error as a missing
+    optional dependency."""
     try:
         spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
             "avro", spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
         )
         return True
-    except AnalysisException as e:
-        # Spark 4 raises _LEGACY_ERROR_TEMP_1139 / "Failed to find
-        # data source: avro" when the module is not deployed
-        if "failed to find" in str(e).lower():
-            return False
-        raise
     except Exception as e:
-        jexc = getattr(e, "java_exception", None)
-        jcls = jexc.getClass().getName() if jexc is not None else ""
-        if "ClassNotFoundException" in jcls:
+        msg = str(e).lower()
+        if (
+            ("failed to find" in msg and "data source" in msg)
+            or "data_source_not_found" in msg
+            or "_legacy_error_temp_1139" in msg
+        ):
             return False
+        # Raw py4j form: walk the Java cause chain — Spark wraps the
+        # underlying ClassNotFoundException before it reaches py4j.
+        cause, hops = getattr(e, "java_exception", None), 0
+        while cause is not None and hops < 8:
+            jcls = cause.getClass().getName()
+            jmsg = (cause.getMessage() or "").lower()
+            if (
+                "ClassNotFoundException" in jcls
+                or ("failed to find" in jmsg and "data source" in jmsg)
+                or "data_source_not_found" in jmsg
+            ):
+                return False
+            cause, hops = cause.getCause(), hops + 1
         raise
 
 

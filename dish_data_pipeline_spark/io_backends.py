@@ -77,6 +77,12 @@ class TableBackend(Protocol):
 
     def create(self, df: DataFrame, path: str) -> None: ...
 
+    def replace(self, df: DataFrame, path: str) -> None:
+        """Atomically replace the table's contents with ``df`` (the
+        commit primitive for a pre-composed MERGE result — the
+        textual ``merge_sql`` surface's generic path)."""
+        ...
+
     def merge_keep_latest(
         self,
         spark: SparkSession,
@@ -108,6 +114,9 @@ class ParquetSwapBackend:
 
     def create(self, df: DataFrame, path: str) -> None:
         dio.write_staging(df, path)
+
+    def replace(self, df: DataFrame, path: str) -> None:
+        dio.atomic_overwrite(df, path)
 
     def merge_keep_latest(
         self,
@@ -597,6 +606,39 @@ class ManifestParquetBackend:
             bloom = self._bloom_commit_entry(
                 spark, path, man_base, files
             )
+            if bloom is not None:
+                manifest["bloom"] = bloom
+            if self._try_commit(path, base + 1, manifest):
+                return base + 1
+        raise CommitConflict(
+            f"lost the commit race {self.max_retries + 1} times at {path}"
+        )
+
+    def replace(self, df: DataFrame, path: str) -> int:
+        """Atomically replace the table's contents with ``df`` as a
+        new version (Delta's ``mode("overwrite")`` analog; the commit
+        primitive behind the textual MERGE surface's generic path).
+        History is preserved — old versions still time-travel — and
+        stats/bloom config is inherited from the parent manifest.
+        The result is position-independent of the version race (the
+        caller composed it from a snapshot THEY chose), so losing a
+        race is always retryable by re-linking the same data files
+        against the new latest, like :meth:`append`."""
+        spark = df.sparkSession
+        base = self.latest_version(path)
+        if base is None:
+            raise FileNotFoundError(f"no table at {path}; create() first")
+        man_base = self._manifest(path, base)
+        stats_cols = man_base.get("stats_cols") or []
+        files, schema, stats = self._write_data(df, path, stats_cols)
+        for _ in range(self.max_retries + 1):
+            base = self.latest_version(path)
+            man_base = self._manifest(path, base)
+            manifest = {"version": base + 1, "parent": base,
+                        "files": files, "schema": schema,
+                        "stats_cols": stats_cols, "stats": stats,
+                        "txns": dict(man_base.get("txns", {}))}
+            bloom = self._bloom_commit_entry(spark, path, man_base, files)
             if bloom is not None:
                 manifest["bloom"] = bloom
             if self._try_commit(path, base + 1, manifest):
@@ -1248,6 +1290,11 @@ class DeltaBackend:
     def create(self, df: DataFrame, path: str) -> None:
         df.write.format("delta").mode("overwrite").save(path)
 
+    def replace(self, df: DataFrame, path: str) -> None:
+        # Delta overwrite is transactional: a new version whose adds
+        # replace the prior snapshot; history still time-travels.
+        df.write.format("delta").mode("overwrite").save(path)
+
     def merge_keep_latest(
         self,
         spark: SparkSession,
@@ -1351,6 +1398,12 @@ class IcebergBackend:
     def create(self, df: DataFrame, path: str) -> None:
         self._gate(df.sparkSession)
         df.writeTo(path).using("iceberg").createOrReplace()
+
+    def replace(self, df: DataFrame, path: str) -> None:
+        # Iceberg REPLACE TABLE AS SELECT commits one atomic
+        # snapshot; prior snapshots remain time-travelable.
+        self._gate(df.sparkSession)
+        df.writeTo(path).using("iceberg").replace()
 
     def merge_keep_latest(
         self,

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import tempfile
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -22,6 +22,7 @@ from dish_data_pipeline_spark.plans.common import (
     davg,
     dsum,
     read,
+    scratch_dir,
     sql_davg,
     sql_dsum,
 )
@@ -352,9 +353,8 @@ FROM events GROUP BY CUBE (event_type, user_bucket)
 # --- Raw-zone roundtrip: partitioned write + pruned read (S2) -----
 def q_raw_zone_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read(spark, sf_dir, "events")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"raw_zone_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    out = scratch_dir(
+        "raw_zone", os.path.basename(sf_dir.rstrip("/"))
     )
     (
         e.select(
@@ -400,16 +400,16 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_avro_python.py. Values survive bit-exactly either
     way: the oracle aggregates the same columns straight from the
     parquet source. Money rides as floor-quantized BIGINT cents so
-    the hash compare is float-order-free."""
-    import tempfile
-
+    the hash compare is float-order-free. The container directory is
+    orders-sized, so it is removed as soon as the aggregate is
+    materialized (the 3-row result returns as a local DataFrame)."""
     from dish_data_pipeline_spark.io import read_any, write_table
 
     o = read(spark, sf_dir, "orders")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"avro_rt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    out = scratch_dir(
+        "avro_rt", os.path.basename(sf_dir.rstrip("/"))
     )
+    shutil.rmtree(out, ignore_errors=True)
     write_table(
         o.select(
             "o_orderkey",
@@ -421,7 +421,7 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avro",
     )
     back = read_any(spark, out, "avro")
-    return back.groupBy("o_orderstatus").agg(
+    agg = back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.expr(
@@ -432,6 +432,9 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_day"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
+    rows = agg.collect()  # 3 rows (order statuses) — bounded
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
 
 
 SQL_AVRO_ROUNDTRIP = """
@@ -499,9 +502,8 @@ def q_rest_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             return 200, {"records": chunk, "pagination": {"has_next": True}}
         return 200, {"data": chunk, "hasMore": True}
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"rest_raw_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    out = scratch_dir(
+        "rest_raw", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(out, ignore_errors=True)
     records, landed = fetch_paginated_data(
@@ -654,9 +656,8 @@ def q_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pagination": {"has_next": page * 10 < len(rows)},
         }
 
-    wh = os.path.join(
-        tempfile.gettempdir(),
-        f"audit_wh_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    wh = scratch_dir(
+        "audit_wh", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(wh, ignore_errors=True)
     feeds = [
@@ -745,9 +746,8 @@ def q_dq_recovery_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pagination": {"has_next": page * per < len(rows)},
         }
 
-    wh = os.path.join(
-        tempfile.gettempdir(),
-        f"dqrec_wh_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    wh = scratch_dir(
+        "dqrec_wh", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(wh, ignore_errors=True)
     feed = FeedConfig("ga_sessions", "ga_sessions",
@@ -810,9 +810,8 @@ def q_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "event_id", "user_id", "event_type", "value", F.to_date("ts").alias("day")
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"part_tgt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    path = scratch_dir(
+        "part_tgt", os.path.basename(sf_dir.rstrip("/"))
     )
     write_partitioned_target(base, path, "day")
 
@@ -1684,9 +1683,8 @@ def q_manifest_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"manifest_rt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    path = scratch_dir(
+        "manifest_rt", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(path, ignore_errors=True)
     be = ManifestParquetBackend()
@@ -1805,9 +1803,8 @@ def q_manifest_maintenance_roundtrip(
     o = read(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"manifest_mt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    path = scratch_dir(
+        "manifest_mt", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(path, ignore_errors=True)
     be = ManifestParquetBackend()
@@ -1891,9 +1888,8 @@ def q_manifest_delete_roundtrip(
     o = read(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"manifest_del_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    path = scratch_dir(
+        "manifest_del", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(path, ignore_errors=True)
     be = ManifestParquetBackend()
@@ -1976,7 +1972,7 @@ def q_bucketed_join_zero_shuffle(
     tag = (
         f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"
     ).replace(".", "_").replace("-", "_")
-    base = os.path.join(tempfile.gettempdir(), f"bucketed_{tag}")
+    base = scratch_dir("bucketed", tag)
     for short, df, key in (("bo", o, "o_orderkey"), ("bl", li, "l_orderkey")):
         name = f"{short}_{tag}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -2047,9 +2043,8 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     probe, n_probe = row["o_custkey"], row["n"]
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"bloom_pl_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    path = scratch_dir(
+        "bloom_pl", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(path, ignore_errors=True)
     be = ManifestParquetBackend()
@@ -2105,9 +2100,8 @@ def q_manifest_restore_roundtrip(
     o = read(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"restore_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    path = scratch_dir(
+        "restore", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(path, ignore_errors=True)
     be = ManifestParquetBackend()
@@ -2238,9 +2232,8 @@ def q_forget_user_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     victim, n_victim = row["o_custkey"], row["n"]
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"forget_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    path = scratch_dir(
+        "forget", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(path, ignore_errors=True)
     be = ManifestParquetBackend()
@@ -2330,9 +2323,8 @@ def q_schema_evolution_roundtrip(
         "o_orderkey", "o_totalprice",
         F.col("o_orderpriority").alias("priority"),
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"schema_evo_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    path = scratch_dir(
+        "schema_evo", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(path, ignore_errors=True)
     be = ManifestParquetBackend()

@@ -81,19 +81,49 @@ def widen(df: DataFrame, spark: SparkSession) -> DataFrame:
 
 
 def dsum(col: Column) -> Column:
-    """Order-independent double sum via exact decimal accumulation."""
-    return F.sum(col.cast(DEC)).cast("double")
+    """Order-independent double sum, bit-identical across engines at
+    EVERY scale. Each term is floor-quantized to millionths BEFORE
+    entering decimal domain: a straight double→DECIMAL(38,6) cast
+    must round, and the two engines disagree on boundary values
+    (Spark HALF_UP vs DuckDB half-even — the sf1.0 `pricing_summary`
+    2-in-6M divergence, SCALING_NOTES.md r11). ``floor`` has no
+    rounding ties: both engines compute the same IEEE double
+    ``col*1e6`` (exactly integer-representable for |col| ≲ 9e9), take
+    the same floor, and sum EXACT integer decimals in any order. The
+    single closing decimal→double cast and ÷1e6 are each correctly
+    rounded IEEE operations on identical inputs."""
+    q = F.floor(col.cast("double") * F.lit(1000000.0)).cast("decimal(38,0)")
+    return F.sum(q).cast("double") / F.lit(1000000.0)
 
 
 def davg(col: Column) -> Column:
-    """Deterministic mean: exact decimal sum ÷ count, one division."""
+    """Deterministic mean: exact quantized sum ÷ count; the division
+    and the preceding cast are single IEEE ops, same both engines."""
     return dsum(col) / F.count(col)
 
 
 # DuckDB-side spellings of the same contracts.
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+    return (
+        "(CAST(SUM(CAST(floor(CAST((" + expr + ") AS DOUBLE) * 1000000) "
+        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)"
+    )
 
 
 def sql_davg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
+    return f"{sql_dsum(expr)} / COUNT({expr})"
+
+
+def scratch_dir(*parts: str) -> str:
+    """Scratch path for roundtrip queries, under the repo-local
+    ``.tmp/`` (gitignored, the same place DuckDB spills) instead of
+    the system tempdir, so accumulated run artifacts live in ONE
+    centrally-cleanable place. The leaf is pid-suffixed — bench and
+    pytest run the same queries concurrently — and callers pre-clean
+    it themselves (same-pid reruns) and remove it once their result
+    is materialized where the plan allows."""
+    import os  # noqa: PLC0415
+
+    base = os.path.join(os.getcwd(), ".tmp", "scratch")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, "_".join([*parts, str(os.getpid())]))

@@ -270,6 +270,171 @@ SELECT event_id, ts, user_id, event_type, value, props FROM stg
 """
 
 
+# --- Textual MERGE INTO surface (merge_sql.py, round-12 gap) ------
+# The reference's query surface IS a SQL MERGE string; these two
+# queries push the reference's two literal statement SHAPES through
+# the parser+executor instead of the operator API, so the textual
+# surface itself is driver-certified against DuckDB.
+MERGE_SQL_SESSIONS = """
+    MERGE `proj.dishdata.tgt_events` T
+    USING (
+        SELECT * EXCEPT(row_num) FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC
+            ) AS row_num
+            FROM `proj.dishdata.staging_events`
+        )
+        WHERE row_num = 1
+    ) S
+    ON T.user_id = S.user_id AND T.event_type = S.event_type
+    WHEN MATCHED THEN
+      UPDATE SET
+        T.event_id = S.event_id,
+        T.ts = S.ts,
+        T.value = S.value,
+        T.id_str = CAST(S.event_id AS STRING)
+    WHEN NOT MATCHED THEN
+      INSERT (event_id, ts, user_id, event_type, value, id_str)
+      VALUES (S.event_id, S.ts, S.user_id, S.event_type, S.value,
+              CAST(S.event_id AS STRING))
+"""
+
+
+def q_merge_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference ga_sessions MERGE shape (reference
+    pipeline/data_pipeline.py:177-206) run as a LITERAL SQL string
+    through ``merge_sql.execute_merge``: inline keep-latest dedup
+    subquery, bare-equality keys, an X8 ``CAST(... AS STRING)`` in
+    both branches. Same three-branch plan as ``operators.upsert`` —
+    staging broadcasts, the target never shuffles."""
+    from dish_data_pipeline_spark.merge_sql import execute_merge
+
+    e = read(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    target = keep_latest(
+        e.filter(F.col("event_id") % 2 == 0),
+        ["user_id", "event_type"],
+        "ts",
+        tiebreakers=["event_id"],
+    ).withColumn("id_str", F.col("event_id").cast("string"))
+    staging = e.filter(F.col("event_id") % 3 == 0)
+    return execute_merge(
+        spark,
+        MERGE_SQL_SESSIONS,
+        {
+            "proj.dishdata.tgt_events": target,
+            "proj.dishdata.staging_events": staging,
+        },
+    )
+
+
+SQL_MERGE_SQL_ROUNDTRIP = """
+WITH tgt AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CAST(event_id AS VARCHAR) AS id_str FROM (
+    SELECT event_id, ts, user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 2 = 0) t WHERE rn = 1),
+stg AS (
+  SELECT event_id, ts, user_id, event_type, value FROM (
+    SELECT event_id, ts, user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 3 = 0) t WHERE rn = 1)
+SELECT t.user_id, t.event_type, s.event_id, s.ts, s.value,
+       CAST(s.event_id AS VARCHAR) AS id_str
+FROM tgt t JOIN stg s
+  ON t.user_id = s.user_id AND t.event_type = s.event_type
+UNION ALL
+SELECT t.user_id, t.event_type, t.event_id, t.ts, t.value, t.id_str
+FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM stg s
+  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)
+UNION ALL
+SELECT s.user_id, s.event_type, s.event_id, s.ts, s.value,
+       CAST(s.event_id AS VARCHAR) AS id_str
+FROM stg s WHERE NOT EXISTS (SELECT 1 FROM tgt t
+  WHERE t.user_id = s.user_id AND t.event_type = s.event_type)
+"""
+
+
+MERGE_SQL_DAILY = """
+    MERGE `proj.dishdata.tgt_daily` T
+    USING `proj.dishdata.staging_daily` S
+    ON date(T.visit_ts) = date(S.visit_ts) AND T.event_type = S.event_type
+    WHEN MATCHED THEN
+      UPDATE SET
+        T.total_visits = S.total_visits,
+        T.load_ts = S.load_ts
+    WHEN NOT MATCHED THEN
+      INSERT (visit_ts, event_type, total_visits, load_ts)
+      VALUES (S.visit_ts, S.event_type, S.total_visits, S.load_ts)
+"""
+
+
+def q_merge_sql_datekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference daily_visits MERGE shape (reference
+    pipeline/data_pipeline.py:160-175): ``date()``-wrapped
+    expression keys and a PARTIAL update set — matched rows must
+    RETAIN the target's ``visit_ts`` (its time-of-day differs from
+    staging's), which distinguishes faithful UPDATE SET semantics
+    from row replacement. Exercised through the literal SQL string
+    via ``merge_sql.execute_merge``."""
+    from dish_data_pipeline_spark.merge_sql import execute_merge
+
+    e = read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("ts").alias("d"), F.col("event_type")
+        ).agg(
+            F.max("ts").alias("visit_ts"),
+            F.count(F.lit(1)).alias("total_visits"),
+            F.min("ts").alias("load_ts"),
+        ).drop("d")
+
+    target = daily(e.filter(F.col("event_id") % 2 == 0))
+    staging = daily(e.filter(F.col("event_id") % 3 == 0))
+    return execute_merge(
+        spark,
+        MERGE_SQL_DAILY,
+        {
+            "proj.dishdata.tgt_daily": target,
+            "proj.dishdata.staging_daily": staging,
+        },
+    )
+
+
+SQL_MERGE_SQL_DATEKEY = """
+WITH tgt AS (
+  SELECT event_type, MAX(ts) AS visit_ts,
+         CAST(COUNT(*) AS BIGINT) AS total_visits, MIN(ts) AS load_ts
+  FROM events WHERE event_id % 2 = 0 AND ts IS NOT NULL
+  GROUP BY CAST(ts AS DATE), event_type),
+stg AS (
+  SELECT event_type, MAX(ts) AS visit_ts,
+         CAST(COUNT(*) AS BIGINT) AS total_visits, MIN(ts) AS load_ts
+  FROM events WHERE event_id % 3 = 0 AND ts IS NOT NULL
+  GROUP BY CAST(ts AS DATE), event_type)
+SELECT t.visit_ts, t.event_type, s.total_visits, s.load_ts
+FROM tgt t JOIN stg s
+  ON CAST(t.visit_ts AS DATE) = CAST(s.visit_ts AS DATE)
+ AND t.event_type = s.event_type
+UNION ALL
+SELECT t.visit_ts, t.event_type, t.total_visits, t.load_ts
+FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM stg s
+  WHERE CAST(s.visit_ts AS DATE) = CAST(t.visit_ts AS DATE)
+    AND s.event_type = t.event_type)
+UNION ALL
+SELECT s.visit_ts, s.event_type, s.total_visits, s.load_ts
+FROM stg s WHERE NOT EXISTS (SELECT 1 FROM tgt t
+  WHERE CAST(t.visit_ts AS DATE) = CAST(s.visit_ts AS DATE)
+    AND t.event_type = s.event_type)
+"""
+
+
 # --- J3: semi/anti joins ------------------------------------------
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read(spark, sf_dir, "customer")
@@ -514,6 +679,14 @@ PARITY_QUERIES: dict[str, QueryDef] = {
     "upsert_keep_latest": QueryDef(
         q_upsert_keep_latest, SQL_UPSERT_KEEP_LATEST,
         "J2 dedup-then-upsert (ga_sessions MERGE)", ("upsert", "join", "window")),
+    "merge_sql_roundtrip": QueryDef(
+        q_merge_sql_roundtrip, SQL_MERGE_SQL_ROUNDTRIP,
+        "textual MERGE INTO, ga_sessions shape (inline dedup + CAST)",
+        ("upsert", "sql", "window")),
+    "merge_sql_datekey": QueryDef(
+        q_merge_sql_datekey, SQL_MERGE_SQL_DATEKEY,
+        "textual MERGE INTO, daily_visits shape (date() keys, partial SET)",
+        ("upsert", "sql")),
     "semi_anti_join": QueryDef(
         q_semi_anti_join, SQL_SEMI_ANTI_JOIN,
         "J3 anti-join (customers without orders)", ("join",)),

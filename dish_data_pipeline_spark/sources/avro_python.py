@@ -188,10 +188,30 @@ def avro_schema_to_spark(node: Any) -> T.DataType:
                 for f in node["fields"]
             ]
         )
-    if isinstance(t, (str, list, dict)) and not logical:
-        # annotated primitive with an unknown logicalType → base type
+    if isinstance(t, (str, list, dict)):
+        # Avro spec: an unknown/unsupported logicalType degrades to the
+        # underlying base type (uuid→string, time-millis→int, ...).  Known
+        # logical types were resolved above, so anything reaching here —
+        # annotated or not — resolves to its base.
         return avro_schema_to_spark(t)
     raise ValueError(f"unsupported avro schema node {node!r}")
+
+
+def with_null_defaults(avsc: dict) -> dict:
+    """Copy of a record schema with ``"default": null`` on every
+    nullable field (``["null", T]`` unions lead with null, so a null
+    default is spec-valid). This makes the schema usable as a READER
+    schema over files written before those fields existed — the
+    evolution direction an appending estate actually exercises."""
+    out = json.loads(json.dumps(avsc))
+    for f in out.get("fields", []):
+        if (
+            "default" not in f
+            and isinstance(f["type"], list)
+            and f["type"][0] == "null"
+        ):
+            f["default"] = None
+    return out
 
 
 # ------------------------------------------------------- binary encoding
@@ -623,6 +643,24 @@ def write_avro(
     avsc_json = json.dumps(avsc)
     if mode == "overwrite" and os.path.isdir(path):
         shutil.rmtree(path)
+    sidecar = os.path.join(path, "_avro_schema.avsc")
+    if mode == "append" and os.path.exists(sidecar):
+        # Appending may evolve the schema, but only in a direction the
+        # reader can still resolve: every EXISTING file (whose writer
+        # schema is at most the old sidecar) must resolve to the NEW
+        # sidecar we are about to publish. read_avro resolves each
+        # container per its own header, so proving old→new is enough.
+        with open(sidecar) as f:
+            old_avsc = json.load(f)
+        if json.dumps(old_avsc) != avsc_json:
+            try:
+                build_resolver(old_avsc, with_null_defaults(avsc))
+            except ValueError as e:
+                raise ValueError(
+                    "append schema is incompatible with the existing "
+                    f"dataset at {path}: {e}. Existing files could no "
+                    "longer be read under the evolved schema."
+                ) from e
     os.makedirs(path, exist_ok=True)
     token = uuid.uuid4().hex[:8]
 
@@ -642,7 +680,7 @@ def write_avro(
         yield fname, n
 
     manifest = df.rdd.mapPartitionsWithIndex(_write_partition).collect()
-    with open(os.path.join(path, "_avro_schema.avsc"), "w") as f:
+    with open(sidecar, "w") as f:
         f.write(avsc_json)
     with open(os.path.join(path, "_SUCCESS"), "w"):
         pass
@@ -678,7 +716,6 @@ def read_avro(
         with open(files[0], "rb") as f:
             avsc, _, _, _ = parse_header(f.read())
 
-    resolver = None
     if reader_schema is not None:
         if isinstance(reader_schema, T.StructType):
             reader_avsc = spark_schema_to_avro(reader_schema)
@@ -692,7 +729,7 @@ def read_avro(
                     f["default"] = None
         else:
             reader_avsc = reader_schema
-        resolver = build_resolver(avsc, reader_avsc)
+        build_resolver(avsc, reader_avsc)  # unresolvable → driver raise
         avsc_out = reader_avsc
     else:
         avsc_out = avsc
@@ -703,9 +740,23 @@ def read_avro(
     if not glob.glob(os.path.join(path, "*.avro")):
         # empty dataset: schema came from the sidecar, no files to scan
         return spark.createDataFrame([], spark_schema)
+    # As a reader schema the target carries null defaults, so files
+    # written before a nullable field was appended still resolve.
+    plain_json = json.dumps(avsc_out)
+    target_json = json.dumps(with_null_defaults(avsc_out))
 
     def _decode_file(kv) -> Iterator[list]:
+        # Resolution is PER FILE: an appended dataset may hold files
+        # whose writer schemas predate the latest sidecar, and external
+        # writers need not match it at all. Each container's own header
+        # schema resolves to the read schema (identity short-circuits).
         _, content = kv
+        file_avsc, _, _, _ = parse_header(bytes(content))
+        resolver = (
+            None
+            if json.dumps(file_avsc) in (plain_json, target_json)
+            else build_resolver(file_avsc, json.loads(target_json))
+        )
         for rec in decode_container(bytes(content)):
             if resolver is not None:
                 rec = resolver(rec)

@@ -52,9 +52,19 @@ def windowed_event_counts(
         .groupBy(F.window(F.col(ts_col), window), F.col(group_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
-                "sum_value"
-            ),
+            # Same deterministic-sum device as plans.common.dsum
+            # (floor-quantize → exact integer decimals → one closing
+            # IEEE cast+division): order-independent across
+            # micro-batch replays AND bit-identical to the DuckDB
+            # oracle at every scale (no double→decimal rounding tie).
+            (
+                F.sum(
+                    F.floor(
+                        F.col("value").cast("double") * F.lit(1000000.0)
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

@@ -460,3 +460,84 @@ def test_java_reads_multiblock_deflate(spark, tmp_path):
     recs = _jassert_file(spark, p, 1000)
     assert [r.get("v") for r in recs] == list(range(1000))
     assert str(recs[999].get("s")).startswith("row-999")
+
+
+def test_unknown_logical_type_degrades_to_base(spark):
+    """Avro spec §Logical Types: a reader that doesn't recognize a
+    logicalType MUST use the underlying base type. Kafka Connect /
+    Debezium routinely annotate string with uuid and int with
+    time-millis (neither has a Spark mapping here) — the fallback
+    tier must still read such files (ADVICE r11)."""
+    avsc = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+            {
+                "name": "t",
+                "type": {"type": "int", "logicalType": "time-millis"},
+            },
+            {
+                "name": "dec",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 10,
+                    "scale": 2,
+                },
+            },
+        ],
+    }
+    out = avro_schema_to_spark(avsc)
+    assert [f.dataType for f in out.fields] == [
+        T.StringType(),
+        T.IntegerType(),
+        T.BinaryType(),
+    ]
+
+
+def test_append_evolved_schema_reads_per_file(spark, tmp_path):
+    """Appending an evolved-but-resolvable schema must leave the
+    dataset readable: each container file resolves per its OWN
+    header schema (old files get the added field's default / null,
+    promoted types widen), not per the latest sidecar (ADVICE r11)."""
+    path = str(tmp_path / "evolve")
+    write_avro(
+        spark.createDataFrame([Row(k=1, v=10)], "k long, v int"),
+        path,
+        mode="overwrite",
+    )
+    # evolved: v promoted int→long, new nullable column c added
+    write_avro(
+        spark.createDataFrame(
+            [Row(k=2, v=20, c="new")], "k long, v long, c string"
+        ),
+        path,
+        mode="append",
+    )
+    back = read_avro(spark, path)
+    assert [f.name for f in back.schema.fields] == ["k", "v", "c"]
+    assert back.schema["v"].dataType == T.LongType()
+    rows = {r.k: r for r in back.collect()}
+    assert rows[1].v == 10 and rows[1].c is None
+    assert rows[2].v == 20 and rows[2].c == "new"
+
+
+def test_append_incompatible_schema_raises(spark, tmp_path):
+    """Appending a schema under which existing files become
+    unreadable (dropped field without default / unresolvable type
+    flip) must raise on the driver before any data lands."""
+    path = str(tmp_path / "clash")
+    write_avro(
+        spark.createDataFrame([Row(k=1, v="s")], "k long, v string"),
+        path,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        write_avro(
+            spark.createDataFrame([Row(k=2, v=5)], "k long, v long"),
+            path,
+            mode="append",
+        )
+    # dataset unchanged and still readable
+    assert [r.v for r in read_avro(spark, path).collect()] == ["s"]

@@ -1,0 +1,354 @@
+"""Textual MERGE INTO surface (merge_sql.py).
+
+Defect-ledger pins: the reference's TWO literal statements
+(reference pipeline/data_pipeline.py:160-175 daily_visits,
+:177-206 ga_sessions) must parse and execute — a user porting the
+reference's SQL verbatim (with their own project/dataset
+interpolations) gets working merges, not a dialect lecture.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dish_data_pipeline_spark.io_backends import (
+    ManifestParquetBackend,
+    ParquetSwapBackend,
+)
+from dish_data_pipeline_spark.merge_sql import (
+    MergeParseError,
+    execute_merge,
+    merge_into_backend,
+    parse_merge,
+)
+
+# The reference statements VERBATIM, with the f-string holes filled
+# the way the reference fills them (cf.PROJECT_ID / cf.DATASET).
+REF_DAILY_VISITS = """
+    MERGE `proj.dishdata.tgt_daily_visits` T
+    USING `proj.dishdata.staging_daily_visits` S
+    ON date(T.visit_date) = date(S.visit_date) AND T.source_file = S.source_file
+    WHEN MATCHED THEN
+      UPDATE SET
+        T.total_visits = S.total_visits,
+        T.load_timestamp = S.load_timestamp
+    WHEN NOT MATCHED THEN
+      INSERT (
+        visit_date, total_visits, load_timestamp, source_file
+      )
+      VALUES (
+        S.visit_date, S.total_visits, S.load_timestamp, S.source_file
+      )
+"""
+
+REF_GA_SESSIONS = """
+    MERGE `proj.dishdata.tgt_ga_sessions` T
+    USING (
+        SELECT * EXCEPT(row_num) FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY visitId, source_file
+                ORDER BY load_timestamp DESC
+            ) AS row_num
+            FROM `proj.dishdata.staging_ga_sessions`
+        )
+        WHERE row_num = 1
+    ) S
+    ON T.visitId = S.visitId AND T.source_file = S.source_file
+    WHEN MATCHED THEN
+      UPDATE SET
+        T.channelGrouping = S.channelGrouping,
+        T.device_browser = S.device_browser,
+        T.geoNetwork_country = S.geoNetwork_country,
+        T.totals_hits = CAST(S.totals_hits AS STRING),
+        T.load_timestamp = S.load_timestamp
+    WHEN NOT MATCHED THEN
+      INSERT (
+        visitId, channelGrouping, device_browser,
+        geoNetwork_country, totals_hits, load_timestamp, source_file
+      )
+      VALUES (
+        S.visitId, S.channelGrouping, S.device_browser,
+        S.geoNetwork_country, CAST(S.totals_hits AS STRING), S.load_timestamp, S.source_file
+      )
+"""
+
+
+def test_parse_reference_daily_visits():
+    spec = parse_merge(REF_DAILY_VISITS)
+    assert spec.target == "proj.dishdata.tgt_daily_visits"
+    assert spec.source == "proj.dishdata.staging_daily_visits"
+    assert spec.target_alias == "T" and spec.source_alias == "S"
+    assert spec.dedup is None
+    assert "date(T.visit_date) = date(S.visit_date)" in spec.on_sql
+    assert spec.update_set == {
+        "total_visits": "S.total_visits",
+        "load_timestamp": "S.load_timestamp",
+    }
+    assert spec.insert_cols == [
+        "visit_date", "total_visits", "load_timestamp", "source_file",
+    ]
+    assert spec.insert_vals == [
+        "S.visit_date", "S.total_visits", "S.load_timestamp",
+        "S.source_file",
+    ]
+
+
+def test_parse_reference_ga_sessions():
+    spec = parse_merge(REF_GA_SESSIONS)
+    assert spec.source == "proj.dishdata.staging_ga_sessions"
+    assert spec.dedup is not None
+    assert spec.dedup.keys == ["visitId", "source_file"]
+    assert spec.dedup.order == [("load_timestamp", "DESC")]
+    assert spec.update_set["totals_hits"] == "CAST(S.totals_hits AS STRING)"
+    assert len(spec.insert_cols) == len(spec.insert_vals) == 7
+
+
+def _daily_frames(spark):
+    TS = dt.datetime
+    target = spark.createDataFrame(
+        [
+            # time component 09:00 differs from staging's 17:30 —
+            # UPDATE must RETAIN it (visit_date is not in the SET list)
+            Row(visit_date=TS(2024, 5, 1, 9, 0), total_visits=10,
+                load_timestamp=TS(2024, 5, 1, 23, 0), source_file="a.json"),
+            Row(visit_date=TS(2024, 5, 2, 9, 0), total_visits=20,
+                load_timestamp=TS(2024, 5, 2, 23, 0), source_file="a.json"),
+        ],
+        "visit_date timestamp, total_visits bigint, "
+        "load_timestamp timestamp, source_file string",
+    )
+    staging = spark.createDataFrame(
+        [
+            Row(visit_date=TS(2024, 5, 1, 17, 30), total_visits=99,
+                load_timestamp=TS(2024, 5, 3, 1, 0), source_file="a.json"),
+            Row(visit_date=TS(2024, 5, 7, 17, 30), total_visits=7,
+                load_timestamp=TS(2024, 5, 3, 1, 0), source_file="b.json"),
+        ],
+        "visit_date timestamp, total_visits bigint, "
+        "load_timestamp timestamp, source_file string",
+    )
+    return target, staging
+
+
+def test_execute_reference_daily_visits(spark):
+    target, staging = _daily_frames(spark)
+    out = execute_merge(
+        spark,
+        REF_DAILY_VISITS,
+        {
+            "proj.dishdata.tgt_daily_visits": target,
+            "proj.dishdata.staging_daily_visits": staging,
+        },
+    ).collect()
+    rows = {(r.visit_date.date().isoformat(), r.source_file): r for r in out}
+    assert len(out) == 3
+    upd = rows[("2024-05-01", "a.json")]
+    # matched: SET columns from S, visit_date keeps the TARGET's 09:00
+    assert upd.total_visits == 99
+    assert upd.visit_date.hour == 9
+    assert upd.load_timestamp == dt.datetime(2024, 5, 3, 1, 0)
+    # unmatched target row intact
+    assert rows[("2024-05-02", "a.json")].total_visits == 20
+    # unmatched staging row inserted
+    assert rows[("2024-05-07", "b.json")].total_visits == 7
+
+
+def test_execute_reference_ga_sessions(spark):
+    TS = dt.datetime
+    schema = (
+        "visitId bigint, channelGrouping string, device_browser string, "
+        "geoNetwork_country string, totals_hits bigint, "
+        "load_timestamp timestamp, source_file string"
+    )
+    tgt_schema = schema.replace("totals_hits bigint", "totals_hits string")
+    target = spark.createDataFrame(
+        [(1, "Direct", "Chrome", "US", "5", TS(2024, 1, 1), "f1")],
+        tgt_schema,
+    )
+    staging = spark.createDataFrame(
+        [
+            # two staging rows for visit 1/f1 — keep-latest wins
+            (1, "Organic", "Firefox", "DE", 8, TS(2024, 1, 2), "f1"),
+            (1, "Paid", "Safari", "FR", 9, TS(2024, 1, 3), "f1"),
+            (2, "Social", "Edge", "JP", 3, TS(2024, 1, 2), "f1"),
+        ],
+        schema,
+    )
+    out = execute_merge(
+        spark,
+        REF_GA_SESSIONS,
+        {
+            "proj.dishdata.tgt_ga_sessions": target,
+            "proj.dishdata.staging_ga_sessions": staging,
+        },
+    ).collect()
+    rows = {r.visitId: r for r in out}
+    assert len(out) == 2
+    assert rows[1].channelGrouping == "Paid"  # latest load_timestamp won
+    assert rows[1].totals_hits == "9"  # CAST(S.totals_hits AS STRING)
+    assert rows[2].geoNetwork_country == "JP"
+
+
+def test_cardinality_check_raises_on_fanout(spark):
+    target = spark.createDataFrame([Row(k=1, v=0)], "k long, v long")
+    staging = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=1, v=20)], "k long, v long"
+    )
+    sql = (
+        "MERGE tgt T USING stg S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET T.v = S.v"
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        execute_merge(
+            spark, sql, {"tgt": target, "stg": staging},
+            verify_unique_match=True,
+        )
+    # without the check the fanout is the (documented) join semantics
+    assert execute_merge(
+        spark, sql, {"tgt": target, "stg": staging}
+    ).count() == 2
+
+
+def test_insert_only_and_update_only_statements(spark):
+    target = spark.createDataFrame([Row(k=1, v=0)], "k long, v long")
+    staging = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=2, v=20)], "k long, v long"
+    )
+    tables = {"tgt": target, "stg": staging}
+    ins_only = execute_merge(
+        spark,
+        "MERGE tgt T USING stg S ON T.k = S.k WHEN NOT MATCHED THEN "
+        "INSERT (k, v) VALUES (S.k, S.v)",
+        tables,
+    ).collect()
+    assert {(r.k, r.v) for r in ins_only} == {(1, 0), (2, 20)}
+    upd_only = execute_merge(
+        spark,
+        "MERGE tgt T USING stg S ON T.k = S.k WHEN MATCHED THEN "
+        "UPDATE SET T.v = S.v",
+        tables,
+    ).collect()
+    assert {(r.k, r.v) for r in upd_only} == {(1, 10)}
+
+
+def test_insert_missing_columns_null_fill(spark):
+    target = spark.createDataFrame(
+        [Row(k=1, v=0, note="x")], "k long, v long, note string"
+    )
+    staging = spark.createDataFrame([Row(k=2, v=20)], "k long, v long")
+    out = execute_merge(
+        spark,
+        "MERGE tgt T USING stg S ON T.k = S.k WHEN NOT MATCHED THEN "
+        "INSERT (k, v) VALUES (S.k, S.v)",
+        {"tgt": target, "stg": staging},
+    ).collect()
+    rows = {r.k: r for r in out}
+    assert rows[2].note is None
+
+
+@pytest.mark.parametrize(
+    "bad, msg",
+    [
+        ("SELECT 1", "not a MERGE"),
+        ("MERGE t T USING s S WHEN MATCHED THEN UPDATE SET T.a = S.a",
+         "missing ON"),
+        ("MERGE t T USING s S ON T.k = S.k", "at least one WHEN"),
+        ("MERGE t T USING s S ON T.k = S.k WHEN MATCHED THEN DELETE",
+         "not supported"),
+        ("MERGE t T USING (SELECT * FROM s) S ON T.k = S.k "
+         "WHEN MATCHED THEN UPDATE SET T.a = S.a", "unsupported USING"),
+        ("MERGE t T USING s S ON T.k = S.k WHEN NOT MATCHED THEN "
+         "INSERT (a, b) VALUES (S.a)", "columns but"),
+    ],
+)
+def test_parse_errors_are_loud(bad, msg):
+    with pytest.raises(MergeParseError, match=msg):
+        parse_merge(bad)
+
+
+def test_unknown_target_column_raises(spark):
+    target = spark.createDataFrame([Row(k=1, v=0)], "k long, v long")
+    staging = spark.createDataFrame([Row(k=1, v=1)], "k long, v long")
+    with pytest.raises(MergeParseError, match="unknown target column"):
+        execute_merge(
+            spark,
+            "MERGE tgt T USING stg S ON T.k = S.k WHEN MATCHED THEN "
+            "UPDATE SET T.nope = S.v",
+            {"tgt": target, "stg": staging},
+        )
+
+
+@pytest.mark.parametrize("backend_cls", [ParquetSwapBackend,
+                                         ManifestParquetBackend])
+def test_merge_into_backend_keep_latest_route(spark, tmp_path, backend_cls):
+    """The reference J2 row-replacement shape routes to the backend's
+    own merge_keep_latest (transactional machinery preserved)."""
+    be = backend_cls()
+    path = str(tmp_path / "tbl")
+    TS = dt.datetime
+    be.create(
+        spark.createDataFrame(
+            [(1, TS(2024, 1, 1), 5.0)], "k bigint, ts timestamp, v double"
+        ),
+        path,
+    )
+    staging = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 2), 7.0),
+            (1, TS(2024, 1, 3), 9.0),
+            (2, TS(2024, 1, 2), 3.0),
+        ],
+        "k bigint, ts timestamp, v double",
+    )
+    sql = """
+        MERGE `proj.ds.tbl` T
+        USING (
+            SELECT * EXCEPT(rn) FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY k ORDER BY ts DESC
+                ) AS rn FROM `proj.ds.stg`
+            ) WHERE rn = 1
+        ) S
+        ON T.k = S.k
+        WHEN MATCHED THEN UPDATE SET T.ts = S.ts, T.v = S.v
+        WHEN NOT MATCHED THEN INSERT (k, ts, v) VALUES (S.k, S.ts, S.v)
+    """
+    merge_into_backend(spark, sql, be, path, {"proj.ds.stg": staging})
+    rows = {r.k: r for r in be.read(spark, path).collect()}
+    assert rows[1].v == 9.0 and rows[2].v == 3.0
+    if backend_cls is ManifestParquetBackend:
+        assert be.latest_version(path) == 1  # one MERGE commit
+
+
+@pytest.mark.parametrize("backend_cls", [ParquetSwapBackend,
+                                         ManifestParquetBackend])
+def test_merge_into_backend_generic_route(spark, tmp_path, backend_cls):
+    """A partial UPDATE SET (not row replacement) executes faithfully
+    and commits through backend.replace."""
+    be = backend_cls()
+    path = str(tmp_path / "tbl")
+    be.create(
+        spark.createDataFrame(
+            [(1, 5.0, "keep-me"), (3, 1.0, "lone")],
+            "k bigint, v double, note string",
+        ),
+        path,
+    )
+    staging = spark.createDataFrame(
+        [(1, 7.0, "clobber"), (2, 2.0, "new")],
+        "k bigint, v double, note string",
+    )
+    sql = (
+        "MERGE tbl T USING stg S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET T.v = S.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v, note) "
+        "VALUES (S.k, S.v, S.note)"
+    )
+    merge_into_backend(spark, sql, be, path, {"stg": staging})
+    rows = {r.k: r for r in be.read(spark, path).collect()}
+    assert rows[1].v == 7.0 and rows[1].note == "keep-me"  # partial SET
+    assert rows[2].note == "new" and rows[3].v == 1.0

@@ -124,9 +124,10 @@ def write_raw_zone(df: DataFrame, path: str, fmt: str = "json") -> None:
 #: two-tier: the vectorized spark-avro JVM module when it's on the
 #: classpath (see :func:`avro_available`), else the dependency-free
 #: pure-Python container-file tier (``sources.avro_python`` —
-#: spec-faithful, distributed, slow path), so an Avro estate is
-#: always functional. :class:`FormatUnavailable` remains for
-#: features only the JVM module has (e.g. snappy-coded input).
+#: spec-faithful, distributed, slow path; all three spec codecs:
+#: null, deflate, snappy), so an Avro estate is always functional.
+#: :class:`FormatUnavailable` remains for genuinely-JVM-only
+#: features (e.g. zstandard-coded input).
 TABLE_FORMATS = ("parquet", "orc", "json", "csv", "avro")
 
 

@@ -8,14 +8,17 @@ engine's merge has been API-shaped (``operators.upsert``,
 ``backend.merge_keep_latest``); a user porting the reference's
 literal SQL needs a parser that accepts those statements and routes
 them onto the same compositions. This module is that parser plus a
-faithful executor.
-
-Dialect: the reference's BigQuery MERGE shape —
+faithful executor — generalized past the reference to the full
+ANSI/BigQuery/Delta branch set, because real estates write all of
+it:
 
     MERGE [INTO] <target> [AS] [T] USING <table | (subquery)> [AS] [S]
     ON <condition>
-    [WHEN MATCHED THEN UPDATE SET T.col = expr, ...]
-    [WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs)]
+    { WHEN MATCHED [AND <cond>] THEN { UPDATE SET c = e, ... | DELETE }
+    | WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
+          INSERT (cols) VALUES (exprs)
+    | WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+          { UPDATE SET c = e, ... | DELETE } }...
 
 with backtick-quoted dotted names, ``date()``-wrapped join keys,
 ``CAST(... AS ...)`` in update/insert expressions, and the inline
@@ -24,16 +27,25 @@ BY ... ORDER BY ...) AS rn FROM t) WHERE rn = 1`` dedup subquery.
 Anything outside this dialect raises ``MergeParseError`` loudly —
 a parser that silently guesses at MERGE semantics corrupts tables.
 
-Execution is the faithful three-branch composition (not blind row
-replacement — BigQuery's UPDATE SET retains target columns missing
-from the SET list, observable in the reference's daily_visits
-statement where ``T.visit_date`` keeps the TARGET's time component):
+Clause semantics follow the standard: clauses of each family are
+tried IN STATEMENT ORDER and the first whose ``AND`` condition holds
+(NULL counts as false) applies; a row no clause claims passes
+through unchanged (matched / not-matched-by-source families) or is
+ignored (source-insert family). All but the last clause of a family
+must carry an ``AND`` condition (the BigQuery/Delta rule — a
+conditionless clause earlier in the list would shadow the rest).
 
-- kept:     target LEFT ANTI source  ON cond        (no match)
-- updated:  target INNER JOIN source ON cond, each target column
-            taking its SET expression or the target value
-- inserted: source LEFT ANTI target  ON cond, projected through the
-            INSERT column/value lists (missing columns → NULL)
+Execution is a faithful branch composition (not blind row
+replacement — UPDATE SET retains target columns missing from the
+SET list, observable in the reference's daily_visits statement where
+``T.visit_date`` keeps the TARGET's time component):
+
+- kept:     target LEFT ANTI source ON cond, routed through the
+            NOT MATCHED BY SOURCE clauses (pass/update/delete)
+- matched:  target INNER JOIN source ON cond, routed through the
+            MATCHED clauses (pass/update/delete)
+- inserted: source LEFT ANTI target ON cond, routed through the
+            NOT MATCHED clauses (insert/ignore)
 
 Condition and expressions are evaluated by Spark SQL itself over
 the statement's own aliases (``df.alias("T")`` / ``.alias("S")``),
@@ -42,6 +54,10 @@ into both scans, and the (small) staging side broadcasts under AQE
 — at 100 TB the target is never shuffled, the same plan shape as
 ``operators.upsert``. The dedup subquery routes to
 ``operators.dedup.keep_latest`` (one shuffle on the partition keys).
+Multi-clause statements re-filter the same join per clause branch;
+each branch is the identical broadcast-join shape, so the target
+scan duplicates but never shuffles (persist the source beforehand
+if it is expensive to recompute).
 """
 
 from __future__ import annotations
@@ -73,6 +89,20 @@ class DedupSpec:
 
 
 @dataclass
+class WhenClause:
+    """One WHEN branch. ``family`` is matched | insert | source
+    (= NOT MATCHED BY SOURCE); ``action`` is update | delete |
+    insert; ``cond_sql`` is the optional AND condition."""
+
+    family: str
+    action: str
+    cond_sql: str | None = None
+    update_set: dict[str, str] = field(default_factory=dict)
+    insert_cols: list[str] = field(default_factory=list)
+    insert_vals: list[str] = field(default_factory=list)
+
+
+@dataclass
 class MergeSpec:
     target: str
     target_alias: str
@@ -80,9 +110,10 @@ class MergeSpec:
     source_alias: str
     dedup: DedupSpec | None
     on_sql: str
-    update_set: dict[str, str] = field(default_factory=dict)  # col → expr
-    insert_cols: list[str] = field(default_factory=list)
-    insert_vals: list[str] = field(default_factory=list)
+    clauses: list[WhenClause] = field(default_factory=list)
+
+    def family(self, name: str) -> list[WhenClause]:
+        return [c for c in self.clauses if c.family == name]
 
 
 _NAME = r"(?:`[^`]+`|[A-Za-z_][\w.]*)"
@@ -125,7 +156,7 @@ def _balanced_span(text: str, start: int) -> int:
             depth -= 1
             if depth == 0:
                 return i + 1
-    raise MergeParseError("unbalanced parentheses in MERGE source")
+    raise MergeParseError("unbalanced parentheses in MERGE statement")
 
 
 _DEDUP_RE = re.compile(
@@ -159,20 +190,96 @@ def _parse_dedup(subquery: str) -> DedupSpec:
     return DedupSpec(_unquote(m.group("src")), keys, order)
 
 
+# A WHEN clause head: lets the splitter distinguish MERGE branch
+# boundaries from CASE WHEN inside expressions.
+_WHEN_HEAD = re.compile(
+    r"\bWHEN\s+(?:MATCHED|NOT\s+MATCHED)\b", re.IGNORECASE
+)
+
+
+def _parse_update_items(body: str) -> dict[str, str]:
+    update_set: dict[str, str] = {}
+    for item in _split_top(body):
+        am = re.match(
+            r"^(?:(?P<q>\w+)\.)?(?P<col>\w+)\s*=\s*(?P<expr>.+)$", item
+        )
+        if not am:
+            raise MergeParseError(f"unsupported SET item {item!r}")
+        update_set[am.group("col")] = am.group("expr").strip()
+    return update_set
+
+
+def _parse_clause(text: str) -> WhenClause:
+    """Parse one ``WHEN ... THEN ...`` branch (WHEN already stripped)."""
+    m = re.match(
+        r"^(?P<kind>MATCHED|NOT MATCHED BY SOURCE|"
+        r"NOT MATCHED(?: BY TARGET)?)"
+        r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+(?P<body>.+)$",
+        text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise MergeParseError(f"unsupported WHEN clause: {text[:80]!r}")
+    kind = re.sub(r"\s+", " ", m.group("kind").upper())
+    cond = m.group("cond")
+    body = m.group("body").strip()
+    family = {
+        "MATCHED": "matched",
+        "NOT MATCHED": "insert",
+        "NOT MATCHED BY TARGET": "insert",
+        "NOT MATCHED BY SOURCE": "source",
+    }[kind]
+
+    if family == "insert":
+        im = re.match(r"^INSERT\s*\(", body, re.IGNORECASE)
+        if not im:
+            raise MergeParseError(
+                "NOT MATCHED needs INSERT with an explicit column list"
+            )
+        cols_start = im.end() - 1
+        cols_end = _balanced_span(body, cols_start)
+        insert_cols = [
+            c.strip() for c in _split_top(body[cols_start + 1 : cols_end - 1])
+        ]
+        vm = re.match(r"\s*VALUES\s*\(", body[cols_end:], re.IGNORECASE)
+        if not vm:
+            raise MergeParseError("INSERT needs a VALUES list")
+        v_start = cols_end + vm.end() - 1
+        v_end = _balanced_span(body, v_start)
+        insert_vals = _split_top(body[v_start + 1 : v_end - 1])
+        if body[v_end:].strip():
+            raise MergeParseError(
+                f"trailing text after INSERT VALUES: {body[v_end:][:40]!r}"
+            )
+        if len(insert_cols) != len(insert_vals):
+            raise MergeParseError(
+                f"INSERT has {len(insert_cols)} columns but "
+                f"{len(insert_vals)} values"
+            )
+        return WhenClause(family, "insert", cond,
+                          insert_cols=insert_cols, insert_vals=insert_vals)
+
+    if re.fullmatch(r"DELETE", body, re.IGNORECASE):
+        return WhenClause(family, "delete", cond)
+    um = re.match(r"^UPDATE\s+SET\s+(?P<items>.+)$", body,
+                  re.IGNORECASE | re.DOTALL)
+    if not um:
+        raise MergeParseError(
+            f"WHEN {kind} needs UPDATE SET or DELETE, got {body[:60]!r}"
+        )
+    return WhenClause(
+        family, "update", cond, update_set=_parse_update_items(um.group("items"))
+    )
+
+
 def parse_merge(sql: str) -> MergeSpec:
     """Parse a MERGE statement of the supported dialect into a spec.
 
-    Raises :class:`MergeParseError` (with the offending fragment)
-    for anything outside the dialect — WHEN NOT MATCHED BY SOURCE,
-    DELETE branches, multiple MATCHED clauses, non-equality search
-    conditions are all possible in full SQL MERGE but not in the
-    reference surface this mirrors."""
+    Raises :class:`MergeParseError` (with the offending fragment) for
+    anything outside the dialect, and enforces the BigQuery/Delta
+    clause-order rule: within a family, every clause except the last
+    must carry an ``AND`` condition."""
     text = _norm(sql)
-    low = text.upper()
-    if re.search(r"WHEN NOT MATCHED BY SOURCE|WHEN MATCHED .*? DELETE", low):
-        raise MergeParseError(
-            "DELETE / NOT MATCHED BY SOURCE branches are not supported"
-        )
     head = re.match(
         r"^MERGE (?:INTO )?(?P<target>" + _NAME + r")"
         r"(?: (?:AS )?(?!USING\b)(?P<talias>\w+))? USING ",
@@ -203,53 +310,29 @@ def parse_merge(sql: str) -> MergeSpec:
     salias = m.group("salias")
     tail = tail[m.end():]
 
-    # Split off the WHEN clauses (either, both, or — invalidly — none).
-    upd_m = re.search(
-        r"\bWHEN MATCHED THEN UPDATE SET\b", tail, re.IGNORECASE
-    )
-    ins_m = re.search(
-        r"\bWHEN NOT MATCHED THEN INSERT\b", tail, re.IGNORECASE
-    )
-    if not upd_m and not ins_m:
+    heads = list(_WHEN_HEAD.finditer(tail))
+    if not heads:
         raise MergeParseError("MERGE needs at least one WHEN clause")
-    first = min(x.start() for x in (upd_m, ins_m) if x)
-    on_sql = tail[:first].strip()
+    on_sql = tail[: heads[0].start()].strip()
     if not on_sql:
         raise MergeParseError("empty ON condition")
 
-    update_set: dict[str, str] = {}
-    if upd_m:
-        upd_end = ins_m.start() if ins_m and ins_m.start() > upd_m.start() \
-            else len(tail)
-        for item in _split_top(tail[upd_m.end():upd_end]):
-            am = re.match(
-                r"^(?:(?P<q>\w+)\.)?(?P<col>\w+)\s*=\s*(?P<expr>.+)$", item
-            )
-            if not am:
-                raise MergeParseError(f"unsupported SET item {item!r}")
-            update_set[am.group("col")] = am.group("expr").strip()
+    clauses: list[WhenClause] = []
+    for i, h in enumerate(heads):
+        seg_end = heads[i + 1].start() if i + 1 < len(heads) else len(tail)
+        # strip the leading "WHEN " from the matched head
+        clause_text = tail[h.start() + len("WHEN ") : seg_end].strip()
+        clauses.append(_parse_clause(clause_text))
 
-    insert_cols: list[str] = []
-    insert_vals: list[str] = []
-    if ins_m:
-        ins_tail = tail[ins_m.end():].strip()
-        if not ins_tail.startswith("("):
-            raise MergeParseError("INSERT needs an explicit column list")
-        cols_end = _balanced_span(ins_tail, 0)
-        insert_cols = [
-            c.strip() for c in _split_top(ins_tail[1 : cols_end - 1])
-        ]
-        vm = re.match(r"\s*VALUES\s*\(", ins_tail[cols_end:], re.IGNORECASE)
-        if not vm:
-            raise MergeParseError("INSERT needs a VALUES list")
-        v_start = cols_end + vm.end() - 1
-        v_end = _balanced_span(ins_tail, v_start)
-        insert_vals = _split_top(ins_tail[v_start + 1 : v_end - 1])
-        if len(insert_cols) != len(insert_vals):
-            raise MergeParseError(
-                f"INSERT has {len(insert_cols)} columns but "
-                f"{len(insert_vals)} values"
-            )
+    for fam in ("matched", "insert", "source"):
+        fam_clauses = [c for c in clauses if c.family == fam]
+        for c in fam_clauses[:-1]:
+            if c.cond_sql is None:
+                raise MergeParseError(
+                    f"only the LAST {fam} clause may omit its AND "
+                    "condition (an earlier conditionless clause would "
+                    "shadow the rest)"
+                )
 
     return MergeSpec(
         target=_unquote(head.group("target")),
@@ -258,9 +341,7 @@ def parse_merge(sql: str) -> MergeSpec:
         source_alias=salias or "S",
         dedup=dedup,
         on_sql=on_sql,
-        update_set=update_set,
-        insert_cols=insert_cols,
-        insert_vals=insert_vals,
+        clauses=clauses,
     )
 
 
@@ -291,6 +372,46 @@ def _apply_dedup(df: DataFrame, d: DedupSpec) -> DataFrame:
     return _rank_filter(df, d.keys, order)
 
 
+def _cond(c: WhenClause) -> Column:
+    # SQL clause conditions treat NULL as false
+    if c.cond_sql is None:
+        return F.lit(True)
+    return F.coalesce(F.expr(c.cond_sql), F.lit(False))
+
+
+def _route_family(
+    rows: DataFrame,
+    clauses: list,
+    cols: list[str],
+    t_fields: dict,
+    pass_proj: list[Column],
+    ta: str,
+) -> list[DataFrame]:
+    """Route one row family (matched / not-matched-by-source) through
+    its clauses in statement order: first clause whose condition
+    holds applies (update projects, delete drops); unclaimed rows
+    pass through unchanged."""
+    outs: list[DataFrame] = []
+    not_prior = F.lit(True)
+    for c in clauses:
+        applies = not_prior & _cond(c)
+        if c.action == "update":
+            outs.append(
+                rows.filter(applies).select(
+                    *[
+                        F.expr(c.update_set[col]).cast(t_fields[col]).alias(col)
+                        if col in c.update_set
+                        else F.col(f"{ta}.{col}").alias(col)
+                        for col in cols
+                    ]
+                )
+            )
+        # delete: the branch simply produces nothing
+        not_prior = not_prior & ~_cond(c)
+    outs.append(rows.filter(not_prior).select(*pass_proj))
+    return outs
+
+
 def execute_merge(
     spark: SparkSession,
     sql: str | MergeSpec,
@@ -302,11 +423,11 @@ def execute_merge(
     backend holds the table (``io.atomic_overwrite``,
     ``ManifestParquetBackend.replace``, a Delta/Iceberg writer).
 
-    ``verify_unique_match=True`` adds BigQuery's cardinality check —
-    one extra aggregation job that raises if any target row matches
-    more than one source row (otherwise such rows would fan out,
-    which ANSI MERGE forbids). Off by default: the reference's J2
-    shape makes keys unique by construction."""
+    ``verify_unique_match=True`` adds the ANSI/BigQuery cardinality
+    check — one extra aggregation job that raises if any target row
+    matches more than one source row (otherwise such rows fan out,
+    which standard MERGE forbids). Off by default: the reference's
+    J2 shape makes keys unique by construction."""
     spec = parse_merge(sql) if isinstance(sql, str) else sql
     target = _resolve(spec.target, tables)
     staging = _resolve(spec.source, tables)
@@ -315,11 +436,12 @@ def execute_merge(
 
     ta, sa = spec.target_alias, spec.source_alias
     t_fields = {f.name: f.dataType for f in target.schema.fields}
-    for col in list(spec.update_set) + spec.insert_cols:
-        if col not in t_fields:
-            raise MergeParseError(
-                f"MERGE sets/inserts unknown target column {col!r}"
-            )
+    for c in spec.clauses:
+        for col in list(c.update_set) + c.insert_cols:
+            if col not in t_fields:
+                raise MergeParseError(
+                    f"MERGE sets/inserts unknown target column {col!r}"
+                )
     t = target.alias(ta)
     s = staging.alias(sa)
     cond = F.expr(spec.on_sql)
@@ -343,36 +465,46 @@ def execute_merge(
             )
 
     cols = target.columns
-    kept = t.join(s, cond, "left_anti").select(
-        *[F.col(f"{ta}.{c}").alias(c) for c in cols]
+    t_pass = [F.col(f"{ta}.{c}").alias(c) for c in cols]
+
+    # target rows with NO source match → NOT MATCHED BY SOURCE family
+    kept_rows = t.join(s, cond, "left_anti")
+    branches = _route_family(
+        kept_rows, spec.family("source"), cols, t_fields, t_pass, ta
     )
-    if spec.update_set:
-        updated = t.join(s, cond, "inner").select(
-            *[
-                F.expr(spec.update_set[c]).cast(t_fields[c]).alias(c)
-                if c in spec.update_set
-                else F.col(f"{ta}.{c}").alias(c)
-                for c in cols
-            ]
+    # target rows WITH a source match → MATCHED family
+    matched_clauses = spec.family("matched")
+    if matched_clauses:
+        matched_rows = t.join(s, cond, "inner")
+        branches += _route_family(
+            matched_rows, matched_clauses, cols, t_fields, t_pass, ta
         )
     else:  # no MATCHED branch: matched target rows pass through
-        updated = t.join(s, cond, "left_semi").select(
-            *[F.col(f"{ta}.{c}").alias(c) for c in cols]
-        )
-        kept = kept.unionByName(updated)
-        updated = None
-    out = kept if updated is None else kept.unionByName(updated)
-    if spec.insert_cols:
-        vals = dict(zip(spec.insert_cols, spec.insert_vals))
-        inserted = s.join(t, cond, "left_anti").select(
-            *[
-                F.expr(vals[c]).cast(t_fields[c]).alias(c)
-                if c in vals
-                else F.lit(None).cast(t_fields[c]).alias(c)
-                for c in cols
-            ]
-        )
-        out = out.unionByName(inserted)
+        branches.append(t.join(s, cond, "left_semi").select(*t_pass))
+
+    # source rows with no target match → INSERT family
+    insert_clauses = spec.family("insert")
+    if insert_clauses:
+        ins_rows = s.join(t, cond, "left_anti")
+        not_prior = F.lit(True)
+        for c in insert_clauses:
+            vals = dict(zip(c.insert_cols, c.insert_vals))
+            branches.append(
+                ins_rows.filter(not_prior & _cond(c)).select(
+                    *[
+                        F.expr(vals[col]).cast(t_fields[col]).alias(col)
+                        if col in vals
+                        else F.lit(None).cast(t_fields[col]).alias(col)
+                        for col in cols
+                    ]
+                )
+            )
+            not_prior = not_prior & ~_cond(c)
+        # source rows no insert clause claims are ignored
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
     return out
 
 
@@ -386,14 +518,14 @@ def merge_into_backend(
     """Run a textual MERGE against a table held by a
     :class:`~dish_data_pipeline_spark.io_backends.TableBackend`.
 
-    The reference J2 shape — inline keep-latest dedup, UPDATE SET
-    covering every non-key column with bare ``S.col`` values — is
-    row replacement, so it routes to the backend's own
-    ``merge_keep_latest`` (keeping its transactional machinery:
-    optimistic retries, version history, bloom inheritance on the
-    manifest backend). Every other statement executes faithfully via
-    :func:`execute_merge` and commits through ``backend.replace``
-    (atomic full-snapshot swap)."""
+    The reference J2 shape — inline keep-latest dedup, one
+    unconditional UPDATE SET covering every non-key column with bare
+    ``S.col`` values, identity INSERT — is row replacement, so it
+    routes to the backend's own ``merge_keep_latest`` (keeping its
+    transactional machinery: optimistic retries, version history,
+    bloom inheritance on the manifest backend). Every other statement
+    executes faithfully via :func:`execute_merge` and commits through
+    ``backend.replace`` (atomic full-snapshot swap)."""
     spec = parse_merge(sql)
     target = backend.read(spark, target_path)
     catalog = dict(tables)
@@ -416,12 +548,26 @@ def merge_into_backend(
 
 
 def _is_row_replacement(spec: MergeSpec, target_cols: list[str]) -> bool:
-    """True when UPDATE/INSERT amount to replacing matched rows with
+    """True when the clauses amount to replacing matched rows with
     source rows: dedup is all-DESC (keep_latest), ON is bare
-    equality on exactly the dedup keys, every non-key column is SET
-    to bare ``S.col``, and INSERT is the identity projection."""
+    equality on exactly the dedup keys, ONE unconditional matched
+    clause SETs every non-key column to bare ``S.col``, ONE
+    unconditional insert clause is the identity projection, and
+    there are no NOT MATCHED BY SOURCE clauses."""
     d = spec.dedup
     if d is None or any(direction != "DESC" for _, direction in d.order):
+        return False
+    if spec.family("source"):
+        return False
+    matched, inserts = spec.family("matched"), spec.family("insert")
+    if len(matched) != 1 or len(inserts) != 1:
+        return False
+    upd, ins = matched[0], inserts[0]
+    if (
+        upd.cond_sql is not None
+        or ins.cond_sql is not None
+        or upd.action != "update"
+    ):
         return False
     ta, sa = spec.target_alias, spec.source_alias
     on_parts = sorted(
@@ -432,14 +578,14 @@ def _is_row_replacement(spec: MergeSpec, target_cols: list[str]) -> bool:
     if on_parts != want:
         return False
     nonkeys = [c for c in target_cols if c not in d.keys]
-    if sorted(spec.update_set) != sorted(nonkeys):
+    if sorted(upd.update_set) != sorted(nonkeys):
         return False
-    for col, expr in spec.update_set.items():
+    for col, expr in upd.update_set.items():
         if expr.lower() != f"{sa}.{col}".lower():
             return False
-    if sorted(spec.insert_cols) != sorted(target_cols):
+    if sorted(ins.insert_cols) != sorted(target_cols):
         return False
-    vals = dict(zip(spec.insert_cols, spec.insert_vals))
+    vals = dict(zip(ins.insert_cols, ins.insert_vals))
     return all(
         expr.lower() == f"{sa}.{col}".lower() for col, expr in vals.items()
     )

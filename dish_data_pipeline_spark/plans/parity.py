@@ -435,6 +435,72 @@ FROM stg s WHERE NOT EXISTS (SELECT 1 FROM tgt t
 """
 
 
+MERGE_SQL_FULL = """
+    MERGE `proj.dishdata.tgt_orders` T
+    USING `proj.dishdata.stg_orders` S
+    ON T.o_orderkey = S.o_orderkey
+    WHEN MATCHED AND S.o_totalprice > 300000 THEN DELETE
+    WHEN MATCHED THEN
+      UPDATE SET T.o_totalprice = S.o_totalprice, T.o_orderstatus = 'U'
+    WHEN NOT MATCHED AND S.o_totalprice > 200000 THEN
+      INSERT (o_orderkey, o_totalprice, o_orderstatus)
+      VALUES (S.o_orderkey, S.o_totalprice, 'I')
+    WHEN NOT MATCHED BY SOURCE AND T.o_totalprice < 50000 THEN DELETE
+    WHEN NOT MATCHED BY SOURCE THEN UPDATE SET T.o_orderstatus = 'R'
+"""
+
+
+def q_merge_sql_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL ANSI/BigQuery/Delta MERGE branch set through the
+    textual surface — conditional MATCHED DELETE, fallback MATCHED
+    UPDATE, conditional NOT MATCHED INSERT (non-qualifying source
+    rows ignored), and both NOT MATCHED BY SOURCE actions (the
+    retention/purge shape) — clause precedence per the standard:
+    first holding condition wins. Same broadcast-join plan per
+    branch; the target is never shuffled."""
+    from dish_data_pipeline_spark.merge_sql import execute_merge
+
+    o = read(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    staging = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+    )
+    return execute_merge(
+        spark,
+        MERGE_SQL_FULL,
+        {
+            "proj.dishdata.tgt_orders": target,
+            "proj.dishdata.stg_orders": staging,
+        },
+    )
+
+
+SQL_MERGE_SQL_FULL = """
+WITH tgt AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 0),
+stg AS (
+  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0)
+SELECT t.o_orderkey, s.o_totalprice, 'U' AS o_orderstatus
+FROM tgt t JOIN stg s ON t.o_orderkey = s.o_orderkey
+WHERE NOT (s.o_totalprice > 300000)
+UNION ALL
+SELECT t.o_orderkey, t.o_totalprice, 'R' AS o_orderstatus
+FROM tgt t
+WHERE NOT EXISTS (SELECT 1 FROM stg s WHERE s.o_orderkey = t.o_orderkey)
+  AND NOT (t.o_totalprice < 50000)
+UNION ALL
+SELECT s.o_orderkey, s.o_totalprice, 'I' AS o_orderstatus
+FROM stg s
+WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+  AND s.o_totalprice > 200000
+"""
+
+
 # --- J3: semi/anti joins ------------------------------------------
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read(spark, sf_dir, "customer")
@@ -686,6 +752,10 @@ PARITY_QUERIES: dict[str, QueryDef] = {
     "merge_sql_datekey": QueryDef(
         q_merge_sql_datekey, SQL_MERGE_SQL_DATEKEY,
         "textual MERGE INTO, daily_visits shape (date() keys, partial SET)",
+        ("upsert", "sql")),
+    "merge_sql_full": QueryDef(
+        q_merge_sql_full, SQL_MERGE_SQL_FULL,
+        "full MERGE branch set: conditional DELETE/INSERT + BY SOURCE",
         ("upsert", "sql")),
     "semi_anti_join": QueryDef(
         q_semi_anti_join, SQL_SEMI_ANTI_JOIN,

@@ -8,8 +8,10 @@ module is the dependency-free tier those entry points fall back to:
 a spec-faithful implementation of the Avro binary encoding and the
 object container file format (Apache Avro specification, public —
 magic ``Obj\\x01``, metadata map with ``avro.schema``/``avro.codec``,
-sync-marker-delimited blocks, zigzag-varint primitives, null/deflate
-codecs), executed DISTRIBUTED through Spark:
+sync-marker-delimited blocks, zigzag-varint primitives, and the
+null/deflate/snappy codecs — snappy via a pure-Python implementation
+of Google's public raw-block format, round-12), executed DISTRIBUTED
+through Spark:
 
 - **write**: one container file per partition via
   ``rdd.mapPartitionsWithIndex`` — executors encode and write in
@@ -387,6 +389,98 @@ def _decode(node: Any, buf: bytes, pos: int) -> tuple[Any, int]:
     raise ValueError(f"cannot decode avro type {t!r}")
 
 
+# ---------------------------------------------------------- snappy codec
+#
+# Pure-Python implementation of Google's snappy RAW block format
+# (public spec: google/snappy format_description.txt — this is the
+# format Avro's "snappy" codec uses, NOT the framing format). The
+# decoder is complete; the encoder emits spec-valid literal-only
+# streams (no match search — a legal snappy stream every decoder,
+# including snappy-java, accepts; compression then comes only from
+# what the data already lacks in copies). Avro wraps each block as
+# <snappy bytes><4-byte BIG-endian CRC32 of the uncompressed data>.
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Decode one raw-format snappy stream."""
+    # preamble: uncompressed length as unsigned LEB128 varint
+    n = shift = pos = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # 60..63 → 1..4 little-endian length bytes
+                nb = ln - 59
+                ln = int.from_bytes(data[pos : pos + nb], "little")
+                pos += nb
+            ln += 1
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("corrupt snappy stream: copy offset out of range")
+        start = len(out) - off
+        if off >= ln:
+            out += out[start : start + ln]
+        else:  # overlapping copy = run-length encoding, byte at a time
+            for i in range(ln):
+                out.append(out[start + i])
+    if len(out) != n:
+        raise ValueError(
+            f"corrupt snappy stream: preamble says {n} bytes, got {len(out)}"
+        )
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Encode ``data`` as a spec-valid literal-only snappy stream."""
+    out = bytearray()
+    n = len(data)
+    while True:  # LEB128 varint preamble
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            break
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + 65536]
+        ln = len(chunk) - 1  # literal lengths are stored minus one
+        if ln < 60:
+            out.append(ln << 2)
+        elif ln < 256:
+            out.append(60 << 2)
+            out.append(ln)
+        else:
+            out.append(61 << 2)
+            out += ln.to_bytes(2, "little")
+        out += chunk
+        pos += len(chunk)
+    return bytes(out)
+
+
 # -------------------------------------------------------- container file
 
 
@@ -431,6 +525,9 @@ def write_container(
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             data = co.compress(data) + co.flush()
+        elif codec == "snappy":
+            crc = (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
+            data = snappy_compress(data) + crc
         elif codec != "null":
             raise ValueError(f"unsupported avro codec {codec!r}")
         head = bytearray()
@@ -487,10 +584,16 @@ def decode_container(buf: bytes) -> Iterator[dict]:
         if codec == "deflate":
             data = zlib.decompress(data, -15)
         elif codec == "snappy":
-            raise ValueError(
-                "snappy-coded avro needs spark-avro (python-snappy is "
-                "not a baked-in dependency)"
-            )
+            # spec: block payload is <snappy><4-byte BE CRC32 of the
+            # UNCOMPRESSED data>
+            if len(data) < 4:
+                raise ValueError("snappy avro block shorter than its CRC")
+            want_crc = int.from_bytes(data[-4:], "big")
+            data = snappy_decompress(data[:-4])
+            if zlib.crc32(data) & 0xFFFFFFFF != want_crc:
+                raise ValueError("snappy avro block CRC mismatch")
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec {codec!r}")
         p = 0
         for _ in range(n_rows):
             row, p = _decode(schema, data, p)

@@ -97,7 +97,7 @@ def _full_df(spark):
     return spark.createDataFrame(rows, schema)
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_spark_roundtrip_all_types(spark, tmp_path, codec):
     df = _full_df(spark)
     path = str(tmp_path / f"rt_{codec}")
@@ -541,3 +541,108 @@ def test_append_incompatible_schema_raises(spark, tmp_path):
         )
     # dataset unchanged and still readable
     assert [r.v for r in read_avro(spark, path).collect()] == ["s"]
+
+
+def test_snappy_raw_codec_roundtrip_and_edges():
+    """Raw-format snappy: our literal-only encoder round-trips, and
+    the decoder handles the spec's edge shapes (empty stream,
+    >60-byte literals, 2-byte literal lengths)."""
+    from dish_data_pipeline_spark.sources.avro_python import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    for payload in [
+        b"",
+        b"a",
+        b"x" * 59,
+        b"x" * 60,
+        b"x" * 61,
+        b"y" * 300,
+        b"z" * 70000,  # spans two 64 KiB literal chunks
+        bytes(range(256)) * 17,
+    ]:
+        assert snappy_decompress(snappy_compress(payload)) == payload
+
+
+def test_snappy_decoder_handles_java_copies(spark):
+    """The REAL compressor (snappy-java, bundled with pyspark) emits
+    copy elements — including overlapping RLE copies — that our
+    literal-only encoder never produces. Decode its output for
+    payloads chosen to force every copy shape."""
+    from dish_data_pipeline_spark.sources.avro_python import (
+        snappy_decompress,
+    )
+
+    jvm = spark._jvm
+    payloads = [
+        b"abcd" * 5000,          # long-range 2-byte-offset copies
+        b"\x00" * 100000,        # overlapping RLE copies
+        b"the quick brown fox " * 64,
+        bytes(range(256)) * 4 + b"tailtailtailtail",
+    ]
+    for payload in payloads:
+        compressed = bytes(jvm.org.xerial.snappy.Snappy.compress(payload))
+        assert snappy_decompress(compressed) == payload
+
+
+def test_java_library_reads_python_snappy_files(spark, tmp_path):
+    """Conformance, snappy × direction 1: snappy-coded container
+    files written here open in the Apache Avro Java library (which
+    verifies the per-block CRC32 with snappy-java)."""
+    df = _full_df(spark)
+    path = str(tmp_path / "snappy_forjava")
+    write_avro(df, path, codec="snappy")
+    jvm = spark._jvm
+    recs = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".avro"):
+            continue
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(os.path.join(path, f)),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        while reader.hasNext():
+            recs.append(reader.next())
+        reader.close()
+    assert {rec.get("k") for rec in recs} == {1, 2, 3}
+    rec1 = next(r for r in recs if r.get("k") == 1)
+    assert str(rec1.get("s")) == "héllo ∆"
+    assert rec1.get("d") == 3.5
+
+
+def test_python_reads_java_snappy_file(spark, tmp_path):
+    """Conformance, snappy × direction 2: a snappy-coded container
+    file produced by the Java library (real compressor: copy
+    elements, CRC suffix) decodes bit-for-bit here."""
+    jvm = spark._jvm
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "srec",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "body", "type": "string"},
+            ],
+        }
+    )
+    schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    path = str(tmp_path / "javasnappy.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+    writer.create(schema, jvm.java.io.File(path))
+    rows = [(i, f"row-{i} " + "repeat " * (i % 7)) for i in range(500)]
+    for i, body in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", i)
+        rec.put("body", body)
+        writer.append(rec)
+    writer.close()
+    with open(path, "rb") as f:
+        buf = f.read()
+    _, codec, _, _ = parse_header(buf)
+    assert codec == "snappy"
+    got = list(decode_container(buf))
+    assert got == [{"id": i, "body": b} for i, b in rows]

@@ -84,17 +84,21 @@ def test_parse_reference_daily_visits():
     assert spec.target_alias == "T" and spec.source_alias == "S"
     assert spec.dedup is None
     assert "date(T.visit_date) = date(S.visit_date)" in spec.on_sql
-    assert spec.update_set == {
+    upd, = spec.family("matched")
+    assert upd.action == "update" and upd.cond_sql is None
+    assert upd.update_set == {
         "total_visits": "S.total_visits",
         "load_timestamp": "S.load_timestamp",
     }
-    assert spec.insert_cols == [
+    ins, = spec.family("insert")
+    assert ins.insert_cols == [
         "visit_date", "total_visits", "load_timestamp", "source_file",
     ]
-    assert spec.insert_vals == [
+    assert ins.insert_vals == [
         "S.visit_date", "S.total_visits", "S.load_timestamp",
         "S.source_file",
     ]
+    assert not spec.family("source")
 
 
 def test_parse_reference_ga_sessions():
@@ -103,8 +107,10 @@ def test_parse_reference_ga_sessions():
     assert spec.dedup is not None
     assert spec.dedup.keys == ["visitId", "source_file"]
     assert spec.dedup.order == [("load_timestamp", "DESC")]
-    assert spec.update_set["totals_hits"] == "CAST(S.totals_hits AS STRING)"
-    assert len(spec.insert_cols) == len(spec.insert_vals) == 7
+    upd, = spec.family("matched")
+    assert upd.update_set["totals_hits"] == "CAST(S.totals_hits AS STRING)"
+    ins, = spec.family("insert")
+    assert len(ins.insert_cols) == len(ins.insert_vals) == 7
 
 
 def _daily_frames(spark):
@@ -257,8 +263,11 @@ def test_insert_missing_columns_null_fill(spark):
         ("MERGE t T USING s S WHEN MATCHED THEN UPDATE SET T.a = S.a",
          "missing ON"),
         ("MERGE t T USING s S ON T.k = S.k", "at least one WHEN"),
-        ("MERGE t T USING s S ON T.k = S.k WHEN MATCHED THEN DELETE",
-         "not supported"),
+        ("MERGE t T USING s S ON T.k = S.k WHEN NOT MATCHED THEN "
+         "INSERT ROW", "explicit column list"),
+        ("MERGE t T USING s S ON T.k = S.k "
+         "WHEN MATCHED THEN UPDATE SET T.a = S.a "
+         "WHEN MATCHED THEN DELETE", "only the LAST"),
         ("MERGE t T USING (SELECT * FROM s) S ON T.k = S.k "
          "WHEN MATCHED THEN UPDATE SET T.a = S.a", "unsupported USING"),
         ("MERGE t T USING s S ON T.k = S.k WHEN NOT MATCHED THEN "
@@ -352,3 +361,106 @@ def test_merge_into_backend_generic_route(spark, tmp_path, backend_cls):
     rows = {r.k: r for r in be.read(spark, path).collect()}
     assert rows[1].v == 7.0 and rows[1].note == "keep-me"  # partial SET
     assert rows[2].note == "new" and rows[3].v == 1.0
+
+
+# ---- full ANSI/Delta branch set (beyond the reference's shapes) ----
+
+
+def test_matched_delete(spark):
+    target = spark.createDataFrame(
+        [Row(k=1, v=1), Row(k=2, v=2), Row(k=3, v=3)], "k long, v long"
+    )
+    staging = spark.createDataFrame([Row(k=2, v=0)], "k long, v long")
+    out = execute_merge(
+        spark,
+        "MERGE tgt T USING stg S ON T.k = S.k WHEN MATCHED THEN DELETE",
+        {"tgt": target, "stg": staging},
+    ).collect()
+    assert {r.k for r in out} == {1, 3}
+
+
+def test_conditional_clause_precedence(spark):
+    """First clause whose AND condition holds wins; NULL conditions
+    count as false; unclaimed matched rows pass through."""
+    target = spark.createDataFrame(
+        [Row(k=1, v=1), Row(k=2, v=2), Row(k=3, v=3), Row(k=4, v=4)],
+        "k long, v long",
+    )
+    staging = spark.createDataFrame(
+        [
+            Row(k=1, s=100),        # s > 50 → DELETE
+            Row(k=2, s=10),         # s <= 50 → UPDATE
+            Row(k=3, s=None),       # NULL conds are false → pass through
+        ],
+        "k long, s long",
+    )
+    out = execute_merge(
+        spark,
+        "MERGE tgt T USING stg S ON T.k = S.k "
+        "WHEN MATCHED AND S.s > 50 THEN DELETE "
+        "WHEN MATCHED AND S.s <= 50 THEN UPDATE SET T.v = S.s "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, S.s)",
+        {"tgt": target, "stg": staging},
+    ).collect()
+    rows = {r.k: r.v for r in out}
+    assert 1 not in rows            # deleted
+    assert rows[2] == 10            # updated by the second clause
+    assert rows[3] == 3             # NULL condition → untouched
+    assert rows[4] == 4             # never matched → untouched
+
+
+def test_not_matched_by_source_delete_and_update(spark):
+    """The retention shape: target rows absent from the feed are
+    purged (or flagged) — inexpressible before round 12."""
+    target = spark.createDataFrame(
+        [Row(k=1, v=1, stale=0), Row(k=2, v=2, stale=0),
+         Row(k=9, v=9, stale=0)],
+        "k long, v long, stale long",
+    )
+    staging = spark.createDataFrame([Row(k=1, v=10)], "k long, v long")
+    out = execute_merge(
+        spark,
+        "MERGE tgt T USING stg S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET T.v = S.v "
+        "WHEN NOT MATCHED BY SOURCE AND T.k > 5 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET T.stale = 1",
+        {"tgt": target, "stg": staging},
+    ).collect()
+    rows = {r.k: r for r in out}
+    assert 9 not in rows                      # purged by the k > 5 clause
+    assert rows[1].v == 10 and rows[1].stale == 0
+    assert rows[2].v == 2 and rows[2].stale == 1
+
+
+def test_conditional_insert_clauses(spark):
+    target = spark.createDataFrame([Row(k=1, v=1, src="")],
+                                   "k long, v long, src string")
+    staging = spark.createDataFrame(
+        [Row(k=2, v=100), Row(k=3, v=1)], "k long, v long"
+    )
+    out = execute_merge(
+        spark,
+        "MERGE tgt T USING stg S ON T.k = S.k "
+        "WHEN NOT MATCHED AND S.v > 50 THEN "
+        "INSERT (k, v, src) VALUES (S.k, S.v, 'big') "
+        "WHEN NOT MATCHED THEN INSERT (k, v, src) VALUES (S.k, S.v, 'small')",
+        {"tgt": target, "stg": staging},
+    ).collect()
+    rows = {r.k: r for r in out}
+    assert rows[2].src == "big" and rows[3].src == "small"
+
+
+def test_case_when_inside_set_expr_does_not_split_clauses(spark):
+    """CASE WHEN inside a SET expression must not be mistaken for a
+    MERGE branch boundary."""
+    target = spark.createDataFrame([Row(k=1, v=0)], "k long, v long")
+    staging = spark.createDataFrame([Row(k=1, v=7)], "k long, v long")
+    out = execute_merge(
+        spark,
+        "MERGE tgt T USING stg S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET "
+        "T.v = CASE WHEN S.v > 5 THEN S.v ELSE 0 END "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, S.v)",
+        {"tgt": target, "stg": staging},
+    ).collect()
+    assert out[0].v == 7

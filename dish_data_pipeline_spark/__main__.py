@@ -9,10 +9,19 @@
     python -m dish_data_pipeline_spark query keep_latest_events \
         --sf-dir /root/testdata/sf0.01 --limit 20
 
+    python -m dish_data_pipeline_spark merge \
+        --sql-file nightly_merge.sql --backend manifest \
+        --table tgt_daily_visits=/data/wh/tgt_daily_visits \
+        --table staging_daily_visits=/data/wh/staging_daily_visits
+
 ``run-feed`` drives the full extract→DQ→stage→merge→audit feed
 (exit code 1 when the feed FAILED, so schedulers can gate on it);
 ``query`` runs any catalog query and prints the result
-(``list-queries`` enumerates them).
+(``list-queries`` enumerates them); ``merge`` executes a textual
+``MERGE INTO`` statement (merge_sql.py dialect — the reference's
+BigQuery shapes plus the full ANSI/Delta branch set) against tables
+mapped by ``--table NAME=PATH``, committing through the chosen
+backend.
 """
 
 from __future__ import annotations
@@ -44,6 +53,33 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("list-queries", help="list all catalog queries")
+
+    mg = sub.add_parser(
+        "merge", help="run a textual MERGE INTO statement against tables"
+    )
+    src = mg.add_mutually_exclusive_group(required=True)
+    src.add_argument("--sql", help="the MERGE statement inline")
+    src.add_argument("--sql-file", help="file containing the MERGE statement")
+    mg.add_argument(
+        "--table",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        required=True,
+        help="map a statement table name to a table path "
+        "(repeatable; the MERGE target must be mapped)",
+    )
+    mg.add_argument(
+        "--backend",
+        choices=["parquet", "manifest"],
+        default="manifest",
+        help="table format of the mapped paths",
+    )
+    mg.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="compute and report the merged row count without committing",
+    )
 
     t = sub.add_parser(
         "table", help="manifest lakehouse table maintenance"
@@ -133,6 +169,58 @@ def main(argv: list[str] | None = None, http_get=None) -> int:
         for issue in res.issues:
             print(f"  - {issue}")
         return 0 if res.status == "SUCCESS" else 1
+
+    if args.cmd == "merge":
+        from dish_data_pipeline_spark.io_backends import get_backend
+        from dish_data_pipeline_spark.merge_sql import (
+            execute_merge,
+            merge_into_backend,
+            parse_merge,
+        )
+
+        sql = args.sql
+        if sql is None:
+            with open(args.sql_file) as f:
+                sql = f.read()
+        paths: dict[str, str] = {}
+        for item in args.table:
+            name, sep, path = item.partition("=")
+            if not sep or not name or not path:
+                print(f"bad --table {item!r}; want NAME=PATH",
+                      file=sys.stderr)
+                return 2
+            paths[name] = path
+        spec = parse_merge(sql)
+        be = get_backend(args.backend)
+
+        def _lookup(name: str) -> str | None:
+            parts = name.split(".")
+            for i in range(len(parts)):
+                key = ".".join(parts[i:])
+                if key in paths:
+                    return paths[key]
+            return None
+
+        target_path = _lookup(spec.target)
+        if target_path is None:
+            print(f"MERGE target {spec.target!r} has no --table mapping",
+                  file=sys.stderr)
+            return 2
+        source_path = _lookup(spec.source)
+        if source_path is None:
+            print(f"MERGE source {spec.source!r} has no --table mapping",
+                  file=sys.stderr)
+            return 2
+        tables = {spec.source: be.read(spark, source_path)}
+        if args.dry_run:
+            tables[spec.target] = be.read(spark, target_path)
+            n = execute_merge(spark, spec, tables).count()
+            print(f"dry-run: merged table would hold {n} rows")
+            return 0
+        merge_into_backend(spark, sql, be, target_path, tables)
+        n = be.read(spark, target_path).count()
+        print(f"merged into {target_path}: {n} rows")
+        return 0
 
     if args.cmd == "query":
         from dish_data_pipeline_spark.plans import QUERIES

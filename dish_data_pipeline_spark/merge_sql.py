@@ -231,10 +231,16 @@ def _parse_clause(text: str) -> WhenClause:
     }[kind]
 
     if family == "insert":
+        # Delta's INSERT * / BigQuery's INSERT ROW: insert every
+        # target column by name from the source (expanded at
+        # execution, when both schemas are known).
+        if re.fullmatch(r"INSERT\s+(\*|ROW)", body, re.IGNORECASE):
+            return WhenClause(family, "insert_all", cond)
         im = re.match(r"^INSERT\s*\(", body, re.IGNORECASE)
         if not im:
             raise MergeParseError(
-                "NOT MATCHED needs INSERT with an explicit column list"
+                "NOT MATCHED needs INSERT with an explicit column list, "
+                "INSERT *, or INSERT ROW"
             )
         cols_start = im.end() - 1
         cols_end = _balanced_span(body, cols_start)
@@ -261,6 +267,10 @@ def _parse_clause(text: str) -> WhenClause:
 
     if re.fullmatch(r"DELETE", body, re.IGNORECASE):
         return WhenClause(family, "delete", cond)
+    # Delta's UPDATE SET *: assign every target column by name from
+    # the source (expanded at execution, when both schemas are known).
+    if re.fullmatch(r"UPDATE\s+SET\s+\*", body, re.IGNORECASE):
+        return WhenClause(family, "update_all", cond)
     um = re.match(r"^UPDATE\s+SET\s+(?P<items>.+)$", body,
                   re.IGNORECASE | re.DOTALL)
     if not um:
@@ -436,6 +446,39 @@ def execute_merge(
 
     ta, sa = spec.target_alias, spec.source_alias
     t_fields = {f.name: f.dataType for f in target.schema.fields}
+
+    # Expand the * shorthands now that both schemas are known.
+    s_cols = set(staging.columns)
+    norm: list[WhenClause] = []
+    for c in spec.clauses:
+        if c.action in ("update_all", "insert_all"):
+            if c.action == "update_all" and c.family != "matched":
+                raise MergeParseError(
+                    "UPDATE SET * needs a source row (WHEN MATCHED only)"
+                )
+            missing = [col for col in target.columns if col not in s_cols]
+            if missing:
+                raise MergeParseError(
+                    f"{'UPDATE SET *' if c.action == 'update_all' else 'INSERT *'}"
+                    f": source lacks target columns {missing}"
+                )
+            if c.action == "update_all":
+                c = WhenClause(
+                    c.family, "update", c.cond_sql,
+                    update_set={col: f"{sa}.{col}" for col in target.columns},
+                )
+            else:
+                c = WhenClause(
+                    c.family, "insert", c.cond_sql,
+                    insert_cols=list(target.columns),
+                    insert_vals=[f"{sa}.{col}" for col in target.columns],
+                )
+        norm.append(c)
+    if norm != spec.clauses:
+        from dataclasses import replace as _dc_replace  # noqa: PLC0415
+
+        spec = _dc_replace(spec, clauses=norm)
+
     for c in spec.clauses:
         for col in list(c.update_set) + c.insert_cols:
             if col not in t_fields:
@@ -563,11 +606,7 @@ def _is_row_replacement(spec: MergeSpec, target_cols: list[str]) -> bool:
     if len(matched) != 1 or len(inserts) != 1:
         return False
     upd, ins = matched[0], inserts[0]
-    if (
-        upd.cond_sql is not None
-        or ins.cond_sql is not None
-        or upd.action != "update"
-    ):
+    if upd.cond_sql is not None or ins.cond_sql is not None:
         return False
     ta, sa = spec.target_alias, spec.source_alias
     on_parts = sorted(
@@ -576,6 +615,12 @@ def _is_row_replacement(spec: MergeSpec, target_cols: list[str]) -> bool:
     )
     want = sorted(f"{ta}.{k} = {sa}.{k}".lower() for k in d.keys)
     if on_parts != want:
+        return False
+    # Delta shorthand: UPDATE SET * + INSERT * IS row replacement
+    # (key assignments are no-ops under the equality ON).
+    if upd.action == "update_all" and ins.action == "insert_all":
+        return True
+    if upd.action != "update":
         return False
     nonkeys = [c for c in target_cols if c not in d.keys]
     if sorted(upd.update_set) != sorted(nonkeys):

@@ -59,3 +59,61 @@ def test_cli_table_lifecycle(spark, tmp_path, capsys):
     assert main(["table", "vacuum", path]) == 0
     assert main(["table", "expire", path, "--keep-last", "2"]) == 0
     assert [h["version"] for h in be.history(path)] == [1, 2]
+
+
+def test_cli_merge_statement(spark, tmp_path, capsys):
+    """End-to-end `merge` subcommand: textual MERGE against manifest
+    tables mapped by --table, then a dry-run of a second statement."""
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    be = ManifestParquetBackend()
+    tgt = str(tmp_path / "tgt")
+    stg = str(tmp_path / "stg")
+    be.create(
+        spark.createDataFrame([Row(k=1, v=1), Row(k=2, v=2)],
+                              "k long, v long"),
+        tgt,
+    )
+    be.create(
+        spark.createDataFrame([Row(k=2, v=20), Row(k=3, v=30)],
+                              "k long, v long"),
+        stg,
+    )
+    sql_file = tmp_path / "stmt.sql"
+    sql_file.write_text(
+        "MERGE `proj.ds.tgt` T USING `proj.ds.stg` S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rc = main([
+        "merge", "--sql-file", str(sql_file), "--backend", "manifest",
+        "--table", f"tgt={tgt}", "--table", f"stg={stg}",
+    ])
+    assert rc == 0
+    assert "3 rows" in capsys.readouterr().out
+    rows = {r.k: r.v for r in be.read(spark, tgt).collect()}
+    assert rows == {1: 1, 2: 20, 3: 30}
+    assert be.latest_version(tgt) == 1  # one commit for the MERGE
+
+    rc = main([
+        "merge",
+        "--sql",
+        "MERGE tgt T USING stg S ON T.k = S.k WHEN MATCHED THEN DELETE",
+        "--backend", "manifest", "--dry-run",
+        "--table", f"tgt={tgt}", "--table", f"stg={stg}",
+    ])
+    assert rc == 0
+    assert "dry-run" in capsys.readouterr().out
+    assert be.latest_version(tgt) == 1  # dry-run committed nothing
+
+
+def test_cli_merge_missing_mapping(spark, capsys):
+    rc = main([
+        "merge", "--sql",
+        "MERGE tgt T USING stg S ON T.k = S.k WHEN MATCHED THEN DELETE",
+        "--table", "stg=/nowhere",
+    ])
+    assert rc == 2
+    assert "no --table mapping" in capsys.readouterr().err

@@ -264,7 +264,7 @@ def test_insert_missing_columns_null_fill(spark):
          "missing ON"),
         ("MERGE t T USING s S ON T.k = S.k", "at least one WHEN"),
         ("MERGE t T USING s S ON T.k = S.k WHEN NOT MATCHED THEN "
-         "INSERT ROW", "explicit column list"),
+         "INSERT VALUES (S.a)", "explicit column list"),
         ("MERGE t T USING s S ON T.k = S.k "
          "WHEN MATCHED THEN UPDATE SET T.a = S.a "
          "WHEN MATCHED THEN DELETE", "only the LAST"),
@@ -464,3 +464,87 @@ def test_case_when_inside_set_expr_does_not_split_clauses(spark):
         {"tgt": target, "stg": staging},
     ).collect()
     assert out[0].v == 7
+
+
+def test_update_set_star_and_insert_star(spark):
+    """Delta shorthand: UPDATE SET * / INSERT * assign every target
+    column by name from the source."""
+    target = spark.createDataFrame(
+        [Row(k=1, v=1, w="a"), Row(k=2, v=2, w="b")],
+        "k long, v long, w string",
+    )
+    staging = spark.createDataFrame(
+        [Row(k=2, v=20, w="B", extra=9), Row(k=3, v=30, w="C", extra=9)],
+        "k long, v long, w string, extra long",
+    )
+    out = execute_merge(
+        spark,
+        "MERGE tgt T USING stg S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"tgt": target, "stg": staging},
+    ).collect()
+    rows = {r.k: r for r in out}
+    assert rows[1].v == 1 and rows[2].v == 20 and rows[2].w == "B"
+    assert rows[3].v == 30
+    assert set(out[0].asDict()) == {"k", "v", "w"}  # target schema only
+
+
+def test_insert_row_bigquery_spelling(spark):
+    target = spark.createDataFrame([Row(k=1, v=1)], "k long, v long")
+    staging = spark.createDataFrame([Row(k=2, v=2)], "k long, v long")
+    out = execute_merge(
+        spark,
+        "MERGE tgt T USING stg S ON T.k = S.k "
+        "WHEN NOT MATCHED THEN INSERT ROW",
+        {"tgt": target, "stg": staging},
+    ).collect()
+    assert {r.k for r in out} == {1, 2}
+
+
+def test_update_star_source_missing_columns_raises(spark):
+    target = spark.createDataFrame([Row(k=1, v=1, w="a")],
+                                   "k long, v long, w string")
+    staging = spark.createDataFrame([Row(k=1, v=2)], "k long, v long")
+    with pytest.raises(MergeParseError, match="source lacks"):
+        execute_merge(
+            spark,
+            "MERGE tgt T USING stg S ON T.k = S.k "
+            "WHEN MATCHED THEN UPDATE SET *",
+            {"tgt": target, "stg": staging},
+        )
+
+
+def test_shorthand_routes_to_backend_keep_latest(spark, tmp_path):
+    """UPDATE SET * + INSERT * over a keep-latest dedup subquery is
+    row replacement → routes to the backend's merge_keep_latest."""
+    be = ManifestParquetBackend()
+    path = str(tmp_path / "tbl")
+    TS = dt.datetime
+    be.create(
+        spark.createDataFrame(
+            [(1, TS(2024, 1, 1), 5.0)], "k bigint, ts timestamp, v double"
+        ),
+        path,
+    )
+    staging = spark.createDataFrame(
+        [(1, TS(2024, 1, 3), 9.0), (2, TS(2024, 1, 2), 3.0)],
+        "k bigint, ts timestamp, v double",
+    )
+    sql = """
+        MERGE `proj.ds.tbl` T
+        USING (
+            SELECT * EXCEPT(rn) FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY k ORDER BY ts DESC
+                ) AS rn FROM `proj.ds.stg`
+            ) WHERE rn = 1
+        ) S
+        ON T.k = S.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """
+    merge_into_backend(spark, sql, be, path, {"proj.ds.stg": staging})
+    rows = {r.k: r.v for r in be.read(spark, path).collect()}
+    assert rows == {1: 9.0, 2: 3.0}
+    assert be.latest_version(path) == 1

@@ -468,3 +468,104 @@ FROM (
                             ORDER BY s_q DESC, label ASC) AS _rn
   FROM lps{n_iter}) t
 WHERE _rn = 1"""
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """Per-node triangle counts → (node, n_triangles BIGINT), nodes
+    in at least one triangle. Total triangles = sum / 3.
+
+    Input is any edge relation over an UNDIRECTED simple graph;
+    direction, duplicates, and self-loops are normalized away first
+    (``least/greatest`` + distinct).
+
+    Algorithm — degree-ordered node-iterator (the MapReduce-classic
+    from Suri & Vassilvitskii, "Counting Triangles and the Curse of
+    the Last Reducer", WWW'11, and the shape Spark's own GraphX
+    TriangleCount uses): orient every edge from the (degree, node)-
+    smaller endpoint to the larger, enumerate wedges by joining the
+    oriented list with itself on the shared SOURCE, then close each
+    wedge against the oriented edge list.
+
+    Why this scales where the naive 3-way join dies: wedges are
+    enumerated at each triangle's LOWEST-degree corner, so a
+    celebrity node with degree d never expands its d² neighbor
+    pairs — total wedge work is O(m^1.5) regardless of skew, each
+    wedge is a hash-join row (no driver state), and the closure is
+    one more equi-join. Three shuffles beyond the degree count:
+    wedge join on src, closure join on the (lo, hi) pair, final
+    per-node aggregate. The (degree, node) order is evaluated as a
+    struct comparison inside the join condition — no global
+    rank/window stage, so nothing ever funnels to one partition.
+
+    Orientation changes WORK, never RESULTS: the triangle set —
+    and therefore every per-node count — is orientation-independent,
+    which is what lets a DuckDB oracle verify this with the simple
+    id-ordered 3-way self-join (see SQL_PART_TRIANGLES).
+    """
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    u, v = F.col(src_col), F.col(dst_col)
+    ec = tracked_persist(
+        edges.filter(u != v)
+        .select(F.least(u, v).alias("lo"), F.greatest(u, v).alias("hi"))
+        .distinct()
+    )
+    deg = (
+        ec.select(F.col("lo").alias("node"))
+        .unionAll(ec.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi"))
+    keyed = ec.join(dl, "lo").join(dh, "hi")
+    lo_k = F.struct(
+        F.col("dlo").alias("deg"), F.col("lo").alias("node")
+    )
+    hi_k = F.struct(
+        F.col("dhi").alias("deg"), F.col("hi").alias("node")
+    )
+    # The oriented list is read three times (both wedge sides + the
+    # closure); persist it or each reference re-derives the whole
+    # canonicalize+degree lineage — the multi-pass graph-operator
+    # discipline shared with pagerank/connected components. Both
+    # persists are edge-sized and released via the cache registry.
+    oriented = tracked_persist(
+        keyed.select(
+            F.when(lo_k < hi_k, F.col("lo"))
+            .otherwise(F.col("hi"))
+            .alias("src"),
+            F.when(lo_k < hi_k, hi_k).otherwise(lo_k).alias("dst_k"),
+        ).select("src", F.col("dst_k.*"))
+    )
+    # oriented: src → (deg, node) of the larger endpoint
+    o1 = oriented.select("src", F.col("deg").alias("d1"),
+                         F.col("node").alias("n1"))
+    o2 = oriented.select(F.col("src").alias("src2"),
+                         F.col("deg").alias("d2"),
+                         F.col("node").alias("n2"))
+    wedges = o1.join(o2, o1.src == o2.src2).filter(
+        F.struct(F.col("d1"), F.col("n1")) < F.struct(F.col("d2"), F.col("n2"))
+    )
+    closure = oriented.select(
+        F.col("src").alias("w1"), F.col("node").alias("w2")
+    )
+    tri = wedges.join(
+        closure,
+        (F.col("n1") == F.col("w1")) & (F.col("n2") == F.col("w2")),
+        "left_semi",
+    ).select(F.col("src").alias("a"), F.col("n1").alias("b"),
+             F.col("n2").alias("c"))
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

@@ -108,6 +108,14 @@ BUDGETS: dict[str, tuple[int, int, bool]] = {
     "exact_median": (0, 0, True),
     "mondrian_anonymity": (1, 3, True),
     "part_entities": (2, 3, True),
+    # round-12 additions: textual MERGE (three-branch composition —
+    # staging broadcasts, the target never shuffles) and the
+    # degree-ordered triangle count (persisted oriented-edge subtree;
+    # wedge/closure joins may legitimately SMJ at real scale, so no
+    # SMJ prohibition and no broadcast floor)
+    "merge_sql_roundtrip": (5, 1, True),
+    "merge_sql_full": (1, 1, True),
+    "part_triangles": (2, 0, False),
 }
 
 

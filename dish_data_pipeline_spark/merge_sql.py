@@ -634,3 +634,44 @@ def _is_row_replacement(spec: MergeSpec, target_cols: list[str]) -> bool:
     return all(
         expr.lower() == f"{sa}.{col}".lower() for col, expr in vals.items()
     )
+
+
+def run_sql(
+    spark: SparkSession,
+    sql: str,
+    tables: Mapping[str, DataFrame],
+) -> DataFrame:
+    """Run ONE SQL statement of the reference's query surface against
+    a caller-supplied table catalog: ``MERGE`` statements route to
+    :func:`execute_merge`; everything else (SELECT and friends) runs
+    through ``spark.sql`` after the catalog's names are bound.
+
+    Name binding: every backticked occurrence of a catalog name (or
+    of a dotted superset of one, e.g. ``proj.ds.orders`` when the
+    catalog holds ``orders``) is rewritten to a registered
+    temp-view name. Only BACKTICKED names are rewritten — exactly
+    the way the reference interpolates its BigQuery identifiers
+    (reference pipeline/data_pipeline.py:160-206) — so bare
+    identifiers in expressions can never be corrupted. Statements
+    referencing backticked names the catalog cannot satisfy raise
+    ``KeyError`` up front rather than leaking a half-bound query.
+    """
+    if re.match(r"^\s*MERGE\b", sql, re.IGNORECASE):
+        return execute_merge(spark, sql, tables)
+
+    text = sql
+    bound: dict[str, str] = {}  # statement name → view name
+    for ref in set(re.findall(r"`([^`]+)`", sql)):
+        df = _resolve(ref, tables)  # KeyError with the catalog listed
+        view = "sqlrun_" + re.sub(r"\W", "_", ref)
+        df.createOrReplaceTempView(view)
+        bound[ref] = view
+    for ref, view in bound.items():
+        text = text.replace(f"`{ref}`", view)
+    # bare catalog names (no backticks) resolve as temp views too
+    for name, df in tables.items():
+        if re.fullmatch(r"\w+", name) and re.search(
+            rf"\b{re.escape(name)}\b", text
+        ):
+            df.createOrReplaceTempView(name)
+    return spark.sql(text)

@@ -548,3 +548,57 @@ def test_shorthand_routes_to_backend_keep_latest(spark, tmp_path):
     rows = {r.k: r.v for r in be.read(spark, path).collect()}
     assert rows == {1: 9.0, 2: 3.0}
     assert be.latest_version(path) == 1
+
+
+# ---- run_sql: the reference's whole SQL surface, one entry point ----
+
+
+def test_run_sql_select_with_backticked_names(spark):
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    orders = spark.createDataFrame(
+        [Row(k=1, v=10.0), Row(k=2, v=20.0), Row(k=3, v=5.0)],
+        "k long, v double",
+    )
+    out = run_sql(
+        spark,
+        "SELECT COUNT(*) AS n, SUM(v) AS total "
+        "FROM `proj.dishdata.orders` WHERE v >= 10",
+        {"orders": orders},
+    ).collect()
+    assert out[0].n == 2 and out[0].total == 30.0
+
+
+def test_run_sql_routes_merge(spark):
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    target = spark.createDataFrame([Row(k=1, v=1)], "k long, v long")
+    staging = spark.createDataFrame([Row(k=2, v=2)], "k long, v long")
+    out = run_sql(
+        spark,
+        "MERGE tgt T USING stg S ON T.k = S.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, S.v)",
+        {"tgt": target, "stg": staging},
+    ).collect()
+    assert {r.k for r in out} == {1, 2}
+
+
+def test_run_sql_join_of_two_catalog_tables(spark):
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    a = spark.createDataFrame([Row(k=1, x="a")], "k long, x string")
+    b = spark.createDataFrame([Row(k=1, y="b")], "k long, y string")
+    out = run_sql(
+        spark,
+        "SELECT t1.k, t1.x, t2.y FROM `p.d.a` t1 JOIN `p.d.b` t2 "
+        "ON t1.k = t2.k",
+        {"a": a, "b": b},
+    ).collect()
+    assert out == [Row(k=1, x="a", y="b")]
+
+
+def test_run_sql_unknown_backticked_name_raises(spark):
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    with pytest.raises(KeyError, match="nope"):
+        run_sql(spark, "SELECT * FROM `proj.ds.nope`", {"orders": None})

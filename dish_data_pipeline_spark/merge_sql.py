@@ -21,11 +21,16 @@ it:
           { UPDATE SET c = e, ... | DELETE } }...
 
 with backtick-quoted dotted names, ``date()``-wrapped join keys,
-``CAST(... AS ...)`` in update/insert expressions, and the inline
-``SELECT * EXCEPT(rn) FROM (SELECT *, ROW_NUMBER() OVER (PARTITION
-BY ... ORDER BY ...) AS rn FROM t) WHERE rn = 1`` dedup subquery.
-Anything outside this dialect raises ``MergeParseError`` loudly —
-a parser that silently guesses at MERGE semantics corrupts tables.
+``CAST(... AS ...)`` in update/insert expressions, and ``USING``
+subqueries: the reference's inline ``SELECT * EXCEPT(rn) FROM
+(SELECT *, ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) AS rn
+FROM t) WHERE rn = 1`` dedup shape routes to the keep-latest
+operator (and, on a backend, to its transactional merge), while ANY
+other ``USING (SELECT ...)`` executes through Spark SQL itself with
+the caller's catalog bound (the :func:`run_sql` name binding), so
+aggregate/filter/join staging shapes all work. Anything outside the
+dialect raises ``MergeParseError`` loudly — a parser that silently
+guesses at MERGE semantics corrupts tables.
 
 Clause semantics follow the standard: clauses of each family are
 tried IN STATEMENT ORDER and the first whose ``AND`` condition holds
@@ -111,6 +116,10 @@ class MergeSpec:
     dedup: DedupSpec | None
     on_sql: str
     clauses: list[WhenClause] = field(default_factory=list)
+    #: USING (<arbitrary SELECT>) that is NOT the keep-latest dedup
+    #: shape: kept as raw SQL; execute_merge binds the caller's
+    #: catalog (run_sql name binding) and runs it via spark.sql.
+    source_sql: str | None = None
 
     def family(self, name: str) -> list[WhenClause]:
         return [c for c in self.clauses if c.family == name]
@@ -301,10 +310,21 @@ def parse_merge(sql: str) -> MergeSpec:
     pos = head.end()
 
     dedup: DedupSpec | None = None
+    source_sql: str | None = None
     if text[pos] == "(":
         end = _balanced_span(text, pos)
-        dedup = _parse_dedup(text[pos + 1 : end - 1])
-        source = dedup.source
+        subquery = text[pos + 1 : end - 1]
+        if _DEDUP_RE.match(_norm(subquery)):
+            dedup = _parse_dedup(subquery)
+            source = dedup.source
+        elif re.match(r"\s*SELECT\b", subquery, re.IGNORECASE):
+            # general USING subquery: defer to spark.sql at execution
+            source_sql = subquery.strip()
+            source = ""
+        else:
+            raise MergeParseError(
+                f"unsupported USING source: {subquery[:80]!r}"
+            )
         pos = end
     else:
         m = re.match(_NAME, text[pos:])
@@ -352,6 +372,7 @@ def parse_merge(sql: str) -> MergeSpec:
         dedup=dedup,
         on_sql=on_sql,
         clauses=clauses,
+        source_sql=source_sql,
     )
 
 
@@ -440,7 +461,12 @@ def execute_merge(
     J2 shape makes keys unique by construction."""
     spec = parse_merge(sql) if isinstance(sql, str) else sql
     target = _resolve(spec.target, tables)
-    staging = _resolve(spec.source, tables)
+    if spec.source_sql is not None:
+        # general USING subquery: bind the catalog and let Spark SQL
+        # evaluate it (same name binding as run_sql)
+        staging = _run_select(spark, spec.source_sql, tables)
+    else:
+        staging = _resolve(spec.source, tables)
     if spec.dedup is not None:
         staging = _apply_dedup(staging, spec.dedup)
 
@@ -658,7 +684,17 @@ def run_sql(
     """
     if re.match(r"^\s*MERGE\b", sql, re.IGNORECASE):
         return execute_merge(spark, sql, tables)
+    return _run_select(spark, sql, tables)
 
+
+def _run_select(
+    spark: SparkSession,
+    sql: str,
+    tables: Mapping[str, DataFrame],
+) -> DataFrame:
+    """Bind the catalog's names into ``sql`` and run it via
+    ``spark.sql`` (shared by :func:`run_sql` and general USING
+    subqueries)."""
     text = sql
     bound: dict[str, str] = {}  # statement name → view name
     for ref in set(re.findall(r"`([^`]+)`", sql)):

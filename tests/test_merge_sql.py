@@ -268,7 +268,7 @@ def test_insert_missing_columns_null_fill(spark):
         ("MERGE t T USING s S ON T.k = S.k "
          "WHEN MATCHED THEN UPDATE SET T.a = S.a "
          "WHEN MATCHED THEN DELETE", "only the LAST"),
-        ("MERGE t T USING (SELECT * FROM s) S ON T.k = S.k "
+        ("MERGE t T USING (VALUES (1)) S ON T.k = S.k "
          "WHEN MATCHED THEN UPDATE SET T.a = S.a", "unsupported USING"),
         ("MERGE t T USING s S ON T.k = S.k WHEN NOT MATCHED THEN "
          "INSERT (a, b) VALUES (S.a)", "columns but"),
@@ -602,3 +602,50 @@ def test_run_sql_unknown_backticked_name_raises(spark):
 
     with pytest.raises(KeyError, match="nope"):
         run_sql(spark, "SELECT * FROM `proj.ds.nope`", {"orders": None})
+
+
+def test_general_using_subquery(spark):
+    """USING (<arbitrary SELECT>) that is not the keep-latest shape
+    executes through spark.sql with the catalog bound — here an
+    aggregate staging the dedup fast path cannot express."""
+    target = spark.createDataFrame(
+        [Row(day="2024-01-01", total=1), Row(day="2024-01-02", total=2)],
+        "day string, total long",
+    )
+    raw = spark.createDataFrame(
+        [Row(day="2024-01-02", n=5), Row(day="2024-01-02", n=7),
+         Row(day="2024-01-03", n=1)],
+        "day string, n long",
+    )
+    out = execute_merge(
+        spark,
+        """
+        MERGE `proj.ds.tgt` T
+        USING (
+            SELECT day, SUM(n) AS total FROM `proj.ds.raw` GROUP BY day
+        ) S
+        ON T.day = S.day
+        WHEN MATCHED THEN UPDATE SET T.total = S.total
+        WHEN NOT MATCHED THEN INSERT (day, total) VALUES (S.day, S.total)
+        """,
+        {"proj.ds.tgt": target, "proj.ds.raw": raw},
+    ).collect()
+    rows = {r.day: r.total for r in out}
+    assert rows == {"2024-01-01": 1, "2024-01-02": 12, "2024-01-03": 1}
+
+
+def test_general_subquery_spark_except_shape(spark):
+    """Spark SQL supports SELECT * EXCEPT(...) too, so even a
+    QUALIFY-less dedup variant outside the fast-path regex still
+    executes through the generic subquery route."""
+    target = spark.createDataFrame([Row(k=1, v=0)], "k long, v long")
+    raw = spark.createDataFrame(
+        [Row(k=1, v=10, junk="x")], "k long, v long, junk string"
+    )
+    out = execute_merge(
+        spark,
+        "MERGE tgt T USING (SELECT * EXCEPT(junk) FROM raw WHERE v > 5) S "
+        "ON T.k = S.k WHEN MATCHED THEN UPDATE SET T.v = S.v",
+        {"tgt": target, "raw": raw},
+    ).collect()
+    assert out == [Row(k=1, v=10)]

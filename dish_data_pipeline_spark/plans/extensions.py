@@ -479,6 +479,71 @@ FROM m
 """
 
 
+# --- Corpus datasheet: per-(source, lang) data card ---------------
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "datasheet for datasets" rollup every corpus release
+    ships (Gebru et al. 2021): one row per (source, lang) with doc /
+    token / char volumes, the Gopher-gate pass count, exact-dup
+    exposure (docs minus distinct texts), and the token-length
+    envelope. Pure composition — the same ``with_quality_flags``
+    columns the standalone gopher_quality query certifies, one
+    map-side pass then a single |sources×langs|-bounded aggregate
+    (COUNT(DISTINCT text) adds the usual two-phase distinct
+    aggregation; everything else combines map-side)."""
+    from dish_data_pipeline_spark.ops.text import with_quality_flags
+
+    d = with_quality_flags(read(spark, sf_dir, "documents"))
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("keep").cast("bigint").alias("n_gopher_keep"),
+        (F.count(F.lit(1)) - F.countDistinct("text"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+
+
+SQL_CORPUS_DATASHEET = """
+WITH d0 AS (
+  SELECT source, lang, n_chars, text,
+         COALESCE(text, '') AS t
+  FROM documents),
+s AS (
+  SELECT source, lang, n_chars, text,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9]+')) AS BIGINT)
+           AS n_tokens,
+         CAST(LENGTH(regexp_replace(t, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+           AS n_alnum,
+         CAST(LENGTH(t)
+              - LENGTH(regexp_replace(t, '[^A-Za-z0-9 ]', '', 'g'))
+           AS DOUBLE) AS n_symbols,
+         CAST(len(list_distinct(regexp_extract_all(t, '[A-Za-z0-9]+')))
+           AS DOUBLE) AS n_distinct
+  FROM d0),
+m AS (
+  SELECT source, lang, n_chars, text, n_tokens,
+         CAST(n_tokens >= 10 AND n_tokens <= 100000
+              AND n_alnum / CAST(GREATEST(n_tokens, 1) AS DOUBLE) >= 2.0
+              AND n_alnum / CAST(GREATEST(n_tokens, 1) AS DOUBLE) <= 12.0
+              AND n_symbols / CAST(GREATEST(n_tokens, 1) AS DOUBLE) <= 0.1
+              AND n_distinct / CAST(GREATEST(n_tokens, 1) AS DOUBLE) >= 0.2
+           AS INT) AS keep
+  FROM s)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(keep) AS BIGINT) AS n_gopher_keep,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dups,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM m GROUP BY source, lang
+"""
+
+
 # --- Benchmark decontamination (n-gram collision) -----------------
 CONTAM_N = 5
 
@@ -4314,6 +4379,10 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         q_repetition_stats, SQL_REPETITION_STATS,
         "Gopher repetition signals: top word bigram + char/dup fractions",
         ("text", "quality")),
+    "corpus_datasheet": QueryDef(
+        q_corpus_datasheet, SQL_CORPUS_DATASHEET,
+        "per-(source, lang) data card: volumes, gopher pass, dup exposure",
+        ("text", "agg")),
     "gopher_quality": QueryDef(
         q_gopher_quality, SQL_GOPHER_QUALITY,
         "Gopher/C4 quality gate: per-rule flags + keep bit",

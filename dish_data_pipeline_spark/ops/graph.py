@@ -569,3 +569,50 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """Per-node local clustering coefficient → (node, deg BIGINT,
+    n_triangles BIGINT, clustering DOUBLE): the fraction of a
+    node's neighbor pairs that are themselves connected,
+    ``2·tri / (deg·(deg−1))`` (Watts-Strogatz), 0.0 for degree-1
+    nodes. Rides on :func:`triangle_counts` (same O(m^1.5) bound)
+    plus the degree relation; the closing division is one IEEE op
+    on exact integers, so a SQL oracle reproduces it bit-for-bit."""
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    u, v = F.col(src_col), F.col(dst_col)
+    # persisted: read by the degree aggregate AND by triangle_counts
+    # (whose own canonicalization is then a no-op pass over this)
+    ec = tracked_persist(
+        edges.filter(u != v)
+        .select(F.least(u, v).alias("lo"), F.greatest(u, v).alias("hi"))
+        .distinct()
+    )
+    deg = (
+        ec.select(F.col("lo").alias("node"))
+        .unionAll(ec.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    tri = triangle_counts(ec, "lo", "hi")
+    joined = deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("bigint")
+        .alias("n_triangles"),
+    )
+    return joined.withColumn(
+        "clustering",
+        F.when(
+            F.col("deg") > 1,
+            2.0
+            * F.col("n_triangles").cast("double")
+            / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )

@@ -1775,21 +1775,23 @@ ORDER BY pr_q DESC, node ASC LIMIT 50
 
 
 def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts on the part co-purchase graph (parts
-    joined when they appear in the same order) via
-    :func:`ops.graph.triangle_counts` — the degree-ordered
-    node-iterator (Suri & Vassilvitskii WWW'11): every edge oriented
-    from its (degree, node)-smaller endpoint, wedges enumerated at
-    each triangle's LOWEST-degree corner (total wedge work O(m^1.5)
+    """Per-node triangle counts + local clustering coefficients on
+    the part co-purchase graph (parts joined when they appear in the
+    same order) via :func:`ops.graph.clustering_coefficients`, whose
+    triangle kernel is the degree-ordered node-iterator (Suri &
+    Vassilvitskii WWW'11): every edge oriented from its
+    (degree, node)-smaller endpoint, wedges enumerated at each
+    triangle's LOWEST-degree corner (total wedge work O(m^1.5)
     regardless of hub skew — the celebrity node never expands its
     neighbor pairs), closed by one more equi-join. Orientation
     changes work, never results, so the DuckDB twin verifies with
-    the simple id-ordered 3-way self-join. The per-order pair
+    the simple id-ordered 3-way self-join; the Watts-Strogatz
+    coefficient ``2·tri / (deg·(deg−1))`` is one IEEE division on
+    exact integers, bit-identical both engines. The per-order pair
     expansion is bounded by order size (C(lines,2) ≈ 6 per order);
     the order slice bounds the graph density so the suite's wedge
-    volume stays proportionate (the operator itself takes any edge
-    relation — wedge work is O(m^1.5) whatever the slice)."""
-    from dish_data_pipeline_spark.ops.graph import triangle_counts
+    volume stays proportionate."""
+    from dish_data_pipeline_spark.ops.graph import clustering_coefficients
 
     li = (
         read(spark, sf_dir, "lineitem")
@@ -1805,7 +1807,7 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
     )
-    return triangle_counts(pairs)
+    return clustering_coefficients(pairs)
 
 
 SQL_PART_TRIANGLES = """
@@ -1815,16 +1817,28 @@ e AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM e e1
   JOIN e e2 ON e2.u = e1.v
-  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
-SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
-FROM (SELECT a AS node FROM tri
-      UNION ALL SELECT b FROM tri
-      UNION ALL SELECT c FROM tri)
-GROUP BY node
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tcount AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node)
+SELECT d.node, d.deg,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.deg > 1
+            THEN 2.0 * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN tcount t ON t.node = d.node
 """
 
 
@@ -4300,7 +4314,7 @@ EXTENSION_QUERIES: dict[str, QueryDef] = {
         ("sampling", "text", "quality")),
     "part_triangles": QueryDef(
         q_part_triangles, SQL_PART_TRIANGLES,
-        "degree-ordered triangle counting on the part co-purchase graph",
+        "triangle counts + clustering coefficients, part co-purchase graph",
         ("graph",)),
     "trade_pagerank": QueryDef(
         q_trade_pagerank, _sql_trade_pagerank(),

@@ -64,3 +64,39 @@ def test_string_node_ids(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_counts(tri).collect()}
     assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_clustering_coefficients_square_with_diagonal(spark):
+    from dish_data_pipeline_spark.ops.graph import clustering_coefficients
+
+    # square 0-1-2-3 plus diagonal 0-2: nodes 0/2 have deg 3 and sit
+    # in 2 triangles (cc = 2*2/6), nodes 1/3 deg 2 in 1 (cc = 1.0)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "u long, v long"
+    )
+    got = {
+        r.node: (r.deg, r.n_triangles, round(r.clustering, 6))
+        for r in clustering_coefficients(e).collect()
+    }
+    assert got == {
+        0: (3, 2, round(2 / 3, 6)),
+        1: (2, 1, 1.0),
+        2: (3, 2, round(2 / 3, 6)),
+        3: (2, 1, 1.0),
+    }
+
+
+def test_clustering_degree_one_and_isolated_from_triangles(spark):
+    from dish_data_pipeline_spark.ops.graph import clustering_coefficients
+
+    # triangle 0-1-2 plus pendant 2-9: node 9 has deg 1 → cc 0.0 and
+    # appears in the output (unlike triangle_counts, which only
+    # reports triangle members)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 9)], "u long, v long"
+    )
+    got = {r.node: (r.deg, r.n_triangles, r.clustering)
+           for r in clustering_coefficients(e).collect()}
+    assert got[9] == (1, 0, 0.0)
+    assert got[0] == (2, 1, 1.0)
+    assert got[2][0] == 3 and got[2][1] == 1

@@ -128,8 +128,73 @@ class MergeSpec:
 _NAME = r"(?:`[^`]+`|[A-Za-z_][\w.]*)"
 
 
+def _quoted_end(text: str, i: int) -> int:
+    """One past the closing quote of the literal starting at
+    ``text[i]`` (``'`` with ``''`` doubling, or a backtick ident).
+    Raises loudly on an unterminated literal — guessing at string
+    boundaries is how parsers corrupt statements."""
+    q = text[i]
+    j = i + 1
+    n = len(text)
+    while j < n:
+        if text[j] == q:
+            if q == "'" and j + 1 < n and text[j + 1] == "'":
+                j += 2  # escaped '' stays inside the literal
+                continue
+            return j + 1
+        j += 1
+    raise MergeParseError(
+        f"unterminated {'string' if q == chr(39) else 'backtick'} "
+        f"literal at offset {i}: {text[i:i + 40]!r}"
+    )
+
+
+def _mask_quotes(text: str) -> str:
+    """Length-preserving copy with every quoted literal's CONTENT
+    blanked to spaces (the quote characters stay). All structural
+    scanning — commas, parens, keywords — runs on the mask so that
+    literals like ``'a, (WHEN MATCHED'`` can never confuse it, while
+    slicing the ORIGINAL text at mask positions keeps every literal
+    byte-for-byte intact (the fail-loud-never-guess contract)."""
+    out = list(text)
+    i = 0
+    n = len(text)
+    while i < n:
+        if text[i] in ("'", "`"):
+            j = _quoted_end(text, i)
+            for k in range(i + 1, j - 1):
+                out[k] = " "
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _norm(sql: str) -> str:
-    return re.sub(r"\s+", " ", sql).strip().rstrip(";").strip()
+    """Collapse whitespace OUTSIDE quoted literals only; literals
+    pass through byte-for-byte (``'a,  b'`` keeps its two spaces)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    pending_ws = False
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", "`"):
+            j = _quoted_end(sql, i)
+            if pending_ws and out:
+                out.append(" ")
+            pending_ws = False
+            out.append(sql[i:j])
+            i = j
+        elif ch.isspace():
+            pending_ws = True
+            i += 1
+        else:
+            if pending_ws and out:
+                out.append(" ")
+            pending_ws = False
+            out.append(ch)
+            i += 1
+    return "".join(out).rstrip(";").strip()
 
 
 def _unquote(name: str) -> str:
@@ -137,31 +202,35 @@ def _unquote(name: str) -> str:
 
 
 def _split_top(text: str) -> list[str]:
-    """Split on commas at paren depth 0 (CAST(x AS y) stays whole)."""
-    parts, depth, cur = [], 0, []
-    for ch in text:
+    """Split on commas at paren depth 0, OUTSIDE quoted literals
+    (``CAST(x AS y)`` and ``'a, b'`` both stay whole)."""
+    mask = _mask_quotes(text)
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(mask):
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    tail = "".join(cur).strip()
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i].strip())
+            start = i + 1
+    tail = text[start:].strip()
     if tail:
         parts.append(tail)
     return parts
 
 
 def _balanced_span(text: str, start: int) -> int:
-    """Index one past the ``)`` closing the ``(`` at ``start``."""
+    """Index one past the ``)`` closing the ``(`` at ``start``
+    (parens inside quoted literals don't count)."""
+    mask = _mask_quotes(text)
     depth = 0
     for i in range(start, len(text)):
-        if text[i] == "(":
+        if mask[i] == "(":
             depth += 1
-        elif text[i] == ")":
+        elif mask[i] == ")":
             depth -= 1
             if depth == 0:
                 return i + 1
@@ -205,6 +274,53 @@ _WHEN_HEAD = re.compile(
     r"\bWHEN\s+(?:MATCHED|NOT\s+MATCHED)\b", re.IGNORECASE
 )
 
+# Structural tokens for the depth-tracking scanner: parens, CASE/END
+# span markers, and the two keyword shapes the clause grammar hinges
+# on. Scanned over the quote MASK, so literals never produce tokens.
+_STRUCT_TOKEN = re.compile(
+    r"[()]|\b(?:CASE|END|THEN)\b|" + _WHEN_HEAD.pattern,
+    re.IGNORECASE,
+)
+
+
+def _top_level_spans(text: str, want: str) -> list[re.Match]:
+    """Matches of ``want`` ("when_head" or "then") at paren depth 0
+    and OUTSIDE any ``CASE ... END`` span or quoted literal.
+
+    This is what lets ``UPDATE SET x = CASE WHEN matched THEN 1 ELSE
+    0 END`` (a column literally named ``matched``) parse: the inner
+    ``WHEN matched`` / ``THEN`` tokens sit at CASE depth 1 and are
+    not clause boundaries. A stray ``END`` with no ``CASE`` raises —
+    depth going negative means the statement is malformed and any
+    split we chose would be a guess."""
+    mask = _mask_quotes(text)
+    hits: list[re.Match] = []
+    pdepth = cdepth = 0
+    for m in _STRUCT_TOKEN.finditer(mask):
+        tok = m.group(0)
+        if tok == "(":
+            pdepth += 1
+        elif tok == ")":
+            pdepth -= 1
+        else:
+            up = tok.upper()
+            if up == "CASE":
+                cdepth += 1
+            elif up == "END":
+                cdepth -= 1
+                if cdepth < 0:
+                    raise MergeParseError(
+                        f"END without CASE at offset {m.start()}: "
+                        f"{text[max(0, m.start() - 40):m.start() + 3]!r}"
+                    )
+            elif pdepth == 0 and cdepth == 0:
+                if up == "THEN":
+                    if want == "then":
+                        hits.append(m)
+                elif want == "when_head":  # a WHEN ... MATCHED head
+                    hits.append(m)
+    return hits
+
 
 def _parse_update_items(body: str) -> dict[str, str]:
     update_set: dict[str, str] = {}
@@ -219,19 +335,28 @@ def _parse_update_items(body: str) -> dict[str, str]:
 
 
 def _parse_clause(text: str) -> WhenClause:
-    """Parse one ``WHEN ... THEN ...`` branch (WHEN already stripped)."""
+    """Parse one ``WHEN ... THEN ...`` branch (WHEN already stripped).
+
+    The head/body split is the FIRST top-level ``THEN`` — a ``THEN``
+    inside a ``CASE`` expression in the AND condition (e.g. ``AND
+    CASE WHEN ... THEN ... END = 1``) belongs to the condition, not
+    the clause."""
+    thens = _top_level_spans(text, "then")
+    if not thens:
+        raise MergeParseError(f"WHEN clause has no THEN: {text[:80]!r}")
+    t = thens[0]
+    head, body = text[: t.start()].strip(), text[t.end() :].strip()
     m = re.match(
         r"^(?P<kind>MATCHED|NOT MATCHED BY SOURCE|"
         r"NOT MATCHED(?: BY TARGET)?)"
-        r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+(?P<body>.+)$",
-        text,
+        r"(?:\s+AND\s+(?P<cond>.+))?$",
+        head,
         re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise MergeParseError(f"unsupported WHEN clause: {text[:80]!r}")
     kind = re.sub(r"\s+", " ", m.group("kind").upper())
     cond = m.group("cond")
-    body = m.group("body").strip()
     family = {
         "MATCHED": "matched",
         "NOT MATCHED": "insert",
@@ -340,7 +465,7 @@ def parse_merge(sql: str) -> MergeSpec:
     salias = m.group("salias")
     tail = tail[m.end():]
 
-    heads = list(_WHEN_HEAD.finditer(tail))
+    heads = _top_level_spans(tail, "when_head")
     if not heads:
         raise MergeParseError("MERGE needs at least one WHEN clause")
     on_sql = tail[: heads[0].start()].strip()

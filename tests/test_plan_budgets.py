@@ -114,8 +114,12 @@ BUDGETS: dict[str, tuple[int, int, bool]] = {
     # wedge/closure joins may legitimately SMJ at real scale, so no
     # SMJ prohibition and no broadcast floor)
     "merge_sql_roundtrip": (5, 1, True),
+    "merge_sql_datekey": (5, 3, True),
     "merge_sql_full": (1, 1, True),
     "part_triangles": (2, 0, False),
+    # per-(source,lang) data card: one map-side flags pass, one
+    # |sources×langs|-bounded agg; COUNT(DISTINCT) adds the 2nd phase
+    "corpus_datasheet": (2, 0, True),
 }
 
 

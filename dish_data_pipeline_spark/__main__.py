@@ -80,6 +80,13 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="compute and report the merged row count without committing",
     )
+    mg.add_argument(
+        "--no-verify",
+        action="store_true",
+        help="skip the ANSI cardinality check (a target row matching "
+        "several source rows fans out instead of raising) — the check "
+        "is ON by default on this committing path",
+    )
 
     t = sub.add_parser(
         "table", help="manifest lakehouse table maintenance"
@@ -206,18 +213,34 @@ def main(argv: list[str] | None = None, http_get=None) -> int:
             print(f"MERGE target {spec.target!r} has no --table mapping",
                   file=sys.stderr)
             return 2
-        source_path = _lookup(spec.source)
-        if source_path is None:
-            print(f"MERGE source {spec.source!r} has no --table mapping",
-                  file=sys.stderr)
-            return 2
-        tables = {spec.source: be.read(spark, source_path)}
+        if spec.source_sql is not None:
+            # USING (SELECT ...): the subquery's table refs resolve
+            # through the same --table catalog (backticked names plus
+            # bare names in FROM/JOIN position — the _run_select
+            # binding), so expose every mapped table.
+            tables = {
+                name: be.read(spark, path)
+                for name, path in paths.items()
+                if name != spec.target
+            }
+        else:
+            source_path = _lookup(spec.source)
+            if source_path is None:
+                print(f"MERGE source {spec.source!r} has no --table mapping",
+                      file=sys.stderr)
+                return 2
+            tables = {spec.source: be.read(spark, source_path)}
+        verify = not args.no_verify
         if args.dry_run:
             tables[spec.target] = be.read(spark, target_path)
-            n = execute_merge(spark, spec, tables).count()
+            n = execute_merge(
+                spark, spec, tables, verify_unique_match=verify
+            ).count()
             print(f"dry-run: merged table would hold {n} rows")
             return 0
-        merge_into_backend(spark, sql, be, target_path, tables)
+        merge_into_backend(
+            spark, sql, be, target_path, tables, verify_unique_match=verify
+        )
         n = be.read(spark, target_path).count()
         print(f"merged into {target_path}: {n} rows")
         return 0

@@ -70,6 +70,7 @@ from __future__ import annotations
 import re
 from collections.abc import Mapping
 from dataclasses import dataclass, field
+from itertools import count
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -708,6 +709,7 @@ def merge_into_backend(
     backend,
     target_path: str,
     tables: Mapping[str, DataFrame],
+    verify_unique_match: bool = True,
 ) -> None:
     """Run a textual MERGE against a table held by a
     :class:`~dish_data_pipeline_spark.io_backends.TableBackend`.
@@ -719,7 +721,18 @@ def merge_into_backend(
     transactional machinery: optimistic retries, version history,
     bloom inheritance on the manifest backend). Every other statement
     executes faithfully via :func:`execute_merge` and commits through
-    ``backend.replace`` (atomic full-snapshot swap)."""
+    ``backend.replace`` (atomic full-snapshot swap).
+
+    The ANSI/BigQuery cardinality check defaults ON here (unlike
+    :func:`execute_merge`): this path COMMITS arbitrary user
+    statements to a real table, which is exactly where a silent
+    fan-out corrupts data, and the check is one bounded aggregate
+    that runs BEFORE ``replace`` writes anything. The keep-latest
+    row-replacement route skips it by construction — the dedup
+    subquery leaves at most one source row per key and the ON is
+    bare key equality, so fan-out is impossible. Pass
+    ``verify_unique_match=False`` to opt out (e.g. an intentional
+    one-to-many enrichment merge outside ANSI semantics)."""
     spec = parse_merge(sql)
     target = backend.read(spark, target_path)
     catalog = dict(tables)
@@ -737,7 +750,9 @@ def merge_into_backend(
             tiebreakers=tie,
         )
         return
-    merged = execute_merge(spark, spec, catalog)
+    merged = execute_merge(
+        spark, spec, catalog, verify_unique_match=verify_unique_match
+    )
     backend.replace(merged, target_path)
 
 
@@ -799,17 +814,33 @@ def run_sql(
 
     Name binding: every backticked occurrence of a catalog name (or
     of a dotted superset of one, e.g. ``proj.ds.orders`` when the
-    catalog holds ``orders``) is rewritten to a registered
-    temp-view name. Only BACKTICKED names are rewritten — exactly
-    the way the reference interpolates its BigQuery identifiers
-    (reference pipeline/data_pipeline.py:160-206) — so bare
-    identifiers in expressions can never be corrupted. Statements
-    referencing backticked names the catalog cannot satisfy raise
-    ``KeyError`` up front rather than leaking a half-bound query.
+    catalog holds ``orders``) is rewritten to a fresh generated
+    temp-view name — exactly the way the reference interpolates its
+    BigQuery identifiers (reference pipeline/data_pipeline.py:
+    160-206). A BARE catalog name binds only in FROM/JOIN position.
+    Statements referencing backticked names the catalog cannot
+    satisfy raise ``KeyError`` up front rather than leaking a
+    half-bound query.
     """
     if re.match(r"^\s*MERGE\b", sql, re.IGNORECASE):
         return execute_merge(spark, sql, tables)
     return _run_select(spark, sql, tables)
+
+
+#: monotonically-unique suffix for generated view names — session
+#: temp views are process-scoped, so a process-scoped counter is
+#: collision-free by construction.
+_VIEW_SEQ = count()
+
+#: keywords that can legally FOLLOW a table reference — if the next
+#: word after a bound bare name is one of these, the statement did
+#: NOT alias the relation, so the rewrite adds ``AS <name>`` itself.
+_POST_TABLE_KW = frozenset(
+    "ON WHERE GROUP ORDER HAVING LIMIT JOIN INNER LEFT RIGHT FULL "
+    "CROSS UNION EXCEPT INTERSECT QUALIFY NATURAL USING WINDOW SEMI "
+    "ANTI LATERAL OFFSET DISTRIBUTE SORT CLUSTER TABLESAMPLE "
+    "PIVOT UNPIVOT".split()
+)
 
 
 def _run_select(
@@ -819,20 +850,55 @@ def _run_select(
 ) -> DataFrame:
     """Bind the catalog's names into ``sql`` and run it via
     ``spark.sql`` (shared by :func:`run_sql` and general USING
-    subqueries)."""
+    subqueries).
+
+    Binding is deliberately narrow (round-13 advisor items):
+
+    - Backticked names always resolve through the catalog.
+    - Bare catalog names bind ONLY directly after ``FROM`` or
+      ``JOIN`` — a column that happens to share a catalog table's
+      name never triggers a binding.
+    - Every binding is rewritten to a FRESH generated view name
+      (``sqlrun_<n>``) and the view is dropped before returning, so
+      pre-existing session temp views are never shadowed or
+      replaced. Dropping is safe because ``spark.sql`` analyzes
+      eagerly: the returned DataFrame's plan holds the resolved
+      relations, not the view names.
+    """
     text = sql
-    bound: dict[str, str] = {}  # statement name → view name
+    views: list[str] = []
+
+    def _bind(df: DataFrame) -> str:
+        view = f"sqlrun_{next(_VIEW_SEQ)}"
+        df.createOrReplaceTempView(view)
+        views.append(view)
+        return view
+
     for ref in set(re.findall(r"`([^`]+)`", sql)):
         df = _resolve(ref, tables)  # KeyError with the catalog listed
-        view = "sqlrun_" + re.sub(r"\W", "_", ref)
-        df.createOrReplaceTempView(view)
-        bound[ref] = view
-    for ref, view in bound.items():
-        text = text.replace(f"`{ref}`", view)
-    # bare catalog names (no backticks) resolve as temp views too
+        text = text.replace(f"`{ref}`", _bind(df))
+    # bare catalog names bind in FROM/JOIN position only; the original
+    # name is preserved as the relation's alias (unless the statement
+    # already aliases it) so qualified column refs keep resolving
     for name, df in tables.items():
-        if re.fullmatch(r"\w+", name) and re.search(
-            rf"\b{re.escape(name)}\b", text
-        ):
-            df.createOrReplaceTempView(name)
-    return spark.sql(text)
+        if not re.fullmatch(r"\w+", name):
+            continue
+        pat = re.compile(
+            rf"(\b(?:FROM|JOIN)\s+){re.escape(name)}\b", re.IGNORECASE
+        )
+        if not pat.search(text):
+            continue
+        view = _bind(df)
+
+        def _repl(m: re.Match, view=view, name=name) -> str:
+            follow = re.match(r"\s+(?:AS\s+)?(\w+)", m.string[m.end() :])
+            if follow and follow.group(1).upper() not in _POST_TABLE_KW:
+                return m.group(1) + view  # statement supplies an alias
+            return f"{m.group(1)}{view} AS {name}"
+
+        text = pat.sub(_repl, text)
+    try:
+        return spark.sql(text)
+    finally:
+        for view in views:
+            spark.catalog.dropTempView(view)

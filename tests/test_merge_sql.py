@@ -649,3 +649,90 @@ def test_general_subquery_spark_except_shape(spark):
         {"tgt": target, "raw": raw},
     ).collect()
     assert out == [Row(k=1, v=10)]
+
+
+# ---- round-13 hardening: committing-path cardinality + narrowed binding ----
+
+
+def test_backend_commit_verifies_cardinality_by_default(spark, tmp_path):
+    """merge_into_backend COMMITS arbitrary statements, so the ANSI
+    cardinality check defaults ON there: a source where one target
+    row matches two source rows raises BEFORE replace() writes
+    anything (table version and content untouched)."""
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    be = ManifestParquetBackend()
+    path = str(tmp_path / "tbl")
+    be.create(
+        spark.createDataFrame([Row(k=1, v=0)], "k long, v long"), path
+    )
+    staging = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=1, v=20)], "k long, v long"
+    )
+    sql = (
+        "MERGE tbl T USING stg S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET T.v = S.v"
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into_backend(spark, sql, be, path, {"stg": staging})
+    assert be.latest_version(path) == 0  # nothing committed
+    assert be.read(spark, path).collect() == [Row(k=1, v=0)]
+
+    # explicit opt-out: the fan-out is accepted and commits
+    merge_into_backend(
+        spark, sql, be, path, {"stg": staging}, verify_unique_match=False
+    )
+    assert be.latest_version(path) == 1
+    assert {r.v for r in be.read(spark, path).collect()} == {10, 20}
+
+
+def test_run_sql_column_name_does_not_bind_catalog_table(spark):
+    """A column that happens to share a catalog table's name must not
+    trigger a binding, and a pre-existing temp view of that name must
+    survive the statement (round-13 narrowed binding)."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    pre = spark.createDataFrame([Row(marker="pre-existing")], "marker string")
+    pre.createOrReplaceTempView("orders")
+    try:
+        t = spark.createDataFrame([Row(k=1, orders=5)], "k long, orders long")
+        decoy = spark.createDataFrame([Row(k=99)], "k long")
+        out = run_sql(
+            spark,
+            "SELECT k, orders FROM `p.d.t` WHERE orders > 1",
+            {"t": t, "orders": decoy},
+        ).collect()
+        assert out == [Row(k=1, orders=5)]
+        # the session view named `orders` is untouched
+        assert spark.table("orders").collect() == [Row(marker="pre-existing")]
+    finally:
+        spark.catalog.dropTempView("orders")
+
+
+def test_run_sql_bare_name_binds_in_from_join_only(spark):
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    a = spark.createDataFrame([Row(k=1, x="a")], "k long, x string")
+    b = spark.createDataFrame([Row(k=1, y="b")], "k long, y string")
+    out = run_sql(
+        spark,
+        "SELECT a.k, a.x, b.y FROM a JOIN b ON a.k = b.k",
+        {"a": a, "b": b},
+    ).collect()
+    assert out == [Row(k=1, x="a", y="b")]
+
+
+def test_run_sql_drops_generated_views(spark):
+    """Generated sqlrun_* views are dropped before returning; the
+    returned DataFrame stays collectable (spark.sql analyzed it
+    eagerly, so the plan no longer needs the views)."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    t = spark.createDataFrame([Row(k=1)], "k long")
+    df = run_sql(spark, "SELECT k FROM `p.d.t`", {"t": t})
+    leftovers = [
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith("sqlrun_")
+    ]
+    assert leftovers == []
+    assert df.collect() == [Row(k=1)]

@@ -736,3 +736,175 @@ def test_run_sql_drops_generated_views(spark):
     ]
     assert leftovers == []
     assert df.collect() == [Row(k=1)]
+
+
+# ---- round-13: textual DML beyond MERGE (the rest of the lifecycle) ----
+
+
+def _mk_backend(spark, tmp_path):
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    return ManifestParquetBackend(), str(tmp_path / "tbl")
+
+
+def test_ctas_create_and_truncate_reload(spark, tmp_path):
+    """CREATE OR REPLACE TABLE ... AS is the reference's
+    WRITE_TRUNCATE staging load: first run creates, second run
+    truncates and reloads."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    raw = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=2, v=20)], "k long, v long"
+    )
+    out = run_sql(
+        spark,
+        "CREATE OR REPLACE TABLE `proj.ds.staging` AS "
+        "SELECT k, v FROM `proj.ds.raw` WHERE v > 10",
+        {"raw": raw},
+        backend=be,
+        table_paths={"staging": path},
+    )
+    assert out is None  # committing DML returns None
+    assert be.read(spark, path).collect() == [Row(k=2, v=20)]
+
+    # truncate-reload with different rows: old content fully replaced
+    run_sql(
+        spark,
+        "CREATE OR REPLACE TABLE `proj.ds.staging` AS "
+        "SELECT k, v FROM `proj.ds.raw`",
+        {"raw": raw},
+        backend=be,
+        table_paths={"staging": path},
+    )
+    assert be.read(spark, path).count() == 2
+
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(
+            spark,
+            "CREATE TABLE staging AS SELECT * FROM `proj.ds.raw`",
+            {"raw": raw},
+            backend=be,
+            table_paths={"staging": path},
+        )
+
+
+def test_insert_into_appends_values_and_select(spark, tmp_path):
+    """INSERT INTO routes to backend.append (WRITE_APPEND audit
+    semantics): VALUES body, then a SELECT body with a column list
+    NULL-filling the unlisted column."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(
+        spark.createDataFrame(
+            [Row(table_name="t0", n=1, status="OK")],
+            "table_name string, n long, status string",
+        ),
+        path,
+    )
+    run_sql(
+        spark,
+        "INSERT INTO `proj.ds.audit` VALUES ('t1', 5, 'SUCCESS')",
+        backend=be,
+        table_paths={"audit": path},
+    )
+    run_sql(
+        spark,
+        "INSERT INTO audit (table_name, n) SELECT 't2', 9",
+        backend=be,
+        table_paths={"audit": path},
+    )
+    rows = {r.table_name: r for r in be.read(spark, path).collect()}
+    assert rows["t1"].n == 5 and rows["t1"].status == "SUCCESS"
+    assert rows["t2"].n == 9 and rows["t2"].status is None  # NULL-fill
+    assert be.latest_version(path) == 2  # two append commits
+
+
+def test_insert_overwrite_replaces(spark, tmp_path):
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(
+        spark.createDataFrame([Row(k=1, v=1)], "k long, v long"), path
+    )
+    run_sql(
+        spark,
+        "INSERT OVERWRITE TABLE tbl VALUES (9, CAST(90 AS LONG))",
+        backend=be,
+        table_paths={"tbl": path},
+    )
+    assert be.read(spark, path).collect() == [Row(k=9, v=90)]
+
+
+def test_insert_arity_and_unknown_column_raise(spark, tmp_path):
+    from dish_data_pipeline_spark.merge_sql import MergeParseError, run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(
+        spark.createDataFrame([Row(k=1, v=1)], "k long, v long"), path
+    )
+    with pytest.raises(MergeParseError, match="supplies 1 columns"):
+        run_sql(spark, "INSERT INTO tbl VALUES (9)",
+                backend=be, table_paths={"tbl": path})
+    with pytest.raises(MergeParseError, match="unknown target columns"):
+        run_sql(spark, "INSERT INTO tbl (nope) VALUES (9)",
+                backend=be, table_paths={"tbl": path})
+    with pytest.raises(ValueError, match="does not exist"):
+        run_sql(spark, "INSERT INTO ghost VALUES (1, 2)",
+                backend=be, table_paths={"ghost": str(tmp_path / "ghost")})
+
+
+def test_dml_without_backend_raises(spark):
+    from dish_data_pipeline_spark.merge_sql import MergeParseError, run_sql
+
+    with pytest.raises(MergeParseError, match="commits to a table"):
+        run_sql(spark, "INSERT INTO t VALUES (1)", {"t": None})
+
+
+def test_run_sql_merge_commits_when_target_mapped(spark, tmp_path):
+    """run_sql MERGE + backend + mapped target commits through
+    merge_into_backend (returns None); unmapped targets keep the
+    in-memory execute_merge behavior."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(
+        spark.createDataFrame([Row(k=1, v=1)], "k long, v long"), path
+    )
+    staging = spark.createDataFrame([Row(k=2, v=2)], "k long, v long")
+    out = run_sql(
+        spark,
+        "MERGE tbl T USING stg S ON T.k = S.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, S.v)",
+        {"stg": staging},
+        backend=be,
+        table_paths={"tbl": path},
+    )
+    assert out is None
+    assert be.read(spark, path).count() == 2
+
+
+def test_dml_body_reads_backend_tables(spark, tmp_path):
+    """A DML body can SELECT from other mapped backend tables — the
+    lifecycle's staging→final hops never leave SQL."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    be = ManifestParquetBackend()
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    be.create(
+        spark.createDataFrame([Row(k=1, v=3), Row(k=2, v=4)],
+                              "k long, v long"),
+        src,
+    )
+    run_sql(
+        spark,
+        "CREATE OR REPLACE TABLE dst AS "
+        "SELECT k, v * 10 AS v FROM `proj.ds.src` WHERE k = 2",
+        backend=be,
+        table_paths={"src": src, "dst": dst},
+    )
+    assert be.read(spark, dst).collect() == [Row(k=2, v=40)]

@@ -614,7 +614,9 @@ class ManifestParquetBackend:
             f"lost the commit race {self.max_retries + 1} times at {path}"
         )
 
-    def replace(self, df: DataFrame, path: str) -> int:
+    def replace(
+        self, df: DataFrame, path: str, txn: tuple[str, int] | None = None
+    ) -> int | None:
         """Atomically replace the table's contents with ``df`` as a
         new version (Delta's ``mode("overwrite")`` analog; the commit
         primitive behind the textual MERGE surface's generic path).
@@ -623,21 +625,37 @@ class ManifestParquetBackend:
         The result is position-independent of the version race (the
         caller composed it from a snapshot THEY chose), so losing a
         race is always retryable by re-linking the same data files
-        against the new latest, like :meth:`append`."""
+        against the new latest, like :meth:`append`.
+
+        ``txn=(app_id, batch_id)`` carries the same idempotence
+        markers as :meth:`append`/:meth:`merge_keep_latest` — a
+        replayed micro-batch whose marker is already covered writes
+        nothing and returns None, which makes even the GENERIC
+        textual-MERGE commit path (execute_merge → replace) an
+        exactly-once streaming sink."""
         spark = df.sparkSession
         base = self.latest_version(path)
         if base is None:
             raise FileNotFoundError(f"no table at {path}; create() first")
         man_base = self._manifest(path, base)
+        if txn is not None:
+            covered = dict(man_base.get("txns", {}))
+            if covered.get(txn[0], -1) >= txn[1]:
+                return None  # replayed batch: already applied
         stats_cols = man_base.get("stats_cols") or []
         files, schema, stats = self._write_data(df, path, stats_cols)
         for _ in range(self.max_retries + 1):
             base = self.latest_version(path)
             man_base = self._manifest(path, base)
+            txns = dict(man_base.get("txns", {}))
+            if txn is not None:
+                if txns.get(txn[0], -1) >= txn[1]:
+                    return None  # rival writer covered it mid-race
+                txns[txn[0]] = txn[1]
             manifest = {"version": base + 1, "parent": base,
                         "files": files, "schema": schema,
                         "stats_cols": stats_cols, "stats": stats,
-                        "txns": dict(man_base.get("txns", {}))}
+                        "txns": txns}
             bloom = self._bloom_commit_entry(spark, path, man_base, files)
             if bloom is not None:
                 manifest["bloom"] = bloom

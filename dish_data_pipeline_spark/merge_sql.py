@@ -710,6 +710,7 @@ def merge_into_backend(
     target_path: str,
     tables: Mapping[str, DataFrame],
     verify_unique_match: bool = True,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Run a textual MERGE against a table held by a
     :class:`~dish_data_pipeline_spark.io_backends.TableBackend`.
@@ -732,11 +733,18 @@ def merge_into_backend(
     subquery leaves at most one source row per key and the ON is
     bare key equality, so fan-out is impossible. Pass
     ``verify_unique_match=False`` to opt out (e.g. an intentional
-    one-to-many enrichment merge outside ANSI semantics)."""
+    one-to-many enrichment merge outside ANSI semantics).
+
+    ``txn=(app_id, batch_id)`` forwards the backend's idempotence
+    markers so a streaming ``foreachBatch`` can drive this textual
+    surface exactly-once — a replayed micro-batch whose marker is
+    covered commits nothing (both routes: ``merge_keep_latest`` and
+    the generic ``replace``)."""
     spec = parse_merge(sql)
     target = backend.read(spark, target_path)
     catalog = dict(tables)
     catalog[spec.target] = target
+    txn_kw = {} if txn is None else {"txn": txn}
 
     d = spec.dedup
     if d is not None and _is_row_replacement(spec, target.columns):
@@ -748,12 +756,13 @@ def merge_into_backend(
             keys=d.keys,
             ts_col=ts,
             tiebreakers=tie,
+            **txn_kw,
         )
         return
     merged = execute_merge(
         spark, spec, catalog, verify_unique_match=verify_unique_match
     )
-    backend.replace(merged, target_path)
+    backend.replace(merged, target_path, **txn_kw)
 
 
 def _is_row_replacement(spec: MergeSpec, target_cols: list[str]) -> bool:

@@ -1367,3 +1367,102 @@ def test_iceberg_gate_catalog_predicate():
     assert not ok(
         {"spark.sql.catalog.lake.type": "hadoop"}  # option, no impl
     )
+
+
+def test_stream_merge_sql_replay_three_batches(spark, tmp_path):
+    """Textual MERGE as a streaming sink (round-13): three
+    micro-batches drive the reference J2 statement shape through
+    merge_into_backend with txn markers; a fresh-checkpoint replay
+    commits nothing and the table state is unchanged."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.streaming.pipeline import (
+        stream_merge_sql_to_table,
+    )
+
+    src = str(tmp_path / "src")
+    # three one-row-group files -> three micro-batches under
+    # maxFilesPerTrigger=1; keys repeat across batches so MERGE both
+    # updates and inserts
+    for i in range(3):
+        spark.range(4).select(
+            ((F.col("id") + i) % 4).alias("k"),
+            (F.col("id") + 10 * i).alias("v"),
+            F.lit(i).alias("ts"),
+        ).coalesce(1).write.mode("append").parquet(src)
+    table = str(tmp_path / "table")
+    be = ManifestParquetBackend()
+    be.create(spark.createDataFrame([], "k bigint, v bigint, ts bigint"), table)
+    sql = (
+        "MERGE `proj.ds.tgt` T USING ("
+        " SELECT * EXCEPT(rn) FROM ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC)"
+        "  AS rn FROM `proj.ds.stg`) WHERE rn = 1) S "
+        "ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET T.v = S.v, T.ts = S.ts "
+        "WHEN NOT MATCHED THEN INSERT (k, v, ts) VALUES (S.k, S.v, S.ts)"
+    )
+    stream = spark.readStream.schema("k bigint, v bigint, ts bigint").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = stream_merge_sql_to_table(
+            stream, sql, table, ck, app_id="msql"
+        )
+        q.awaitTermination(120)
+
+    run()
+    v1 = be.latest_version(table)
+    assert v1 == 3  # create + one MERGE commit per micro-batch
+    got = {r.k: (r.v, r.ts) for r in be.read(spark, table).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # every key appears in every batch, so keep-latest leaves the
+    # final batch's rows: ts=2, v = ((k-2) % 4) + 20
+    assert got == {k: (((k - 2) % 4) + 20, 2) for k in range(4)}
+    shutil.rmtree(ck)
+    run()  # full at-least-once replay, fresh checkpoint
+    assert be.latest_version(table) == 3  # txn markers: nothing committed
+    assert {r.k: (r.v, r.ts) for r in be.read(spark, table).collect()} == got
+
+
+def test_stream_merge_sql_rejects_subquery_source(spark, tmp_path):
+    from dish_data_pipeline_spark.merge_sql import MergeParseError
+    from dish_data_pipeline_spark.streaming.pipeline import (
+        stream_merge_sql_to_table,
+    )
+
+    import pytest
+
+    with pytest.raises(MergeParseError, match="NAMED USING source"):
+        stream_merge_sql_to_table(
+            None,
+            "MERGE tgt T USING (SELECT 1 AS k) S ON T.k = S.k "
+            "WHEN MATCHED THEN DELETE",
+            str(tmp_path / "t"),
+            str(tmp_path / "ck"),
+            app_id="x",
+        )
+
+
+def test_replace_txn_marker_idempotent(spark, tmp_path):
+    """replace(txn=...) is the exactly-once device for the GENERIC
+    textual-MERGE commit route: a replayed (app, batch) marker
+    writes nothing and returns None."""
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "tbl")
+    be = ManifestParquetBackend()
+    be.create(spark.range(2).toDF("k"), path)
+    assert be.replace(spark.range(3).toDF("k"), path, txn=("a", 0)) == 1
+    # replay of the same marker: no new version, content unchanged
+    assert be.replace(spark.range(9).toDF("k"), path, txn=("a", 0)) is None
+    assert be.latest_version(path) == 1
+    assert be.read(spark, path).count() == 3
+    # the next batch commits normally
+    assert be.replace(spark.range(4).toDF("k"), path, txn=("a", 1)) == 2
+    assert be.read(spark, path).count() == 4

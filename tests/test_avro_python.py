@@ -646,3 +646,31 @@ def test_python_reads_java_snappy_file(spark, tmp_path):
     assert codec == "snappy"
     got = list(decode_container(buf))
     assert got == [{"id": i, "body": b} for i, b in rows]
+
+
+def test_snappy_encoder_actually_compresses():
+    """Round-13: the greedy match search must COMPRESS structured
+    payloads (the literal-only r12 encoder emitted slightly LARGER
+    output), emit both copy forms, and stay spec-exact under the
+    decoder."""
+    from dish_data_pipeline_spark.sources.avro_python import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    # record-shaped payload: repeated field names + varying values,
+    # the shape Avro blocks actually have
+    payload = b"".join(
+        b'{"o_orderkey": %d, "o_orderstatus": "O", "o_comment": '
+        b'"instructions sleep furiously %d"}\n' % (i, i * 7 % 97)
+        for i in range(2000)
+    )
+    c = snappy_compress(payload)
+    assert snappy_decompress(c) == payload
+    assert len(c) < len(payload) / 3  # real compression, not tag overhead
+
+    # near/far matches exercise the 1-byte- and 2-byte-offset forms
+    near = b"abcdefgh" * 4  # offsets < 2048
+    far = b"X" * 3000 + near + b"Y" * 60000 + near
+    for p in (near, far):
+        assert snappy_decompress(snappy_compress(p)) == p

@@ -82,17 +82,25 @@ def widen(df: DataFrame, spark: SparkSession) -> DataFrame:
 
 def dsum(col: Column) -> Column:
     """Order-independent double sum, bit-identical across engines at
-    EVERY scale. Each term is floor-quantized to millionths BEFORE
-    entering decimal domain: a straight double→DECIMAL(38,6) cast
-    must round, and the two engines disagree on boundary values
-    (Spark HALF_UP vs DuckDB half-even — the sf1.0 `pricing_summary`
-    2-in-6M divergence, SCALING_NOTES.md r11). ``floor`` has no
-    rounding ties: both engines compute the same IEEE double
-    ``col*1e6`` (exactly integer-representable for |col| ≲ 9e9), take
-    the same floor, and sum EXACT integer decimals in any order. The
-    single closing decimal→double cast and ÷1e6 are each correctly
-    rounded IEEE operations on identical inputs."""
-    q = F.floor(col.cast("double") * F.lit(1000000.0)).cast("decimal(38,0)")
+    EVERY scale. Each term is quantized to millionths via
+    ``floor(x*1e6 + 0.5)`` BEFORE entering decimal domain: a straight
+    double→DECIMAL(38,6) cast must round, and the two engines
+    disagree on boundary values (Spark HALF_UP vs DuckDB half-even —
+    the sf1.0 `pricing_summary` 2-in-6M divergence, SCALING_NOTES.md
+    r11). The ``+ 0.5`` then ``floor`` is round-half-up computed as
+    two IEEE ops (multiply, add) on which both engines produce the
+    SAME double — there is no engine-dependent tie-breaking, because
+    the "tie" is resolved by the identical addition before floor.
+    Versus plain floor (rounds 12) this halves the per-term error to
+    ≤0.5e-6 and removes its systematic downward bias: a value whose
+    double sits just below the decimal (0.29 → 0.2899…) now
+    contributes 0.290000 (round-13 advisor item). The quantized
+    terms are EXACT integer decimals summed in any order; the single
+    closing decimal→double cast and ÷1e6 are each correctly rounded
+    IEEE operations on identical inputs."""
+    q = F.floor(
+        col.cast("double") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("decimal(38,0)")
     return F.sum(q).cast("double") / F.lit(1000000.0)
 
 
@@ -105,8 +113,8 @@ def davg(col: Column) -> Column:
 # DuckDB-side spellings of the same contracts.
 def sql_dsum(expr: str) -> str:
     return (
-        "(CAST(SUM(CAST(floor(CAST((" + expr + ") AS DOUBLE) * 1000000) "
-        "AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)"
+        "(CAST(SUM(CAST(floor(CAST((" + expr + ") AS DOUBLE) * 1000000 "
+        "+ 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0)"
     )
 
 

@@ -53,14 +53,15 @@ def windowed_event_counts(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             # Same deterministic-sum device as plans.common.dsum
-            # (floor-quantize → exact integer decimals → one closing
-            # IEEE cast+division): order-independent across
+            # (round-half-up quantize → exact integer decimals → one
+            # closing IEEE cast+division): order-independent across
             # micro-batch replays AND bit-identical to the DuckDB
             # oracle at every scale (no double→decimal rounding tie).
             (
                 F.sum(
                     F.floor(
                         F.col("value").cast("double") * F.lit(1000000.0)
+                        + F.lit(0.5)
                     ).cast("decimal(38,0)")
                 ).cast("double")
                 / F.lit(1000000.0)

@@ -88,6 +88,33 @@ def _build_parser() -> argparse.ArgumentParser:
         "is ON by default on this committing path",
     )
 
+    sq = sub.add_parser(
+        "sql",
+        help="run a SQL statement or multi-statement script "
+        "(MERGE / INSERT / CREATE TABLE AS / SELECT) against tables "
+        "mapped by --table",
+    )
+    sqsrc = sq.add_mutually_exclusive_group(required=True)
+    sqsrc.add_argument("--sql", help="the statement(s) inline")
+    sqsrc.add_argument("--sql-file", help="file containing the script")
+    sq.add_argument(
+        "--table",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="map a statement table name to a table path (repeatable)",
+    )
+    sq.add_argument(
+        "--backend",
+        choices=["parquet", "manifest"],
+        default="manifest",
+        help="table format of the mapped paths",
+    )
+    sq.add_argument(
+        "--limit", type=int, default=20,
+        help="rows of the final statement's result to print",
+    )
+
     t = sub.add_parser(
         "table", help="manifest lakehouse table maintenance"
     )
@@ -243,6 +270,32 @@ def main(argv: list[str] | None = None, http_get=None) -> int:
         )
         n = be.read(spark, target_path).count()
         print(f"merged into {target_path}: {n} rows")
+        return 0
+
+    if args.cmd == "sql":
+        from dish_data_pipeline_spark.io_backends import get_backend
+        from dish_data_pipeline_spark.merge_sql import run_sql_script
+
+        script = args.sql
+        if script is None:
+            with open(args.sql_file) as f:
+                script = f.read()
+        paths: dict[str, str] = {}
+        for item in args.table:
+            name, sep, path = item.partition("=")
+            if not sep or not name or not path:
+                print(f"bad --table {item!r}; want NAME=PATH",
+                      file=sys.stderr)
+                return 2
+            paths[name] = path
+        result = run_sql_script(
+            spark, script, backend=get_backend(args.backend),
+            table_paths=paths,
+        )
+        if result is not None:
+            result.show(args.limit, truncate=False)
+        else:
+            print("ok (script ended on committing DML)")
         return 0
 
     if args.cmd == "query":

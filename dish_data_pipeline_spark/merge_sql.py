@@ -1122,3 +1122,60 @@ def _run_dml(
         backend.append(out, path)
     else:  # swap backends without an append primitive: read-union-swap
         backend.replace(target.unionByName(out), path)
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a SQL script into statements on semicolons at top level
+    — OUTSIDE quoted literals (the same quote mask as the parser, so
+    ``';'`` inside a string never splits) — after stripping ``--``
+    line comments (again only outside literals). Empty statements
+    (stray semicolons, comment-only lines) are dropped."""
+    # strip -- comments, quote-aware, preserving newlines
+    out: list[str] = []
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if ch in ("'", "`"):
+            j = _quoted_end(script, i)
+            out.append(script[i:j])
+            i = j
+        elif ch == "-" and script[i : i + 2] == "--":
+            while i < n and script[i] != "\n":
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    text = "".join(out)
+    mask = _mask_quotes(text)
+    stmts: list[str] = []
+    start = 0
+    for k, ch in enumerate(mask):
+        if ch == ";":
+            stmts.append(text[start:k])
+            start = k + 1
+    stmts.append(text[start:])
+    return [s.strip() for s in stmts if s.strip()]
+
+
+def run_sql_script(
+    spark: SparkSession,
+    script: str,
+    tables: Mapping[str, DataFrame] | None = None,
+    backend=None,
+    table_paths: Mapping[str, str] | None = None,
+) -> DataFrame | None:
+    """Run a multi-statement SQL script (the reference's whole
+    lifecycle as ONE file: truncate-load staging, MERGE upsert,
+    audit append, final SELECT) by splitting on top-level semicolons
+    and routing each statement through :func:`run_sql` in order.
+    Returns the LAST statement's result (a DataFrame for a query,
+    None if the script ends on committing DML). Each statement sees
+    the catalog state its predecessors committed — the per-statement
+    catalog is rebuilt from ``table_paths``, so a table created by
+    an earlier CTAS is readable by a later statement."""
+    result: DataFrame | None = None
+    for stmt in split_statements(script):
+        result = run_sql(
+            spark, stmt, tables, backend=backend, table_paths=table_paths
+        )
+    return result

@@ -191,3 +191,50 @@ def test_cli_merge_cardinality_default_and_opt_out(spark, tmp_path, capsys):
 
     assert main(args + ["--no-verify"]) == 0
     assert be.read(spark, tgt).count() == 2  # accepted fan-out
+
+
+def test_cli_sql_script(spark, tmp_path, capsys):
+    """The `sql` subcommand runs a multi-statement lifecycle script
+    and prints the final SELECT."""
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    be = ManifestParquetBackend()
+    raw = str(tmp_path / "raw")
+    be.create(
+        spark.createDataFrame([Row(k=1, v=5), Row(k=2, v=6)],
+                              "k long, v long"),
+        raw,
+    )
+    script = tmp_path / "lifecycle.sql"
+    script.write_text(
+        "-- truncate-load then report\n"
+        "CREATE OR REPLACE TABLE stg AS SELECT * FROM raw WHERE v > 5;\n"
+        "SELECT COUNT(*) AS n FROM stg;\n"
+    )
+    rc = main([
+        "sql", "--sql-file", str(script), "--backend", "manifest",
+        "--table", f"raw={raw}", "--table", f"stg={tmp_path / 'stg'}",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "1" in out and "n" in out
+    assert be.read(spark, str(tmp_path / "stg")).collect() == [Row(k=2, v=6)]
+
+
+def test_cli_sql_trailing_dml(spark, tmp_path, capsys):
+    from pyspark.sql import Row
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    be = ManifestParquetBackend()
+    raw = str(tmp_path / "raw")
+    be.create(spark.createDataFrame([Row(k=1)], "k long"), raw)
+    rc = main([
+        "sql", "--sql", "CREATE TABLE t AS SELECT * FROM raw",
+        "--backend", "manifest",
+        "--table", f"raw={raw}", "--table", f"t={tmp_path / 't'}",
+    ])
+    assert rc == 0
+    assert "committing DML" in capsys.readouterr().out

@@ -908,3 +908,85 @@ def test_dml_body_reads_backend_tables(spark, tmp_path):
         table_paths={"src": src, "dst": dst},
     )
     assert be.read(spark, dst).collect() == [Row(k=2, v=40)]
+
+
+# ---- round-13: multi-statement scripts ----
+
+
+def test_split_statements_quote_and_comment_aware():
+    from dish_data_pipeline_spark.merge_sql import split_statements
+
+    script = (
+        "-- load staging\n"
+        "CREATE TABLE a AS SELECT 'x;y' AS v;  -- literal keeps its ;\n"
+        "INSERT INTO b VALUES ('a--not a comment', 2);\n"
+        ";\n"
+        "SELECT * FROM b"
+    )
+    stmts = split_statements(script)
+    assert len(stmts) == 3
+    assert stmts[0] == "CREATE TABLE a AS SELECT 'x;y' AS v"
+    assert "'a--not a comment'" in stmts[1]
+    assert stmts[2] == "SELECT * FROM b"
+
+
+def test_run_sql_script_whole_lifecycle(spark, tmp_path):
+    """The reference lifecycle as ONE script: truncate-load, audit
+    append, committed MERGE, final SELECT — later statements read
+    tables earlier statements created."""
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.merge_sql import run_sql_script
+
+    be = ManifestParquetBackend()
+    paths = {
+        "staging": str(tmp_path / "staging"),
+        "tgt": str(tmp_path / "tgt"),
+        "audit": str(tmp_path / "audit"),
+    }
+    raw = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=2, v=20), Row(k=3, v=30)], "k long, v long"
+    )
+    out = run_sql_script(
+        spark,
+        """
+        -- WRITE_TRUNCATE staging load
+        CREATE OR REPLACE TABLE `p.d.staging` AS
+          SELECT * FROM `p.d.raw` WHERE k <= 2;
+        CREATE TABLE `p.d.tgt` AS
+          SELECT k, CAST(0 AS BIGINT) AS v FROM `p.d.raw` WHERE k >= 2;
+        CREATE TABLE `p.d.audit` AS
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, 'SUCCESS' AS status
+          FROM `p.d.staging`;
+        MERGE `p.d.tgt` T USING `p.d.staging` S ON T.k = S.k
+          WHEN MATCHED THEN UPDATE SET T.v = S.v
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, S.v);
+        INSERT INTO `p.d.audit` SELECT CAST(9 AS BIGINT), 'MERGED';
+        SELECT t.k, t.v, (SELECT MAX(n) FROM `p.d.audit`) AS max_audit
+        FROM `p.d.tgt` t ORDER BY t.k
+        """,
+        {"raw": raw},
+        backend=be,
+        table_paths=paths,
+    )
+    rows = out.collect()
+    assert [(r.k, r.v) for r in rows] == [(1, 10), (2, 20), (3, 0)]
+    assert rows[0].max_audit == 9
+    audit = {r.status: r.n for r in be.read(spark, paths["audit"]).collect()}
+    assert audit == {"SUCCESS": 2, "MERGED": 9}
+
+
+def test_run_sql_script_returns_none_on_trailing_dml(spark, tmp_path):
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.merge_sql import run_sql_script
+
+    be = ManifestParquetBackend()
+    path = str(tmp_path / "t")
+    raw = spark.createDataFrame([Row(k=1)], "k long")
+    assert run_sql_script(
+        spark,
+        "CREATE TABLE t AS SELECT * FROM `p.d.raw`;",
+        {"raw": raw},
+        backend=be,
+        table_paths={"t": path},
+    ) is None
+    assert be.read(spark, path).count() == 1

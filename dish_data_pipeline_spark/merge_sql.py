@@ -851,6 +851,13 @@ def run_sql(
     backend tables directly.
     """
     catalog = _dml_catalog(spark, tables, backend, table_paths)
+    if backend is not None and table_paths:
+        # Delta-style time travel: FROM <t> VERSION AS OF <n> binds a
+        # versioned backend read (works in SELECTs, DML bodies, and
+        # MERGE USING subqueries alike — the statement text is
+        # rewritten before routing)
+        sql, tt = _bind_time_travel(spark, sql, backend, table_paths)
+        catalog.update(tt)
     if re.match(r"^\s*MERGE\b", sql, re.IGNORECASE):
         if backend is not None and table_paths:
             spec = parse_merge(sql)
@@ -1179,3 +1186,56 @@ def run_sql_script(
             spark, stmt, tables, backend=backend, table_paths=table_paths
         )
     return result
+
+
+# ---------------------------------------------------------------------------
+# Time travel in the textual surface: Delta's `VERSION AS OF` syntax
+# over the backend's versioned reads, so audits ("what did the target
+# hold before last night's MERGE?") never leave SQL.
+# ---------------------------------------------------------------------------
+
+
+_TT_RE = re.compile(
+    r"(\b(?:FROM|JOIN)\s+)(" + _NAME + r")\s+VERSION\s+AS\s+OF\s+(\d+)",
+    re.IGNORECASE,
+)
+
+
+def _bind_time_travel(
+    spark: SparkSession,
+    sql: str,
+    backend,
+    table_paths: Mapping[str, str],
+) -> tuple[str, dict[str, DataFrame]]:
+    """Rewrite every ``FROM/JOIN <name> VERSION AS OF <n>`` (matched
+    on the quote mask, so literals are inert) to a synthetic
+    backticked catalog name bound to ``backend.read(version=n)``.
+    Returns the rewritten statement plus the synthetic entries."""
+    mask = _mask_quotes(sql)
+    out: list[str] = []
+    extra: dict[str, DataFrame] = {}
+    last = 0
+    for m in _TT_RE.finditer(mask):
+        name = _unquote(sql[m.start(2) : m.end(2)])
+        version = int(m.group(3))
+        path = _resolve_path(name, table_paths)
+        if path is None:
+            raise KeyError(
+                f"VERSION AS OF references {name!r} with no table_paths "
+                f"mapping; mapped: {sorted(table_paths)}"
+            )
+        try:
+            df = backend.read(spark, path, version=version)
+        except TypeError as exc:
+            raise ValueError(
+                f"backend {getattr(backend, 'name', type(backend).__name__)!r}"
+                " does not support versioned reads (VERSION AS OF needs the"
+                " manifest tier or another time-traveling backend)"
+            ) from exc
+        syn = f"__ttv_{next(_VIEW_SEQ)}"
+        extra[syn] = df
+        out.append(sql[last : m.start()])
+        out.append(sql[m.start(1) : m.end(1)] + f"`{syn}`")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out), extra

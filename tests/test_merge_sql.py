@@ -990,3 +990,63 @@ def test_run_sql_script_returns_none_on_trailing_dml(spark, tmp_path):
         table_paths={"t": path},
     ) is None
     assert be.read(spark, path).count() == 1
+
+
+def test_version_as_of_in_textual_surface(spark, tmp_path):
+    """Delta-style time travel from SQL: VERSION AS OF binds the
+    backend's versioned read; a literal spelling 'VERSION AS OF'
+    stays inert; unmapped names and non-versioning backends fail
+    loud."""
+    from dish_data_pipeline_spark.io_backends import (
+        ManifestParquetBackend,
+        ParquetSwapBackend,
+    )
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be = ManifestParquetBackend()
+    path = str(tmp_path / "t")
+    be.create(spark.createDataFrame([Row(k=1, v=10)], "k long, v long"), path)
+    be.replace(spark.createDataFrame(
+        [Row(k=1, v=99), Row(k=2, v=20)], "k long, v long"), path)
+
+    out = run_sql(
+        spark,
+        "SELECT cur.k, cur.v AS v_now, old.v AS v_then, "
+        "'VERSION AS OF 0' AS note "
+        "FROM t cur LEFT JOIN t VERSION AS OF 0 old ON cur.k = old.k "
+        "ORDER BY cur.k",
+        backend=be,
+        table_paths={"t": path},
+    ).collect()
+    assert [(r.k, r.v_now, r.v_then) for r in out] == [(1, 99, 10), (2, 20, None)]
+    assert out[0].note == "VERSION AS OF 0"  # literal untouched
+
+    with pytest.raises(KeyError, match="no table_paths mapping"):
+        run_sql(spark, "SELECT * FROM ghost VERSION AS OF 0",
+                backend=be, table_paths={"t": path})
+    swap = ParquetSwapBackend()
+    plain = str(tmp_path / "plain")
+    swap.create(spark.createDataFrame([Row(k=1)], "k long"), plain)
+    with pytest.raises(ValueError, match="versioned reads"):
+        run_sql(spark, "SELECT * FROM plain VERSION AS OF 0",
+                backend=swap, table_paths={"plain": plain})
+
+
+def test_version_as_of_in_merge_using_subquery(spark, tmp_path):
+    """Time travel composes with MERGE: re-apply an old snapshot's
+    rows as staging (the 'undo a bad load for these keys' shape)."""
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be = ManifestParquetBackend()
+    path = str(tmp_path / "t")
+    be.create(spark.createDataFrame([Row(k=1, v=10)], "k long, v long"), path)
+    be.replace(spark.createDataFrame([Row(k=1, v=-5)], "k long, v long"), path)
+    run_sql(
+        spark,
+        "MERGE t T USING (SELECT * FROM t VERSION AS OF 0) S "
+        "ON T.k = S.k WHEN MATCHED THEN UPDATE SET T.v = S.v",
+        backend=be,
+        table_paths={"t": path},
+    )
+    assert be.read(spark, path).collect() == [Row(k=1, v=10)]

@@ -849,6 +849,10 @@ def run_sql(
     half-bound query. Names in ``table_paths`` join the read catalog
     (lazily, only tables that exist) so DML bodies can SELECT from
     backend tables directly.
+
+    With a backend, ``FROM <t> VERSION AS OF <n>`` (Delta's time
+    travel syntax) binds ``backend.read(version=n)`` — in SELECTs,
+    DML bodies, and MERGE USING subqueries alike.
     """
     catalog = _dml_catalog(spark, tables, backend, table_paths)
     if backend is not None and table_paths:

@@ -623,6 +623,69 @@ FROM audit
 """
 
 
+def q_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the TEXTUAL surface (round 13): a manifest
+    table is created from one orders slice (v0), truncate-reloaded
+    from another via textual ``CREATE OR REPLACE TABLE`` (v1 —
+    ``replace`` keeps history), then ONE SQL statement joins the
+    current snapshot against ``VERSION AS OF 0`` (Delta's syntax,
+    bound to the backend's versioned read by ``run_sql``) to report
+    per-status counts and the v0 overlap. Hash-matches only if the
+    versioned read returns exactly the committed v0 — the audit
+    "what did last night's load replace?" shape without leaving SQL."""
+    import os as _os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    from dish_data_pipeline_spark.plans.common import scratch_dir
+
+    base = scratch_dir("tt_sql", _os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(base, ignore_errors=True)
+    be = ManifestParquetBackend()
+    path = _os.path.join(base, "t")
+    raw = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    cat = {"orders": raw}
+    paths = {"t": path}
+    run_sql(
+        spark,
+        "CREATE TABLE t AS SELECT * FROM `proj.ds.orders` "
+        "WHERE o_orderkey % 3 = 0",
+        cat, backend=be, table_paths=paths,
+    )
+    run_sql(
+        spark,
+        "CREATE OR REPLACE TABLE t AS SELECT * FROM `proj.ds.orders` "
+        "WHERE o_orderkey % 2 = 0",
+        cat, backend=be, table_paths=paths,
+    )
+    out = run_sql(
+        spark,
+        "SELECT cur.o_orderstatus AS st, "
+        "CAST(COUNT(*) AS BIGINT) AS n_cur, "
+        "CAST(COUNT(old.o_orderkey) AS BIGINT) AS n_also_v0 "
+        "FROM t cur LEFT JOIN t VERSION AS OF 0 old "
+        "ON cur.o_orderkey = old.o_orderkey "
+        "GROUP BY cur.o_orderstatus",
+        backend=be, table_paths=paths,
+    )
+    final = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
+SQL_TIME_TRAVEL_SQL = """
+SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n_cur,
+       CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_also_v0
+FROM orders WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+"""
+
+
 # --- J3: semi/anti joins ------------------------------------------
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read(spark, sf_dir, "customer")
@@ -884,6 +947,11 @@ PARITY_QUERIES: dict[str, QueryDef] = {
         "whole lifecycle textually: CTAS truncate-load + INSERT audit "
         "+ committed MERGE (S3/S4/S5 via SQL strings)",
         ("sql", "sink", "upsert")),
+    "time_travel_sql": QueryDef(
+        q_time_travel_sql, SQL_TIME_TRAVEL_SQL,
+        "VERSION AS OF via run_sql: current snapshot joined against "
+        "the pre-reload v0 through the backend's versioned read",
+        ("sql", "lakehouse")),
     "semi_anti_join": QueryDef(
         q_semi_anti_join, SQL_SEMI_ANTI_JOIN,
         "J3 anti-join (customers without orders)", ("join",)),

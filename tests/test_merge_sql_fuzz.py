@@ -321,3 +321,95 @@ def test_comma_literal_executes(spark):
         {"tgt": target, "stg": staging},
     )
     assert out.collect()[0].note == "a,  b"
+
+
+# ---------------------------------------------------- DML + script fuzz
+
+
+DML_EXPRS = ["1", "S.v + 1", "'a; b'", "'it''s'", "CAST(7 AS STRING)"]
+
+
+@st.composite
+def dml_statement(draw):
+    """Render a random INSERT/CTAS statement and its expected
+    (op, target, cols) triple."""
+    from dish_data_pipeline_spark.merge_sql import DmlSpec  # noqa: F401
+
+    target = draw(st.sampled_from(["t", "proj.ds.t", "`proj.ds.t`"]))
+    bare = target.strip("`")
+    kind = draw(st.sampled_from(["into", "overwrite", "create", "cor"]))
+    if kind in ("create", "cor"):
+        head = (
+            "CREATE TABLE" if kind == "create" else "CREATE OR REPLACE TABLE"
+        )
+        body = "SELECT 1 AS a, 'x;y' AS b"
+        return (
+            f"{head} {target} AS {body}",
+            ("create" if kind == "create" else "create_or_replace",
+             bare, None, body),
+        )
+    mode = "INTO" if kind == "into" else "OVERWRITE"
+    cols = draw(
+        st.one_of(
+            st.none(),
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=1,
+                     max_size=3, unique=True),
+        )
+    )
+    col_txt = f" ({', '.join(cols)})" if cols else ""
+    vals = draw(st.lists(st.sampled_from(DML_EXPRS),
+                         min_size=len(cols) if cols else 2,
+                         max_size=len(cols) if cols else 2))
+    body = f"VALUES ({', '.join(vals)})"
+    return (
+        f"INSERT {mode}{'' if mode == 'INTO' else ' TABLE'} "
+        f"{target}{col_txt} {body}",
+        ("append" if mode == "INTO" else "overwrite", bare, cols, body),
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(case=dml_statement(), ws=WS)
+def test_dml_parse_roundtrip(case, ws):
+    from dish_data_pipeline_spark.merge_sql import _parse_dml
+
+    sql, (op, target, cols, body) = case
+    spec = _parse_dml(sql.replace(" ", ws, 1))
+    assert spec is not None
+    assert spec.op == op and spec.target == target
+    assert spec.cols == cols
+    # body survives byte-for-byte modulo whitespace collapse
+    assert spec.body_sql == body
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    stmts=st.lists(
+        st.sampled_from([
+            "SELECT 'a; b' AS v",
+            "INSERT INTO t VALUES ('x--y', 1)",
+            "CREATE TABLE a AS SELECT 1 AS k",
+            "MERGE t T USING s S ON T.k = S.k WHEN MATCHED THEN DELETE",
+        ]),
+        min_size=1,
+        max_size=5,
+    ),
+    sep=st.sampled_from([";", ";\n", " ;\n-- comment line\n", ";\n\n"]),
+)
+def test_split_statements_roundtrip(stmts, sep):
+    """join(stmts) → split → the same statements (whitespace-
+    normalized), regardless of comments and ';' inside literals."""
+    from dish_data_pipeline_spark.merge_sql import split_statements
+
+    script = sep.join(stmts) + ";"
+    got = split_statements(script)
+    assert [" ".join(s.split()) for s in got] == [
+        " ".join(s.split()) for s in stmts
+    ]
+
+
+def test_select_not_mistaken_for_dml():
+    from dish_data_pipeline_spark.merge_sql import _parse_dml
+
+    assert _parse_dml("SELECT 'INSERT INTO t' AS v") is None
+    assert _parse_dml("WITH x AS (SELECT 1) SELECT * FROM x") is None

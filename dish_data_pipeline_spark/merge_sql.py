@@ -836,6 +836,12 @@ def run_sql(
     - ``INSERT OVERWRITE`` / ``CREATE [OR REPLACE] TABLE ... AS`` →
       ``backend.replace`` / ``create`` (the reference's
       WRITE_TRUNCATE staging load). Committing DML returns None.
+    - ``DELETE FROM t [WHERE p]`` → the backend's file-scoped
+      ``delete_where`` (point-equality predicates forward ``equals``
+      scoping — the textual right-to-be-forgotten path), else
+      read-filter-``replace``.
+    - ``UPDATE t SET c = e, ... [WHERE p]`` →
+      read-modify-``replace`` with faithful SET semantics.
     - everything else (SELECT/VALUES/WITH) runs through ``spark.sql``
       after the catalog's names are bound, returning the result.
 
@@ -969,13 +975,18 @@ def _run_select(
 class DmlSpec:
     """One committing DML statement: ``op`` is append | overwrite |
     create (plain CREATE TABLE, errors if the table exists) |
-    create_or_replace; ``cols`` is the optional INSERT column list;
-    ``body_sql`` is the SELECT/VALUES/WITH producing the rows."""
+    create_or_replace | delete | update; ``cols`` is the optional
+    INSERT column list; ``body_sql`` is the SELECT/VALUES/WITH
+    producing the rows (empty for delete/update); ``update_set``
+    carries UPDATE's SET items and ``where_sql`` the optional WHERE
+    predicate of delete/update."""
 
     op: str
     target: str
     cols: list[str] | None
     body_sql: str
+    update_set: dict[str, str] | None = None
+    where_sql: str | None = None
 
 
 _INSERT_RE = re.compile(
@@ -990,11 +1001,63 @@ _CREATE_RE = re.compile(
 )
 
 
+def _split_where(text: str) -> tuple[str, str | None]:
+    """Split at the first TOP-LEVEL ``WHERE`` (outside quoted
+    literals and parens — a subquery's or literal's WHERE never
+    splits). Returns (head, predicate-or-None)."""
+    mask = _mask_quotes(text)
+    depth = 0
+    for m in re.finditer(r"[()]|\bWHERE\b", mask, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return text[: m.start()].rstrip(), text[m.end() :].strip()
+    return text, None
+
+
+_DELETE_RE = re.compile(
+    r"^DELETE\s+FROM\s+(?P<target>" + _NAME + r")"
+    r"(?:\s+(?P<rest>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^UPDATE\s+(?P<target>" + _NAME + r")\s+SET\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
 def _parse_dml(sql: str) -> DmlSpec | None:
     """Recognize INSERT INTO / INSERT OVERWRITE / CREATE [OR REPLACE]
-    TABLE AS; return None for anything else (which falls through to
-    the SELECT path). Malformed recognized statements raise."""
+    TABLE AS / DELETE FROM / UPDATE ... SET; return None for anything
+    else (which falls through to the SELECT path). Malformed
+    recognized statements raise."""
     text = _norm(sql)
+    m = _DELETE_RE.match(text)
+    if m:
+        rest = m.group("rest")
+        pred: str | None = None
+        if rest:
+            wm = re.match(r"^WHERE\s+(?P<pred>.+)$", rest,
+                          re.IGNORECASE | re.DOTALL)
+            if not wm:
+                raise MergeParseError(
+                    f"DELETE FROM takes only a WHERE clause, got: "
+                    f"{rest[:60]!r}"
+                )
+            pred = wm.group("pred").strip()
+        return DmlSpec("delete", _unquote(m.group("target")), None, "",
+                       where_sql=pred)
+    m = _UPDATE_RE.match(text)
+    if m:
+        items, pred = _split_where(m.group("rest"))
+        update_set = _parse_update_items(items)
+        if not update_set:
+            raise MergeParseError("UPDATE needs at least one SET item")
+        return DmlSpec("update", _unquote(m.group("target")), None, "",
+                       update_set=update_set, where_sql=pred)
     m = _CREATE_RE.match(text)
     if m:
         return DmlSpec(
@@ -1105,6 +1168,17 @@ def _run_dml(
             f"DML target {dml.target!r} has no table_paths mapping; "
             f"mapped: {sorted(table_paths or {})}"
         )
+    if dml.op in ("delete", "update"):
+        if not backend.exists(spark, path):
+            raise ValueError(
+                f"{dml.op.upper()} target {dml.target!r} does not exist "
+                f"at {path}"
+            )
+        if dml.op == "delete":
+            _run_delete(spark, dml, backend, path)
+        else:
+            _run_update(spark, dml, backend, path)
+        return
     body = _run_select(spark, dml.body_sql, catalog)
 
     if dml.op in ("create", "create_or_replace"):
@@ -1243,3 +1317,76 @@ def _bind_time_travel(
         last = m.end()
     out.append(sql[last:])
     return "".join(out), extra
+
+
+#: a point-equality DELETE predicate: `col = <number|string literal>`
+#: — the shape that unlocks the manifest tier's bloom/stats scoping
+_POINT_EQ_RE = re.compile(
+    r"^\s*(?P<col>\w+)\s*=\s*"
+    r"(?:(?P<num>-?\d+(?:\.\d+)?)|(?P<str>'(?:[^']|'')*'))\s*$"
+)
+
+
+def _run_delete(spark: SparkSession, dml: DmlSpec, backend, path: str) -> None:
+    """``DELETE FROM t [WHERE p]``: the manifest tier's
+    ``delete_where`` when available (file-scoped rewrite — and a
+    point-equality predicate like ``user_id = 123`` is passed as
+    ``equals`` so bloom/stats pruning engages, the textual
+    right-to-be-forgotten path); otherwise read-filter-``replace``.
+    Standard SQL semantics: rows where the predicate is NULL
+    survive; no WHERE deletes every row."""
+    pred = dml.where_sql or "true"
+    if hasattr(backend, "delete_where"):
+        equals = None
+        m = _POINT_EQ_RE.match(pred)
+        if m:
+            if m.group("num") is not None:
+                num = m.group("num")
+                val = float(num) if "." in num else int(num)
+            else:
+                val = m.group("str")[1:-1].replace("''", "'")
+            equals = {m.group("col"): val}
+        v, _affected, _carried = backend.delete_where(
+            spark, path, pred, equals=equals
+        )
+        if v == -1:
+            raise RuntimeError(
+                f"DELETE lost the version race at {path}; re-run"
+            )
+        return
+    target = backend.read(spark, path)
+    keep = ~F.coalesce(F.expr(pred), F.lit(False))
+    backend.replace(target.filter(keep), path)
+
+
+def _run_update(spark: SparkSession, dml: DmlSpec, backend, path: str) -> None:
+    """``UPDATE t SET c = e, ... [WHERE p]``: read-modify-``replace``
+    with the same faithful SET semantics as the MERGE executor —
+    expressions evaluate over the target's own columns (bare names),
+    assigned values cast to the column's type, unlisted columns
+    untouched, and rows outside the predicate (or where it is NULL)
+    pass through unchanged."""
+    target = backend.read(spark, path)
+    t_fields = {f.name: f.dataType for f in target.schema.fields}
+    unknown = [c for c in (dml.update_set or {}) if c not in t_fields]
+    if unknown:
+        raise MergeParseError(
+            f"UPDATE sets unknown target columns {unknown}"
+        )
+    applies = (
+        F.coalesce(F.expr(dml.where_sql), F.lit(False))
+        if dml.where_sql is not None
+        else F.lit(True)
+    )
+    updated = target.select(
+        *[
+            F.when(
+                applies,
+                F.expr(dml.update_set[c]).cast(t_fields[c]),
+            ).otherwise(F.col(c)).alias(c)
+            if c in (dml.update_set or {})
+            else F.col(c)
+            for c in target.columns
+        ]
+    )
+    backend.replace(updated, path)

@@ -1050,3 +1050,126 @@ def test_version_as_of_in_merge_using_subquery(spark, tmp_path):
         table_paths={"t": path},
     )
     assert be.read(spark, path).collect() == [Row(k=1, v=10)]
+
+
+# ---- round-13: textual DELETE FROM / UPDATE ----
+
+
+def test_delete_from_where(spark, tmp_path):
+    """DELETE FROM routes to the manifest delete_where; rows where
+    the predicate is NULL survive (standard SQL DELETE)."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(
+        spark.createDataFrame(
+            [Row(k=1, v=10), Row(k=2, v=None), Row(k=3, v=30)],
+            "k long, v long",
+        ),
+        path,
+    )
+    assert run_sql(
+        spark, "DELETE FROM t WHERE v > 15",
+        backend=be, table_paths={"t": path},
+    ) is None
+    got = {r.k for r in be.read(spark, path).collect()}
+    assert got == {1, 2}  # NULL predicate survives, v=30 deleted
+
+    run_sql(spark, "DELETE FROM t", backend=be, table_paths={"t": path})
+    assert be.read(spark, path).count() == 0
+
+
+def test_delete_point_equality_passes_equals_scope(spark, tmp_path, monkeypatch):
+    """A `col = literal` DELETE forwards the equals= scoping so the
+    manifest tier's bloom/stats pruning engages — the textual RTBF
+    path."""
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(
+        spark.createDataFrame([Row(user_id=7, v=1), Row(user_id=8, v=2)],
+                              "user_id long, v long"),
+        path,
+    )
+    seen = {}
+    orig = ManifestParquetBackend.delete_where
+
+    def spy(self, spark_, p, predicate, intervals=None, equals=None):
+        seen["equals"] = equals
+        return orig(self, spark_, p, predicate, intervals=intervals,
+                    equals=equals)
+
+    monkeypatch.setattr(ManifestParquetBackend, "delete_where", spy)
+    run_sql(spark, "DELETE FROM t WHERE user_id = 7",
+            backend=be, table_paths={"t": path})
+    assert seen["equals"] == {"user_id": 7}
+    assert {r.user_id for r in be.read(spark, path).collect()} == {8}
+
+
+def test_delete_fallback_on_swap_backend(spark, tmp_path):
+    from dish_data_pipeline_spark.io_backends import ParquetSwapBackend
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be = ParquetSwapBackend()
+    path = str(tmp_path / "plain")
+    be.create(
+        spark.createDataFrame([Row(k=1), Row(k=2)], "k long"), path
+    )
+    run_sql(spark, "DELETE FROM t WHERE k = 1",
+            backend=be, table_paths={"t": path})
+    assert be.read(spark, path).collect() == [Row(k=2)]
+
+
+def test_update_set_where(spark, tmp_path):
+    """UPDATE: faithful SET (cast to column type, unlisted columns
+    untouched), WHERE-NULL rows pass unchanged, unknown column
+    raises, literal with comma survives."""
+    from dish_data_pipeline_spark.merge_sql import MergeParseError, run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(
+        spark.createDataFrame(
+            [Row(k=1, v=10, note="a"), Row(k=2, v=None, note="b"),
+             Row(k=3, v=30, note="c")],
+            "k long, v long, note string",
+        ),
+        path,
+    )
+    run_sql(
+        spark,
+        "UPDATE t SET v = v * 2, note = 'x,  y' WHERE v >= 10",
+        backend=be, table_paths={"t": path},
+    )
+    rows = {r.k: r for r in be.read(spark, path).collect()}
+    assert rows[1].v == 20 and rows[1].note == "x,  y"
+    assert rows[2].v is None and rows[2].note == "b"  # NULL pred: untouched
+    assert rows[3].v == 60
+    with pytest.raises(MergeParseError, match="unknown target columns"):
+        run_sql(spark, "UPDATE t SET nope = 1",
+                backend=be, table_paths={"t": path})
+
+
+def test_update_delete_in_script(spark, tmp_path):
+    from dish_data_pipeline_spark.merge_sql import run_sql_script
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    be = ManifestParquetBackend()
+    paths = {"t": str(tmp_path / "t")}
+    raw = spark.createDataFrame(
+        [Row(k=i, v=i * 10) for i in range(1, 5)], "k long, v long"
+    )
+    out = run_sql_script(
+        spark,
+        """
+        CREATE TABLE t AS SELECT * FROM `p.d.raw`;
+        UPDATE t SET v = 0 WHERE k <= 2;
+        DELETE FROM t WHERE k = 4;
+        SELECT k, v FROM t ORDER BY k
+        """,
+        {"raw": raw},
+        backend=be,
+        table_paths=paths,
+    )
+    assert [(r.k, r.v) for r in out.collect()] == [(1, 0), (2, 0), (3, 30)]

@@ -686,6 +686,72 @@ GROUP BY o_orderstatus
 """
 
 
+def q_dml_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual ``UPDATE``/``DELETE`` certified end-to-end (round 13):
+    a manifest table is created from an orders slice, a textual
+    UPDATE rewrites the high-value rows (SET over the ORIGINAL row
+    values, unlisted columns untouched), a textual DELETE drops the
+    low-value tail through the file-scoped ``delete_where`` path,
+    and the final SELECT aggregates the committed estate with the
+    cross-engine quantized sum. The DuckDB twin replays both verbs
+    as CASE/filter SQL, so the hash matches only if UPDATE applied
+    exactly once over pre-update values and DELETE removed exactly
+    the predicate's rows."""
+    import os as _os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.merge_sql import run_sql_script
+
+    from dish_data_pipeline_spark.plans.common import scratch_dir
+
+    base = scratch_dir("dml_sql", _os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(base, ignore_errors=True)
+    be = ManifestParquetBackend()
+    paths = {"t": _os.path.join(base, "t")}
+    raw = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    qsum = (
+        "CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000 "
+        "+ 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0"
+    )
+    out = run_sql_script(
+        spark,
+        "CREATE TABLE t AS SELECT * FROM `proj.ds.orders` "
+        "WHERE o_orderkey % 4 = 1;"
+        "UPDATE t SET o_orderstatus = 'X', "
+        "o_totalprice = o_totalprice + 1000 WHERE o_totalprice > 200000;"
+        "DELETE FROM t WHERE o_totalprice < 50000;"
+        f"SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"{qsum} AS total FROM t GROUP BY o_orderstatus",
+        {"orders": raw},
+        backend=be,
+        table_paths=paths,
+    )
+    final = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
+SQL_DML_SQL_ROUNDTRIP = f"""
+WITH t0 AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 4 = 1),
+t1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_totalprice > 200000 THEN o_totalprice + 1000
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_totalprice > 200000 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM t0),
+t2 AS (SELECT * FROM t1 WHERE NOT (o_totalprice < 50000))
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('o_totalprice')} AS total
+FROM t2 GROUP BY o_orderstatus
+"""
+
+
 # --- J3: semi/anti joins ------------------------------------------
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read(spark, sf_dir, "customer")
@@ -951,6 +1017,11 @@ PARITY_QUERIES: dict[str, QueryDef] = {
         q_time_travel_sql, SQL_TIME_TRAVEL_SQL,
         "VERSION AS OF via run_sql: current snapshot joined against "
         "the pre-reload v0 through the backend's versioned read",
+        ("sql", "lakehouse")),
+    "dml_sql_roundtrip": QueryDef(
+        q_dml_sql_roundtrip, SQL_DML_SQL_ROUNDTRIP,
+        "textual UPDATE + file-scoped DELETE committed to a manifest "
+        "table, quantized-sum aggregate of the result",
         ("sql", "lakehouse")),
     "semi_anti_join": QueryDef(
         q_semi_anti_join, SQL_SEMI_ANTI_JOIN,

@@ -52,7 +52,7 @@ import json
 import os
 import shutil
 import uuid
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 from typing import Protocol
 
 from pyspark.sql import DataFrame, SparkSession
@@ -939,6 +939,95 @@ class ManifestParquetBackend:
         manifest = {"version": base + 1, "parent": base,
                     "files": carried + new_files,
                     "schema": man["schema"], "delete": predicate,
+                    "stats_cols": stats_cols, "stats": stats,
+                    "txns": man.get("txns", {})}
+        bloom = self._bloom_commit_entry(
+            spark, path, man, new_files, carried=carried
+        )
+        if bloom is not None:
+            manifest["bloom"] = bloom
+        committed = self._try_commit(path, base + 1, manifest)
+        return (
+            base + 1 if committed else -1,
+            len(affected),
+            len(carried),
+        )
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        path: str,
+        assignments: Mapping[str, str],
+        predicate: str,
+        intervals: dict[str, tuple] | None = None,
+        equals: dict | None = None,
+    ) -> tuple[int, int, int]:
+        """Row-level ``UPDATE ... SET ... WHERE`` as a new snapshot
+        version, rewriting ONLY files that can possibly hold a match
+        — the same stats/bloom scoping as :meth:`delete_where`, which
+        at 100 TB is the difference between touching a handful of
+        files and rewriting the table (exactly why Delta/Iceberg
+        scope UPDATE rewrites by file stats). ``assignments`` maps
+        column → SQL expression evaluated over the row's OWN (pre-
+        update) columns, cast to the column's type; rows where the
+        predicate is false or NULL pass through unchanged, and
+        columns outside ``assignments`` are untouched. Affected
+        files rewrite wholesale (matching and non-matching rows
+        alike) so row count is invariant.
+
+        Same race discipline as :meth:`delete_where`: ABORTS
+        (version -1) on losing the version race. Returns (committed
+        version or -1, n_files_rewritten, n_files_carried)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        base = self.latest_version(path)
+        if base is None:
+            raise FileNotFoundError(f"no table at {path}")
+        man = self._manifest(path, base)
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        t_fields = {f.name: f.dataType for f in schema.fields}
+        unknown = [c for c in assignments if c not in t_fields]
+        if unknown:
+            raise ValueError(
+                f"UPDATE sets unknown target columns {unknown}"
+            )
+        affected, _total = self.prune_files(
+            path, intervals or {}, base, equals=equals
+        )
+        affected_set = set(affected)
+        carried = [f for f in man["files"] if f not in affected_set]
+        stats_cols = man.get("stats_cols") or []
+        new_files: list[str] = []
+        new_stats: dict = {}
+        if affected:
+            df = spark.read.schema(schema).parquet(
+                *[os.path.join(path, f) for f in affected]
+            )
+            applies = F.expr(f"coalesce(({predicate}), false)")
+            updated = df.select(
+                *[
+                    F.when(
+                        applies,
+                        F.expr(assignments[f.name]).cast(f.dataType),
+                    ).otherwise(F.col(f.name)).alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+            new_files, _schema, new_stats = self._write_data(
+                updated, path, stats_cols
+            )
+        stats = {
+            f: s
+            for f, s in (man.get("stats") or {}).items()
+            if f not in affected_set
+        }
+        stats.update(new_stats)
+        manifest = {"version": base + 1, "parent": base,
+                    "files": carried + new_files,
+                    "schema": man["schema"], "update": predicate,
                     "stats_cols": stats_cols, "stats": stats,
                     "txns": man.get("txns", {})}
         bloom = self._bloom_commit_entry(

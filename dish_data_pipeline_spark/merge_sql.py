@@ -1360,12 +1360,37 @@ def _run_delete(spark: SparkSession, dml: DmlSpec, backend, path: str) -> None:
 
 
 def _run_update(spark: SparkSession, dml: DmlSpec, backend, path: str) -> None:
-    """``UPDATE t SET c = e, ... [WHERE p]``: read-modify-``replace``
-    with the same faithful SET semantics as the MERGE executor —
-    expressions evaluate over the target's own columns (bare names),
-    assigned values cast to the column's type, unlisted columns
-    untouched, and rows outside the predicate (or where it is NULL)
-    pass through unchanged."""
+    """``UPDATE t SET c = e, ... [WHERE p]``: the manifest tier's
+    ``update_where`` when available — a file-scoped rewrite with the
+    same stats/bloom pruning as DELETE, so a point-predicate UPDATE
+    against a 100 TB table touches a handful of files — else
+    read-modify-``replace``. Both paths share the faithful SET
+    semantics of the MERGE executor: expressions evaluate over the
+    target's own (pre-update) columns, assigned values cast to the
+    column's type, unlisted columns untouched, and rows outside the
+    predicate (or where it is NULL) pass through unchanged."""
+    if hasattr(backend, "update_where"):
+        pred = dml.where_sql or "true"
+        equals = None
+        m = _POINT_EQ_RE.match(pred)
+        if m:
+            if m.group("num") is not None:
+                num = m.group("num")
+                val = float(num) if "." in num else int(num)
+            else:
+                val = m.group("str")[1:-1].replace("''", "'")
+            equals = {m.group("col"): val}
+        try:
+            v, _rewritten, _carried = backend.update_where(
+                spark, path, dml.update_set or {}, pred, equals=equals
+            )
+        except ValueError as exc:  # unknown SET column: parser error
+            raise MergeParseError(str(exc)) from exc
+        if v == -1:
+            raise RuntimeError(
+                f"UPDATE lost the version race at {path}; re-run"
+            )
+        return
     target = backend.read(spark, path)
     t_fields = {f.name: f.dataType for f in target.schema.fields}
     unknown = [c for c in (dml.update_set or {}) if c not in t_fields]

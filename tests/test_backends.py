@@ -1466,3 +1466,46 @@ def test_replace_txn_marker_idempotent(spark, tmp_path):
     # the next batch commits normally
     assert be.replace(spark.range(4).toDF("k"), path, txn=("a", 1)) == 2
     assert be.read(spark, path).count() == 4
+
+
+def test_update_where_scopes_rewrite_by_stats(spark, tmp_path):
+    """update_where rewrites ONLY files whose stats overlap the
+    scoping intervals; the rest are carried byte-unchanged into the
+    new manifest, rows update exactly once, untouched columns and
+    non-matching rows survive."""
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "t")
+    be = ManifestParquetBackend()
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("keep").alias("note"),
+    ).repartitionByRange(3, "k")
+    be.create(df, path, stats_cols=["k"])
+    man0 = be._manifest(path, 0)
+    assert len(man0["files"]) == 3
+
+    v, rewritten, carried = be.update_where(
+        spark, path,
+        {"v": "v + 1", "note": "'hit'"},
+        "k BETWEEN 250 AND 260",
+        intervals={"k": (250, 260)},
+    )
+    assert v == 1
+    assert rewritten == 1 and carried == 2  # stats pruned 2 of 3 files
+    man1 = be._manifest(path, 1)
+    assert len(set(man0["files"]) & set(man1["files"])) == 2  # same files
+    rows = {r.k: r for r in be.read(spark, path).collect()}
+    assert len(rows) == 300  # row count invariant
+    assert rows[255].v == 2551 and rows[255].note == "hit"
+    assert rows[100].v == 1000 and rows[100].note == "keep"
+    assert rows[261].v == 2610 and rows[261].note == "keep"  # same file, no match
+    # unknown column raises before any write
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown target columns"):
+        be.update_where(spark, path, {"nope": "1"}, "true")
+    assert be.latest_version(path) == 1

@@ -1262,6 +1262,8 @@ class ManifestParquetBackend:
                 op = "compact"
             elif m.get("delete") is not None:
                 op = f"delete({m['delete']})"
+            elif m.get("update") is not None:
+                op = f"update({m['update']})"
             elif m.get("parent") is None:
                 op = "create"
             else:

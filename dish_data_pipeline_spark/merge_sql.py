@@ -868,6 +868,9 @@ def run_sql(
         # rewritten before routing)
         sql, tt = _bind_time_travel(spark, sql, backend, table_paths)
         catalog.update(tt)
+    handled, maint = _run_maintenance(spark, sql, backend, table_paths)
+    if handled:
+        return maint
     if re.match(r"^\s*MERGE\b", sql, re.IGNORECASE):
         if backend is not None and table_paths:
             spec = parse_merge(sql)
@@ -1415,3 +1418,96 @@ def _run_update(spark: SparkSession, dml: DmlSpec, backend, path: str) -> None:
         ]
     )
     backend.replace(updated, path)
+
+
+# ---------------------------------------------------------------------------
+# Table-maintenance verbs, Delta SQL spellings — DESCRIBE HISTORY,
+# RESTORE, VACUUM, OPTIMIZE [ZORDER BY] — routed onto the backend's
+# maintenance API so operating the estate never leaves SQL either.
+# ---------------------------------------------------------------------------
+
+
+_DESCRIBE_RE = re.compile(
+    r"^DESCRIBE\s+HISTORY\s+(?P<target>" + _NAME + r")$", re.IGNORECASE
+)
+_RESTORE_RE = re.compile(
+    r"^RESTORE\s+(?:TABLE\s+)?(?P<target>" + _NAME + r")\s+TO\s+"
+    r"VERSION\s+AS\s+OF\s+(?P<version>\d+)$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^VACUUM\s+(?P<target>" + _NAME + r")"
+    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?$",
+    re.IGNORECASE,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^OPTIMIZE\s+(?P<target>" + _NAME + r")"
+    r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?$",
+    re.IGNORECASE,
+)
+
+
+def _run_maintenance(
+    spark: SparkSession,
+    sql: str,
+    backend,
+    table_paths: Mapping[str, str] | None,
+) -> tuple[bool, DataFrame | None]:
+    """Recognize and execute a maintenance statement. Returns
+    ``(handled, result)``: handled=False means the text is not a
+    maintenance verb (caller falls through); the result is a
+    DataFrame for DESCRIBE HISTORY, None for the committing verbs.
+    Backends lacking a verb fail loud."""
+    text = _norm(sql)
+    for rx, verb in (
+        (_DESCRIBE_RE, "history"),
+        (_RESTORE_RE, "restore"),
+        (_VACUUM_RE, "vacuum"),
+        (_OPTIMIZE_RE, "compact"),
+    ):
+        m = rx.match(text)
+        if m:
+            break
+    else:
+        return False, None
+    if backend is None:
+        raise MergeParseError(
+            f"{verb.upper()} operates on a table — pass backend= and "
+            "table_paths= to run_sql"
+        )
+    target = _unquote(m.group("target"))
+    path = _resolve_path(target, table_paths)
+    if path is None:
+        raise KeyError(
+            f"{verb} references {target!r} with no table_paths mapping; "
+            f"mapped: {sorted(table_paths or {})}"
+        )
+    if not hasattr(backend, verb):
+        raise ValueError(
+            f"backend {getattr(backend, 'name', type(backend).__name__)!r} "
+            f"has no {verb}() — maintenance verbs need the manifest tier"
+        )
+    if verb == "history":
+        rows = [
+            (h["version"], h.get("parent"), h["operation"], h["n_files"])
+            for h in backend.history(path)
+        ]
+        return True, spark.createDataFrame(
+            rows, "version bigint, parent bigint, operation string, "
+                  "n_files bigint",
+        )
+    if verb == "restore":
+        backend.restore(path, int(m.group("version")))
+        return True, None
+    if verb == "vacuum":
+        hours = m.group("hours")
+        backend.vacuum(
+            path, min_age_seconds=float(hours) * 3600.0 if hours else 0.0
+        )
+        return True, None
+    cols = m.group("cols")
+    zorder = [c.strip().strip("`") for c in cols.split(",")] if cols else None
+    v = backend.compact(spark, path, zorder_by=zorder)
+    if v == -1:
+        raise RuntimeError(f"OPTIMIZE lost the version race at {path}; re-run")
+    return True, None

@@ -1173,3 +1173,65 @@ def test_update_delete_in_script(spark, tmp_path):
         table_paths=paths,
     )
     assert [(r.k, r.v) for r in out.collect()] == [(1, 0), (2, 0), (3, 30)]
+
+
+# ---- round-13: textual maintenance verbs ----
+
+
+def test_maintenance_verbs_lifecycle(spark, tmp_path):
+    """DESCRIBE HISTORY / OPTIMIZE ZORDER / RESTORE / VACUUM as SQL
+    statements against a manifest table."""
+    import os as _os
+
+    from dish_data_pipeline_spark.merge_sql import run_sql, run_sql_script
+
+    be, path = _mk_backend(spark, tmp_path)
+    raw = spark.createDataFrame(
+        [Row(k=i, v=i * 2) for i in range(20)], "k long, v long"
+    )
+    run_sql_script(
+        spark,
+        """
+        CREATE TABLE t AS SELECT * FROM `p.d.raw` WHERE k < 10;
+        CREATE OR REPLACE TABLE t AS SELECT * FROM `p.d.raw`;
+        OPTIMIZE t ZORDER BY (k, v);
+        """,
+        {"raw": raw},
+        backend=be,
+        table_paths={"t": path},
+    )
+    hist = run_sql(
+        spark, "DESCRIBE HISTORY t", backend=be, table_paths={"t": path}
+    ).collect()
+    assert [(h.version, h.operation) for h in hist] == [
+        (0, "create"), (1, "write"), (2, "compact"),
+    ]
+    # rollback to v1 textually, then vacuum the superseded files
+    run_sql(spark, "RESTORE TABLE t TO VERSION AS OF 0",
+            backend=be, table_paths={"t": path})
+    assert be.read(spark, path).count() == 10  # v0 content again
+    run_sql(spark, "VACUUM t RETAIN 0 HOURS",
+            backend=be, table_paths={"t": path})
+    assert _os.path.isdir(path)
+    assert be.read(spark, path).count() == 10  # committed data intact
+
+
+def test_maintenance_requires_backend_and_mapping(spark):
+    from dish_data_pipeline_spark.merge_sql import MergeParseError, run_sql
+
+    with pytest.raises(MergeParseError, match="operates on a table"):
+        run_sql(spark, "DESCRIBE HISTORY t", {"t": None})
+
+
+def test_update_history_marker(spark, tmp_path):
+    """An update_where commit shows as update(<pred>) in history."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(spark.createDataFrame([Row(k=1, v=1)], "k long, v long"), path)
+    run_sql(spark, "UPDATE t SET v = 9 WHERE k = 1",
+            backend=be, table_paths={"t": path})
+    hist = run_sql(
+        spark, "DESCRIBE HISTORY t", backend=be, table_paths={"t": path}
+    ).collect()
+    assert hist[-1].operation == "update(k = 1)"

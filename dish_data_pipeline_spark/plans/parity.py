@@ -752,6 +752,65 @@ FROM t2 GROUP BY o_orderstatus
 """
 
 
+def q_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole table-maintenance lifecycle as SQL statements
+    (round 13): create → append → file-scoped UPDATE → DELETE →
+    OPTIMIZE ZORDER → RESTORE, then ``DESCRIBE HISTORY`` returns the
+    version/parent/operation card. Every operation string (including
+    the update/delete predicates and the restore target) is
+    deterministic, so the DuckDB twin is a plain VALUES table — the
+    hash matches only if each verb committed exactly one version
+    with exactly the right manifest markers."""
+    import os as _os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.merge_sql import run_sql, run_sql_script
+
+    from dish_data_pipeline_spark.plans.common import scratch_dir
+
+    base = scratch_dir("maint_sql", _os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(base, ignore_errors=True)
+    be = ManifestParquetBackend()
+    paths = {"t": _os.path.join(base, "t")}
+    raw = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    run_sql_script(
+        spark,
+        "CREATE TABLE t AS SELECT * FROM `proj.ds.orders` "
+        "WHERE o_orderkey % 3 = 0;"
+        "INSERT INTO t SELECT * FROM `proj.ds.orders` "
+        "WHERE o_orderkey % 3 = 1;"
+        "UPDATE t SET o_orderstatus = 'X' WHERE o_totalprice > 200000;"
+        "DELETE FROM t WHERE o_orderkey % 7 = 0;"
+        "OPTIMIZE t ZORDER BY (o_orderkey, o_totalprice);"
+        "RESTORE TABLE t TO VERSION AS OF 2",
+        {"orders": raw},
+        backend=be,
+        table_paths=paths,
+    )
+    hist = run_sql(
+        spark, "DESCRIBE HISTORY `proj.ds.t`",
+        backend=be, table_paths=paths,
+    ).select("version", "parent", "operation")
+    final = spark.createDataFrame(hist.collect(), hist.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
+SQL_MAINTENANCE_SQL = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(NULL AS BIGINT), 'create'),
+  (1, 0, 'write'),
+  (2, 1, 'update(o_totalprice > 200000)'),
+  (3, 2, 'delete(o_orderkey % 7 = 0)'),
+  (4, 3, 'compact'),
+  (5, 4, 'restore(v2)')
+) AS t(version, parent, operation)
+"""
+
+
 # --- J3: semi/anti joins ------------------------------------------
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read(spark, sf_dir, "customer")
@@ -1022,6 +1081,11 @@ PARITY_QUERIES: dict[str, QueryDef] = {
         q_dml_sql_roundtrip, SQL_DML_SQL_ROUNDTRIP,
         "textual UPDATE + file-scoped DELETE committed to a manifest "
         "table, quantized-sum aggregate of the result",
+        ("sql", "lakehouse")),
+    "maintenance_sql": QueryDef(
+        q_maintenance_sql, SQL_MAINTENANCE_SQL,
+        "create/append/UPDATE/DELETE/OPTIMIZE/RESTORE via SQL, "
+        "DESCRIBE HISTORY card vs a constant oracle",
         ("sql", "lakehouse")),
     "semi_anti_join": QueryDef(
         q_semi_anti_join, SQL_SEMI_ANTI_JOIN,

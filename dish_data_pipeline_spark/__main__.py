@@ -114,6 +114,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "--limit", type=int, default=20,
         help="rows of the final statement's result to print",
     )
+    sq.add_argument(
+        "--no-verify",
+        action="store_true",
+        help="skip the ANSI MERGE cardinality check for MERGE "
+        "statements in the script (ON by default)",
+    )
 
     t = sub.add_parser(
         "table", help="manifest lakehouse table maintenance"
@@ -132,6 +138,20 @@ def _build_parser() -> argparse.ArgumentParser:
     t.add_argument("--zorder", help="comma-separated z-order columns")
     t.add_argument("--keep-last", type=int, default=7)
     return p
+
+
+
+def _parse_table_args(items: list[str]) -> dict[str, str] | None:
+    """--table NAME=PATH list -> mapping; None (after printing the
+    offending item) on a malformed entry."""
+    paths: dict[str, str] = {}
+    for item in items:
+        name, sep, path = item.partition("=")
+        if not sep or not name or not path:
+            print(f"bad --table {item!r}; want NAME=PATH", file=sys.stderr)
+            return None
+        paths[name] = path
+    return paths
 
 
 def main(argv: list[str] | None = None, http_get=None) -> int:
@@ -216,14 +236,9 @@ def main(argv: list[str] | None = None, http_get=None) -> int:
         if sql is None:
             with open(args.sql_file) as f:
                 sql = f.read()
-        paths: dict[str, str] = {}
-        for item in args.table:
-            name, sep, path = item.partition("=")
-            if not sep or not name or not path:
-                print(f"bad --table {item!r}; want NAME=PATH",
-                      file=sys.stderr)
-                return 2
-            paths[name] = path
+        paths = _parse_table_args(args.table)
+        if paths is None:
+            return 2
         spec = parse_merge(sql)
         be = get_backend(args.backend)
 
@@ -280,17 +295,12 @@ def main(argv: list[str] | None = None, http_get=None) -> int:
         if script is None:
             with open(args.sql_file) as f:
                 script = f.read()
-        paths: dict[str, str] = {}
-        for item in args.table:
-            name, sep, path = item.partition("=")
-            if not sep or not name or not path:
-                print(f"bad --table {item!r}; want NAME=PATH",
-                      file=sys.stderr)
-                return 2
-            paths[name] = path
+        paths = _parse_table_args(args.table)
+        if paths is None:
+            return 2
         result = run_sql_script(
             spark, script, backend=get_backend(args.backend),
-            table_paths=paths,
+            table_paths=paths, verify_unique_match=not args.no_verify,
         )
         if result is not None:
             result.show(args.limit, truncate=False)

@@ -131,14 +131,20 @@ _NAME = r"(?:`[^`]+`|[A-Za-z_][\w.]*)"
 
 def _quoted_end(text: str, i: int) -> int:
     """One past the closing quote of the literal starting at
-    ``text[i]`` (``'`` with ``''`` doubling, or a backtick ident).
-    Raises loudly on an unterminated literal — guessing at string
-    boundaries is how parsers corrupt statements."""
+    ``text[i]``: ``'`` literals honor BOTH escape forms Spark's
+    non-ANSI lexer accepts (``''`` doubling and backslash escapes);
+    backtick idents have no escapes. Raises loudly on an
+    unterminated literal — guessing at string boundaries is how
+    parsers corrupt statements."""
     q = text[i]
     j = i + 1
     n = len(text)
     while j < n:
-        if text[j] == q:
+        ch = text[j]
+        if q == "'" and ch == "\\" and j + 1 < n:
+            j += 2  # backslash escape: \' \\ \n etc. stay inside
+            continue
+        if ch == q:
             if q == "'" and j + 1 < n and text[j + 1] == "'":
                 j += 2  # escaped '' stays inside the literal
                 continue
@@ -150,19 +156,33 @@ def _quoted_end(text: str, i: int) -> int:
     )
 
 
-def _mask_quotes(text: str) -> str:
+def _mask_quotes(text: str, tolerant: bool = False) -> str:
     """Length-preserving copy with every quoted literal's CONTENT
     blanked to spaces (the quote characters stay). All structural
     scanning — commas, parens, keywords — runs on the mask so that
     literals like ``'a, (WHEN MATCHED'`` can never confuse it, while
     slicing the ORIGINAL text at mask positions keeps every literal
-    byte-for-byte intact (the fail-loud-never-guess contract)."""
+    byte-for-byte intact (the fail-loud-never-guess contract).
+
+    ``tolerant=True`` (the SELECT passthrough paths, where text may
+    legally contain an unpaired apostrophe inside a ``--`` comment)
+    masks from an unterminated quote to end-of-text instead of
+    raising — the statement still goes to ``spark.sql``, whose lexer
+    is the authority there; the mask just refuses to bind anything
+    past the ambiguity."""
     out = list(text)
     i = 0
     n = len(text)
     while i < n:
         if text[i] in ("'", "`"):
-            j = _quoted_end(text, i)
+            try:
+                j = _quoted_end(text, i)
+            except MergeParseError:
+                if not tolerant:
+                    raise
+                for k in range(i + 1, n):
+                    out[k] = " "
+                return "".join(out)
             for k in range(i + 1, j - 1):
                 out[k] = " "
             i = j
@@ -705,7 +725,7 @@ def execute_merge(
 
 def merge_into_backend(
     spark: SparkSession,
-    sql: str,
+    sql: str | MergeSpec,
     backend,
     target_path: str,
     tables: Mapping[str, DataFrame],
@@ -740,10 +760,13 @@ def merge_into_backend(
     surface exactly-once — a replayed micro-batch whose marker is
     covered commits nothing (both routes: ``merge_keep_latest`` and
     the generic ``replace``)."""
-    spec = parse_merge(sql)
+    spec = parse_merge(sql) if isinstance(sql, str) else sql
     target = backend.read(spark, target_path)
-    catalog = dict(tables)
-    catalog[spec.target] = target
+    # ChainMap keeps a lazy caller catalog lazy — only the target's
+    # entry is overridden with the backend read
+    from collections import ChainMap  # noqa: PLC0415
+
+    catalog = ChainMap({spec.target: target}, tables)
     txn_kw = {} if txn is None else {"txn": txn}
 
     d = spec.dedup
@@ -817,6 +840,7 @@ def run_sql(
     tables: Mapping[str, DataFrame] | None = None,
     backend=None,
     table_paths: Mapping[str, str] | None = None,
+    verify_unique_match: bool = True,
 ) -> DataFrame | None:
     """Run ONE SQL statement of the reference's query surface against
     a caller-supplied catalog — the single textual entry point for
@@ -861,30 +885,45 @@ def run_sql(
     DML bodies, and MERGE USING subqueries alike.
     """
     catalog = _dml_catalog(spark, tables, backend, table_paths)
-    if backend is not None and table_paths:
+    if (
+        backend is not None
+        and table_paths
+        and re.search(r"\bVERSION\s+AS\s+OF\b", sql, re.IGNORECASE)
+    ):
         # Delta-style time travel: FROM <t> VERSION AS OF <n> binds a
         # versioned backend read (works in SELECTs, DML bodies, and
         # MERGE USING subqueries alike — the statement text is
-        # rewritten before routing)
+        # rewritten before routing). Gated on the phrase so plain
+        # SELECTs never pass through the strict statement scanner.
         sql, tt = _bind_time_travel(spark, sql, backend, table_paths)
         catalog.update(tt)
-    handled, maint = _run_maintenance(spark, sql, backend, table_paths)
-    if handled:
-        return maint
+    if re.match(
+        r"^\s*(?:DESCRIBE|RESTORE|VACUUM|OPTIMIZE)\b", sql, re.IGNORECASE
+    ):
+        handled, maint = _run_maintenance(spark, sql, backend, table_paths)
+        if handled:
+            return maint
     if re.match(r"^\s*MERGE\b", sql, re.IGNORECASE):
         if backend is not None and table_paths:
             spec = parse_merge(sql)
             path = _resolve_path(spec.target, table_paths)
             if path is not None:
                 # merge_into_backend overrides the target's catalog
-                # entry with the backend read itself
-                merge_into_backend(spark, sql, backend, path, catalog)
+                # entry with the backend read itself (spec passed
+                # through, so the statement parses once)
+                merge_into_backend(
+                    spark, spec, backend, path, catalog,
+                    verify_unique_match=verify_unique_match,
+                )
                 return None
         return execute_merge(spark, sql, catalog)
-    dml = _parse_dml(sql)
-    if dml is not None:
-        _run_dml(spark, dml, catalog, backend, table_paths)
-        return None
+    if re.match(
+        r"^\s*(?:INSERT|CREATE|DELETE|UPDATE)\b", sql, re.IGNORECASE
+    ):
+        dml = _parse_dml(sql)
+        if dml is not None:
+            _run_dml(spark, dml, catalog, backend, table_paths)
+            return None
     return _run_select(spark, sql, catalog)
 
 
@@ -926,7 +965,6 @@ def _run_select(
       eagerly: the returned DataFrame's plan holds the resolved
       relations, not the view names.
     """
-    text = sql
     views: list[str] = []
 
     def _bind(df: DataFrame) -> str:
@@ -935,30 +973,56 @@ def _run_select(
         views.append(view)
         return view
 
-    for ref in set(re.findall(r"`([^`]+)`", sql)):
-        df = _resolve(ref, tables)  # KeyError with the catalog listed
-        text = text.replace(f"`{ref}`", _bind(df))
-    # bare catalog names bind in FROM/JOIN position only; the original
-    # name is preserved as the relation's alias (unless the statement
-    # already aliases it) so qualified column refs keep resolving
-    for name, df in tables.items():
-        if not re.fullmatch(r"\w+", name):
-            continue
-        pat = re.compile(
-            rf"(\b(?:FROM|JOIN)\s+){re.escape(name)}\b", re.IGNORECASE
-        )
-        if not pat.search(text):
-            continue
-        view = _bind(df)
-
-        def _repl(m: re.Match, view=view, name=name) -> str:
-            follow = re.match(r"\s+(?:AS\s+)?(\w+)", m.string[m.end() :])
-            if follow and follow.group(1).upper() not in _POST_TABLE_KW:
-                return m.group(1) + view  # statement supplies an alias
-            return f"{m.group(1)}{view} AS {name}"
-
-        text = pat.sub(_repl, text)
     try:
+        # Backticked refs, found on the (tolerant) quote mask and
+        # rewritten BY POSITION — a backtick or a catalog-name
+        # spelling inside a string literal can never open a binding
+        # or be rewritten (the literals-survive-byte-for-byte
+        # contract applies to the SELECT path too).
+        text = sql
+        mask = _mask_quotes(text, tolerant=True)
+        bound: dict[str, str] = {}
+        out: list[str] = []
+        last = 0
+        for m in re.finditer(r"`([^`]+)`", mask):
+            ref = text[m.start(1) : m.end(1)]
+            if ref not in bound:
+                # KeyError lists the catalog; finally still drops
+                # any views bound by earlier refs
+                bound[ref] = _bind(_resolve(ref, tables))
+            out.append(text[last : m.start()])
+            out.append(bound[ref])
+            last = m.end()
+        out.append(text[last:])
+        text = "".join(out)
+        # bare catalog names bind in FROM/JOIN position only (again
+        # located on a fresh mask); the original name is preserved
+        # as the relation's alias (unless the statement already
+        # aliases it) so qualified column refs keep resolving
+        for name in list(tables):
+            if not re.fullmatch(r"\w+", name):
+                continue
+            pat = re.compile(
+                rf"(\b(?:FROM|JOIN)\s+){re.escape(name)}\b", re.IGNORECASE
+            )
+            mask = _mask_quotes(text, tolerant=True)
+            matches = list(pat.finditer(mask))
+            if not matches:
+                continue
+            view = _bind(tables[name])
+            out = []
+            last = 0
+            for m in matches:
+                follow = re.match(r"\s+(?:AS\s+)?(\w+)", mask[m.end() :])
+                if follow and follow.group(1).upper() not in _POST_TABLE_KW:
+                    repl = m.group(1) + view  # statement's own alias
+                else:
+                    repl = f"{m.group(1)}{view} AS {name}"
+                out.append(text[last : m.start()])
+                out.append(repl)
+                last = m.end()
+            out.append(text[last:])
+            text = "".join(out)
         return spark.sql(text)
     finally:
         for view in views:
@@ -1105,21 +1169,71 @@ def _resolve_path(name: str, table_paths: Mapping[str, str] | None):
     return None
 
 
+class _LazyCatalog(Mapping):
+    """The read catalog for statement bodies: caller DataFrames plus
+    every mapped backend table that exists (a CTAS target that does
+    not exist yet simply is not readable). Backend tables construct
+    their DataFrames LAZILY on first reference (round-13 review fix:
+    a 10-statement script over 10 mapped tables used to perform ~100
+    eager manifest reads; now each statement reads only the tables
+    it names), cached per catalog instance. Synthetic entries (time
+    travel) are added via plain item assignment."""
+
+    def __init__(self, spark, tables, backend, table_paths) -> None:
+        self._spark = spark
+        self._tables: dict[str, DataFrame] = dict(tables or {})
+        self._backend = backend
+        self._paths = (
+            dict(table_paths or {}) if backend is not None else {}
+        )
+        self._cache: dict[str, DataFrame] = {}
+
+    def _backend_has(self, name: str) -> bool:
+        return (
+            name not in self._tables
+            and name in self._paths
+            and self._backend.exists(self._spark, self._paths[name])
+        )
+
+    def __contains__(self, name: object) -> bool:
+        return name in self._tables or (
+            isinstance(name, str) and self._backend_has(name)
+        )
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name in self._tables:
+            return self._tables[name]
+        if name in self._cache:
+            return self._cache[name]
+        if self._backend_has(name):
+            df = self._backend.read(self._spark, self._paths[name])
+            self._cache[name] = df
+            return df
+        raise KeyError(name)
+
+    def __setitem__(self, name: str, df: DataFrame) -> None:
+        self._tables[name] = df
+
+    def update(self, other: Mapping[str, DataFrame]) -> None:
+        self._tables.update(other)
+
+    def __iter__(self):
+        yield from self._tables
+        for name in self._paths:
+            if self._backend_has(name):
+                yield name
+
+    def __len__(self) -> int:
+        return sum(1 for _ in self)
+
+
 def _dml_catalog(
     spark: SparkSession,
     tables: Mapping[str, DataFrame] | None,
     backend,
     table_paths: Mapping[str, str] | None,
-) -> dict[str, DataFrame]:
-    """The read catalog for statement bodies: caller DataFrames plus
-    every mapped backend table that exists (a CTAS target that does
-    not exist yet simply is not readable)."""
-    catalog = dict(tables or {})
-    if backend is not None and table_paths:
-        for name, path in table_paths.items():
-            if name not in catalog and backend.exists(spark, path):
-                catalog[name] = backend.read(spark, path)
-    return catalog
+) -> _LazyCatalog:
+    return _LazyCatalog(spark, tables, backend, table_paths)
 
 
 def _align_to_schema(df: DataFrame, schema, cols: list[str] | None) -> DataFrame:
@@ -1251,6 +1365,7 @@ def run_sql_script(
     tables: Mapping[str, DataFrame] | None = None,
     backend=None,
     table_paths: Mapping[str, str] | None = None,
+    verify_unique_match: bool = True,
 ) -> DataFrame | None:
     """Run a multi-statement SQL script (the reference's whole
     lifecycle as ONE file: truncate-load staging, MERGE upsert,
@@ -1264,7 +1379,8 @@ def run_sql_script(
     result: DataFrame | None = None
     for stmt in split_statements(script):
         result = run_sql(
-            spark, stmt, tables, backend=backend, table_paths=table_paths
+            spark, stmt, tables, backend=backend, table_paths=table_paths,
+            verify_unique_match=verify_unique_match,
         )
     return result
 
@@ -1330,6 +1446,53 @@ _POINT_EQ_RE = re.compile(
 )
 
 
+_INT_TYPES = frozenset({"byte", "short", "integer", "long"})
+_NUM_TYPES = _INT_TYPES | {"float", "double"}
+
+
+def _point_scope(pred: str, schema) -> tuple[dict | None, dict | None]:
+    """Derive (equals, intervals) file-scoping from a point-equality
+    predicate, forwarding each ONLY when provably sound for the
+    column's Spark type (round-13 review fix):
+
+    - ``intervals={col: (v, v)}`` (min/max stats pruning) needs the
+      literal's Python type to compare cleanly with the recorded
+      footer stats: numeric literal × numeric column, or string
+      literal × string column.
+    - ``equals`` (bloom pruning) additionally needs ``str(value)`` to
+      equal Spark's ``CAST(col AS STRING)`` of the matching rows —
+      true only for integer literal × integer-family column and
+      string literal × string column. A float (``7`` probing a
+      DOUBLE column hashes '7' vs the builder's '7.0') would
+      silently prune EVERY file and turn the DELETE into a no-op, so
+      anything else forwards no bloom scope at all.
+
+    Unscoped is always correct — just less pruned."""
+    m = _POINT_EQ_RE.match(pred)
+    if m is None:
+        return None, None
+    col = m.group("col")
+    field = next((f for f in schema.fields if f.name == col), None)
+    if field is None:
+        return None, None
+    tname = field.dataType.typeName()
+    if m.group("num") is not None:
+        txt = m.group("num")
+        is_int = "." not in txt
+        val = int(txt) if is_int else float(txt)
+        if tname not in _NUM_TYPES:
+            return None, None
+        equals = {col: val} if is_int and tname in _INT_TYPES else None
+        return equals, {col: (val, val)}
+    raw = m.group("str")
+    if "\\" in raw:
+        return None, None  # lexer-dependent escape: skip scoping
+    val = raw[1:-1].replace("''", "'")
+    if tname != "string":
+        return None, None
+    return {col: val}, {col: (val, val)}
+
+
 def _run_delete(spark: SparkSession, dml: DmlSpec, backend, path: str) -> None:
     """``DELETE FROM t [WHERE p]``: the manifest tier's
     ``delete_where`` when available (file-scoped rewrite — and a
@@ -1340,17 +1503,11 @@ def _run_delete(spark: SparkSession, dml: DmlSpec, backend, path: str) -> None:
     survive; no WHERE deletes every row."""
     pred = dml.where_sql or "true"
     if hasattr(backend, "delete_where"):
-        equals = None
-        m = _POINT_EQ_RE.match(pred)
-        if m:
-            if m.group("num") is not None:
-                num = m.group("num")
-                val = float(num) if "." in num else int(num)
-            else:
-                val = m.group("str")[1:-1].replace("''", "'")
-            equals = {m.group("col"): val}
+        equals, intervals = _point_scope(
+            pred, backend.read(spark, path).schema
+        )
         v, _affected, _carried = backend.delete_where(
-            spark, path, pred, equals=equals
+            spark, path, pred, intervals=intervals, equals=equals
         )
         if v == -1:
             raise RuntimeError(
@@ -1374,18 +1531,13 @@ def _run_update(spark: SparkSession, dml: DmlSpec, backend, path: str) -> None:
     predicate (or where it is NULL) pass through unchanged."""
     if hasattr(backend, "update_where"):
         pred = dml.where_sql or "true"
-        equals = None
-        m = _POINT_EQ_RE.match(pred)
-        if m:
-            if m.group("num") is not None:
-                num = m.group("num")
-                val = float(num) if "." in num else int(num)
-            else:
-                val = m.group("str")[1:-1].replace("''", "'")
-            equals = {m.group("col"): val}
+        equals, intervals = _point_scope(
+            pred, backend.read(spark, path).schema
+        )
         try:
             v, _rewritten, _carried = backend.update_where(
-                spark, path, dml.update_set or {}, pred, equals=equals
+                spark, path, dml.update_set or {}, pred,
+                intervals=intervals, equals=equals,
             )
         except ValueError as exc:  # unknown SET column: parser error
             raise MergeParseError(str(exc)) from exc

@@ -1235,3 +1235,124 @@ def test_update_history_marker(spark, tmp_path):
         spark, "DESCRIBE HISTORY t", backend=be, table_paths={"t": path}
     ).collect()
     assert hist[-1].operation == "update(k = 1)"
+
+
+# ---- round-13 review fixes: literals, lexer tolerance, scoping ----
+
+
+def test_bare_name_inside_literal_not_rewritten(spark):
+    """A catalog name spelled inside a string literal ('... FROM
+    staging ...') must survive byte-for-byte — binding is located on
+    the quote mask (review finding #1)."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    staging = spark.createDataFrame([Row(k=1)], "k long")
+    out = run_sql(
+        spark,
+        "SELECT 'copied FROM staging today' AS note, k "
+        "FROM `p.d.staging`",
+        {"staging": staging},
+    ).collect()
+    assert out == [Row(note="copied FROM staging today", k=1)]
+
+
+def test_select_with_backslash_escape_and_comment(spark):
+    """Spark-lexer shapes the strict parser need not accept must
+    still run on the SELECT path: backslash-escaped quotes and a
+    trailing -- comment containing an apostrophe (review finding #2)."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    t = spark.createDataFrame([Row(name="O'Brien")], "name string")
+    out = run_sql(
+        spark,
+        "SELECT name FROM t WHERE name LIKE 'O\\'Br%' -- don't touch\n",
+        {"t": t},
+    ).collect()
+    assert out == [Row(name="O'Brien")]
+
+
+def test_point_scope_type_soundness(spark, tmp_path):
+    """equals (bloom) scoping forwards ONLY int-literal x int-column
+    and string x string; a float literal or an int literal probing a
+    DOUBLE column forwards no bloom scope (a mismatched CAST hash
+    would silently prune every file and no-op the DELETE)."""
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.merge_sql import _point_scope
+
+    schema = spark.createDataFrame(
+        [], "k long, amount double, name string"
+    ).schema
+    assert _point_scope("k = 7", schema) == ({"k": 7}, {"k": (7, 7)})
+    assert _point_scope("amount = 7", schema) == (None, {"amount": (7, 7)})
+    assert _point_scope("amount = 1.5", schema) == (
+        None, {"amount": (1.5, 1.5)}
+    )
+    assert _point_scope("name = 'x'", schema) == (
+        {"name": "x"}, {"name": ("x", "x")}
+    )
+    assert _point_scope("k = 'x'", schema) == (None, None)  # type clash
+    assert _point_scope("ghost = 1", schema) == (None, None)
+    assert _point_scope("k > 1", schema) == (None, None)
+
+
+def test_textual_point_delete_prunes_by_stats(spark, tmp_path):
+    """On a stats-only (bloom-less) table a textual point DELETE now
+    engages interval pruning: 1 of 3 files rewritten (review finding
+    #4 — previously all files rewrote)."""
+    from pyspark.sql import functions as F
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    path = str(tmp_path / "t")
+    be = ManifestParquetBackend()
+    be.create(
+        spark.range(300).select(F.col("id").alias("k"))
+        .repartitionByRange(3, "k"),
+        path, stats_cols=["k"],
+    )
+    run_sql(spark, "DELETE FROM t WHERE k = 150",
+            backend=be, table_paths={"t": path})
+    man0 = be._manifest(path, 0)
+    man1 = be._manifest(path, 1)
+    assert len(set(man0["files"]) & set(man1["files"])) == 2  # carried
+    assert be.read(spark, path).count() == 299
+
+
+def test_failed_bind_drops_partial_views(spark):
+    """A KeyError mid-binding must not leak the views already bound
+    (review finding #6)."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    a = spark.createDataFrame([Row(k=1)], "k long")
+    with pytest.raises(KeyError, match="ghost"):
+        run_sql(spark, "SELECT * FROM `p.a` JOIN `p.ghost` USING (k)",
+                {"a": a})
+    leftovers = [
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith("sqlrun_")
+    ]
+    assert leftovers == []
+
+
+def test_script_surface_verify_opt_out(spark, tmp_path):
+    """The documented cardinality opt-out exists on the script
+    surface too (review finding #5)."""
+    from dish_data_pipeline_spark.merge_sql import run_sql_script
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(spark.createDataFrame([Row(k=1, v=0)], "k long, v long"), path)
+    staging = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=1, v=20)], "k long, v long"
+    )
+    script = (
+        "MERGE t T USING stg S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET T.v = S.v"
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        run_sql_script(spark, script, {"stg": staging},
+                       backend=be, table_paths={"t": path})
+    run_sql_script(spark, script, {"stg": staging},
+                   backend=be, table_paths={"t": path},
+                   verify_unique_match=False)
+    assert be.read(spark, path).count() == 2

@@ -1,14 +1,37 @@
-"""Textual ``MERGE INTO`` surface (round-12 judge gap #3).
+"""The textual SQL surface: MERGE INTO (round 12), plus — round 13 —
+the REST of the lifecycle as SQL strings.
 
 The reference's only true query surface IS a SQL string — two
 BigQuery MERGE statements (reference pipeline/data_pipeline.py:
 160-175 ``daily_visits`` with expression keys, :177-206
-``ga_sessions`` with an inline keep-latest dedup subquery). This
-engine's merge has been API-shaped (``operators.upsert``,
-``backend.merge_keep_latest``); a user porting the reference's
-literal SQL needs a parser that accepts those statements and routes
-them onto the same compositions. This module is that parser plus a
-faithful executor — generalized past the reference to the full
+``ga_sessions`` with an inline keep-latest dedup subquery) plus a
+WRITE_TRUNCATE staging load (:141-148) and a WRITE_APPEND audit log
+(:234-237). This module lets a user drive ALL of it textually:
+
+- :func:`parse_merge` / :func:`execute_merge` /
+  :func:`merge_into_backend` — the MERGE dialect below, faithfully
+  composed and optionally committed through a table backend with
+  the ANSI cardinality check on by default and streaming txn
+  markers.
+- :func:`run_sql` — one statement of any kind: MERGE, ``INSERT
+  INTO`` (append), ``INSERT OVERWRITE`` / ``CREATE [OR REPLACE]
+  TABLE AS`` (truncate-load), ``DELETE FROM`` / ``UPDATE ... SET``
+  (file-scoped on the manifest tier), the maintenance verbs
+  (``DESCRIBE HISTORY`` / ``RESTORE`` / ``VACUUM`` / ``OPTIMIZE
+  [ZORDER BY]``), and SELECT/VALUES/WITH — with Delta-style
+  ``FROM t VERSION AS OF n`` time travel bound to the backend's
+  versioned reads.
+- :func:`run_sql_script` / the CLI ``sql`` subcommand — a whole
+  ``.sql`` file of the above, split on quote-aware semicolons.
+
+All statement scanning runs over a quote MASK (:func:`_mask_quotes`)
+so string literals survive byte-for-byte and keywords/commas/
+semicolons inside them are inert; the lexer accepts both escape
+forms Spark's non-ANSI lexer does (``''`` doubling and backslash).
+Anything outside the dialect raises ``MergeParseError`` loudly — a
+parser that silently guesses at SQL semantics corrupts tables.
+
+The MERGE executor is generalized past the reference to the full
 ANSI/BigQuery/Delta branch set, because real estates write all of
 it:
 

@@ -259,12 +259,29 @@ def main(argv: list[str] | None = None, http_get=None) -> int:
             # USING (SELECT ...): the subquery's table refs resolve
             # through the same --table catalog (backticked names plus
             # bare names in FROM/JOIN position — the _run_select
-            # binding), so expose every mapped table.
-            tables = {
-                name: be.read(spark, path)
-                for name, path in paths.items()
-                if name != spec.target
-            }
+            # binding), so expose every mapped table THAT EXISTS —
+            # an unreadable extra mapping must not crash a MERGE
+            # that never references it (round-13 advisor item).
+            # A mapped-but-missing table the subquery DOES reference
+            # still fails, with the clean catalog KeyError naming
+            # what is bindable.
+            tables = {}
+            for name, path in paths.items():
+                if name == spec.target:
+                    continue
+                try:
+                    readable = be.exists(spark, path)
+                except Exception:
+                    readable = False
+                if readable:
+                    tables[name] = be.read(spark, path)
+                else:
+                    print(
+                        f"note: --table {name}={path} is not a readable "
+                        f"{args.backend} table; it will not be bindable "
+                        "in the USING subquery",
+                        file=sys.stderr,
+                    )
         else:
             source_path = _lookup(spec.source)
             if source_path is None:

@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Mapping, Sequence
 from typing import Protocol
@@ -471,6 +472,11 @@ class ManifestParquetBackend:
         log = self._log_dir(path)
         os.makedirs(log, exist_ok=True)
         tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
+        # wall-clock stamped at commit time (every attempt afresh, so
+        # retry winners carry their real commit instant) — the Delta
+        # commit-timestamp analog that DESCRIBE HISTORY's `timestamp`
+        # column and TIMESTAMP AS OF resolution read back.
+        manifest = dict(manifest, commit_ts=time.time())
         fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
             os.write(fd, json.dumps(manifest, sort_keys=True).encode())
@@ -1243,11 +1249,13 @@ class ManifestParquetBackend:
 
     def history(self, path: str) -> list[dict]:
         """``DESCRIBE HISTORY`` analog: one record per committed
-        version, oldest first — version, parent, operation
-        (create / append / merge-or-restore markers / compaction /
-        delete), file count, and the txn marker map. Driver-side
-        metadata only (manifests are small JSON); expired versions
-        are absent."""
+        version, oldest first — version, parent, commit timestamp
+        (UTC epoch seconds; None for manifests written before
+        timestamps were recorded), operation (create / append /
+        merge-or-restore markers / compaction / delete / alter),
+        file count, and the txn marker map. Driver-side metadata
+        only (manifests are small JSON); expired versions are
+        absent."""
         log = self._log_dir(path)
         if not os.path.isdir(log):
             return []
@@ -1264,6 +1272,8 @@ class ManifestParquetBackend:
                 op = f"delete({m['delete']})"
             elif m.get("update") is not None:
                 op = f"update({m['update']})"
+            elif m.get("alter") is not None:
+                op = f"alter({m['alter']})"
             elif m.get("parent") is None:
                 op = "create"
             else:
@@ -1272,12 +1282,106 @@ class ManifestParquetBackend:
                 {
                     "version": m["version"],
                     "parent": m.get("parent"),
+                    "timestamp": m.get("commit_ts"),
                     "operation": op,
                     "n_files": len(m["files"]),
                     "txns": m.get("txns", {}),
                 }
             )
         return out
+
+    def version_at_timestamp(self, path: str, ts: float) -> int:
+        """``TIMESTAMP AS OF`` resolution, Delta's rule: the GREATEST
+        committed version whose commit timestamp is <= ``ts`` (UTC
+        epoch seconds). Raises when ``ts`` predates the earliest
+        addressable commit — time traveling "before the table
+        existed" must be loud, not silently pinned to v0. Versions
+        whose manifests predate commit timestamps (older writers)
+        are not time-addressable and are skipped."""
+        log = self._log_dir(path)
+        if not os.path.isdir(log):
+            raise FileNotFoundError(f"no table at {path}")
+        best: int | None = None
+        earliest: float | None = None
+        stamped = False
+        for f in sorted(os.listdir(log)):
+            if not (f.startswith("v") and f.endswith(".json")):
+                continue
+            m = self._manifest(path, int(f[1:-5]))
+            cts = m.get("commit_ts")
+            if cts is None:
+                continue
+            stamped = True
+            if earliest is None or cts < earliest:
+                earliest = cts
+            if cts <= ts and (best is None or m["version"] > best):
+                best = m["version"]
+        if best is None:
+            if not stamped:
+                raise ValueError(
+                    f"table at {path} has no commit timestamps (written "
+                    "before timestamps were recorded) — use VERSION AS OF"
+                )
+            raise ValueError(
+                f"timestamp {ts} predates the earliest available commit "
+                f"({earliest}) at {path}"
+            )
+        return best
+
+    def add_column(
+        self, spark: SparkSession, path: str, name: str, ddl_type: str
+    ) -> int:
+        """``ALTER TABLE ... ADD COLUMN`` analog: metadata-only
+        ADDITIVE schema evolution — commit a new version reusing the
+        latest manifest's files, stats, and bloom config verbatim
+        with the schema widened by one NULLABLE column. Existing
+        parquet files are untouched; the schema-first read path
+        (:meth:`read` passes the manifest schema to the scan) fills
+        the new column with NULL for every pre-alter file, exactly
+        Delta's behavior. Anything non-additive is rejected: adding
+        an existing column (i.e. a type change in disguise) raises,
+        because the files already committed under the old type are
+        immutable — rewriting them is a MERGE/CTAS job, not an
+        ALTER. Returns the committed version."""
+        from pyspark.sql.types import (  # noqa: PLC0415
+            StructField,
+            StructType,
+            _parse_datatype_string,
+        )
+
+        base = self.latest_version(path)
+        if base is None:
+            raise FileNotFoundError(f"no table at {path}")
+        latest = self._manifest(path, base)
+        schema = StructType.fromJson(json.loads(latest["schema"]))
+        if any(fld.name == name for fld in schema.fields):
+            raise ValueError(
+                f"column {name!r} already exists in {path} — ALTER TABLE "
+                "supports only additive evolution (a type change means "
+                "rewriting committed files: use CREATE OR REPLACE TABLE "
+                "or MERGE)"
+            )
+        dtype = _parse_datatype_string(ddl_type)
+        new_schema = StructType(
+            list(schema.fields) + [StructField(name, dtype, True)]
+        )
+        manifest = {
+            "version": base + 1,
+            "parent": base,
+            "alter": f"add_column({name} {dtype.simpleString()})",
+            "files": latest["files"],
+            "schema": json.dumps(new_schema.jsonValue()),
+            "stats_cols": latest.get("stats_cols") or [],
+            "stats": latest.get("stats", {}),
+            "txns": latest.get("txns", {}),
+        }
+        if latest.get("bloom") is not None:
+            manifest["bloom"] = latest["bloom"]
+        if not self._try_commit(path, base + 1, manifest):
+            raise CommitConflict(
+                f"lost the ALTER race at {path}; re-examine state"
+            )
+        return base + 1
 
     def expire_versions(self, path: str, keep_last: int = 7) -> list[int]:
         """Retention expiry: drop the manifests of all but the newest
@@ -1326,7 +1430,7 @@ class ManifestParquetBackend:
         referenced_dirs = {os.path.dirname(f) for f in referenced}
         deleted: list[str] = []
         data = os.path.join(path, "data")
-        now = __import__("time").time()
+        now = time.time()
         # stale commit scratch: _try_commit unlinks its .tmp-* in a
         # finally, so one only survives a HARD crash between create
         # and cleanup. They are never referenced (commits are the

@@ -282,12 +282,15 @@ def test_unterminated_literal_raises():
         )
 
 
-def test_stray_end_raises():
-    with pytest.raises(MergeParseError, match="END without CASE"):
-        parse_merge(
-            "MERGE INTO tgt T USING stg S ON T.k = S.k "
-            "WHEN MATCHED AND x END THEN DELETE"
-        )
+def test_end_identifier_is_not_structural():
+    """`end` is non-reserved in Spark (interval tables routinely
+    carry a column named end); outside an open CASE it is a plain
+    identifier, never a clause-span token (round-13 advisor item)."""
+    spec = parse_merge(
+        "MERGE INTO tgt T USING stg S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET T.end = S.end, T.v = S.v"
+    )
+    assert spec.clauses[0].update_set == {"end": "S.end", "v": "S.v"}
 
 
 def test_case_statement_executes(spark):

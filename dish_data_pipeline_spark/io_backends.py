@@ -1361,6 +1361,24 @@ class ManifestParquetBackend:
                 "rewriting committed files: use CREATE OR REPLACE TABLE "
                 "or MERGE)"
             )
+        # resurrection guard: a column DROPPED earlier is gone from
+        # the manifest schema but its bytes remain in any live file
+        # written before the drop — re-adding the name would read
+        # those stale values back instead of NULL. One footer-schema
+        # read per live file (driver-side, maintenance-path cost, the
+        # same class as stats collection) proves the name physically
+        # absent; otherwise the re-add needs a rewrite.
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        for rel in latest["files"]:
+            physical = pq.read_schema(os.path.join(path, rel))
+            if name in physical.names:
+                raise ValueError(
+                    f"column {name!r} still exists physically in live "
+                    f"file {rel} (dropped earlier?) — re-adding it would "
+                    "resurrect stale values. Rewrite first (OPTIMIZE "
+                    "after the drop, or CREATE OR REPLACE TABLE)"
+                )
         dtype = _parse_datatype_string(ddl_type)
         new_schema = StructType(
             list(schema.fields) + [StructField(name, dtype, True)]
@@ -1377,6 +1395,70 @@ class ManifestParquetBackend:
         }
         if latest.get("bloom") is not None:
             manifest["bloom"] = latest["bloom"]
+        if not self._try_commit(path, base + 1, manifest):
+            raise CommitConflict(
+                f"lost the ALTER race at {path}; re-examine state"
+            )
+        return base + 1
+
+    def drop_column(self, path: str, name: str) -> int:
+        """``ALTER TABLE ... DROP COLUMN`` analog: metadata-only —
+        the manifest schema narrows and reads project the remaining
+        columns; committed files are untouched, so the dropped
+        bytes persist until the files are naturally rewritten
+        (OPTIMIZE / MERGE / CTAS). Safe because the schema-first
+        read path never surfaces unlisted physical columns, and
+        :meth:`add_column`'s physical-presence guard refuses to
+        resurrect a dropped name until the bytes are gone. The
+        column's stats and bloom entries are stripped from the new
+        manifest (stale prune metadata must not outlive the
+        column). Dropping the last column is rejected. Returns the
+        committed version."""
+        from pyspark.sql.types import StructType  # noqa: PLC0415
+
+        base = self.latest_version(path)
+        if base is None:
+            raise FileNotFoundError(f"no table at {path}")
+        latest = self._manifest(path, base)
+        schema = StructType.fromJson(json.loads(latest["schema"]))
+        if not any(fld.name == name for fld in schema.fields):
+            raise ValueError(
+                f"column {name!r} does not exist in {path}; have "
+                f"{[fld.name for fld in schema.fields]}"
+            )
+        kept = [fld for fld in schema.fields if fld.name != name]
+        if not kept:
+            raise ValueError(
+                f"cannot drop {name!r}: it is the last column of {path}"
+            )
+        stats = {
+            rel: {k: v for k, v in s.items() if k != name}
+            for rel, s in (latest.get("stats") or {}).items()
+        }
+        manifest = {
+            "version": base + 1,
+            "parent": base,
+            "alter": f"drop_column({name})",
+            "files": latest["files"],
+            "schema": json.dumps(StructType(kept).jsonValue()),
+            "stats_cols": [
+                c for c in (latest.get("stats_cols") or []) if c != name
+            ],
+            "stats": stats,
+            "txns": latest.get("txns", {}),
+        }
+        bloom = latest.get("bloom")
+        if bloom is not None:
+            cols = [c for c in bloom["cols"] if c != name]
+            if cols:
+                manifest["bloom"] = {
+                    **{k: v for k, v in bloom.items() if k != "files"},
+                    "cols": cols,
+                    "files": {
+                        rel: {c: e for c, e in entry.items() if c != name}
+                        for rel, entry in (bloom.get("files") or {}).items()
+                    },
+                }
         if not self._try_commit(path, base + 1, manifest):
             raise CommitConflict(
                 f"lost the ALTER race at {path}; re-examine state"

@@ -17,10 +17,15 @@ WRITE_TRUNCATE staging load (:141-148) and a WRITE_APPEND audit log
   INTO`` (append), ``INSERT OVERWRITE`` / ``CREATE [OR REPLACE]
   TABLE AS`` (truncate-load), ``DELETE FROM`` / ``UPDATE ... SET``
   (file-scoped on the manifest tier), the maintenance verbs
-  (``DESCRIBE HISTORY`` / ``RESTORE`` / ``VACUUM`` / ``OPTIMIZE
-  [ZORDER BY]``), and SELECT/VALUES/WITH — with Delta-style
-  ``FROM t VERSION AS OF n`` time travel bound to the backend's
-  versioned reads.
+  (``DESCRIBE HISTORY`` — with commit timestamps — / ``RESTORE ...
+  TO VERSION|TIMESTAMP AS OF`` / ``VACUUM [RETAIN n HOURS]`` — bare
+  form keeps a 168h safety window — / ``OPTIMIZE [ZORDER BY]`` /
+  ``ALTER TABLE ... ADD COLUMN[S]`` / ``ALTER TABLE ... DROP
+  COLUMN`` — metadata-only additive evolution, round 14), and
+  SELECT/VALUES/WITH — with Delta-style ``FROM t VERSION AS OF n``
+  and ``FROM t TIMESTAMP AS OF '<ts>'`` time travel bound to the
+  backend's versioned reads (a timestamp resolves to the greatest
+  version whose commit wall-clock is <= the literal).
 - :func:`run_sql_script` / the CLI ``sql`` subcommand — a whole
   ``.sql`` file of the above, split on quote-aware semicolons.
 
@@ -28,6 +33,10 @@ All statement scanning runs over a quote MASK (:func:`_mask_quotes`)
 so string literals survive byte-for-byte and keywords/commas/
 semicolons inside them are inert; the lexer accepts both escape
 forms Spark's non-ANSI lexer does (``''`` doubling and backslash).
+``--`` line comments and NESTED ``/* */`` block comments are
+stripped quote-aware before parsing (round 14), and routing gates
+look at a comment-blanked view, so a leading comment never hides
+the verb and a literal never triggers a route.
 Anything outside the dialect raises ``MergeParseError`` loudly — a
 parser that silently guesses at SQL semantics corrupts tables.
 
@@ -990,9 +999,11 @@ def run_sql(
     (lazily, only tables that exist) so DML bodies can SELECT from
     backend tables directly.
 
-    With a backend, ``FROM <t> VERSION AS OF <n>`` (Delta's time
-    travel syntax) binds ``backend.read(version=n)`` — in SELECTs,
-    DML bodies, and MERGE USING subqueries alike.
+    With a backend, ``FROM <t> VERSION AS OF <n>`` and ``FROM <t>
+    TIMESTAMP AS OF '<ts>'`` (Delta's time travel syntaxes) bind the
+    backend's versioned read — in SELECTs, DML bodies, and MERGE
+    USING subqueries alike; a timestamp resolves to the greatest
+    version whose commit wall-clock is <= the literal.
     """
     catalog = _dml_catalog(spark, tables, backend, table_paths)
     # Routing decisions look at a comment-blanked, literal-blanked
@@ -1572,8 +1583,10 @@ _TT_RE = re.compile(
 _TS_FORMATS = (
     "%Y-%m-%d %H:%M:%S.%f",
     "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d %H:%M",
     "%Y-%m-%dT%H:%M:%S.%f",
     "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%dT%H:%M",
     "%Y-%m-%d",
 )
 
@@ -1817,7 +1830,8 @@ _DESCRIBE_RE = re.compile(
 )
 _RESTORE_RE = re.compile(
     r"^RESTORE\s+(?:TABLE\s+)?(?P<target>" + _NAME + r")\s+TO\s+"
-    r"VERSION\s+AS\s+OF\s+(?P<version>\d+)$",
+    r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'))$",
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
@@ -1831,8 +1845,9 @@ _OPTIMIZE_RE = re.compile(
     re.IGNORECASE,
 )
 _ALTER_RE = re.compile(
-    r"^ALTER\s+TABLE\s+(?P<target>" + _NAME + r")\s+ADD\s+"
-    r"(?:COLUMNS\s*\((?P<cols>.+)\)|COLUMN\s+(?P<col>.+))$",
+    r"^ALTER\s+TABLE\s+(?P<target>" + _NAME + r")\s+"
+    r"(?:ADD\s+(?:COLUMNS\s*\((?P<cols>.+)\)|COLUMN\s+(?P<col>.+))"
+    r"|DROP\s+COLUMN\s+(?P<drop>" + _NAME + r"))$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1842,6 +1857,27 @@ _ALTER_RE = re.compile(
 #: files; the backend API's own default stays 0 for the quiesced
 #: single-maintainer path)
 _VACUUM_DEFAULT_RETAIN_HOURS = 168.0
+
+
+def _split_coldefs(text: str) -> list[str]:
+    """Split an ALTER column-definition list on commas OUTSIDE both
+    parens and angle brackets — ``x DECIMAL(10,2)`` and
+    ``y STRUCT<a:INT,b:INT>`` each stay whole."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(text):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i].strip())
+            start = i + 1
+    tail = text[start:].strip()
+    if tail:
+        parts.append(tail)
+    return parts
 
 
 def _run_maintenance(
@@ -1867,6 +1903,17 @@ def _run_maintenance(
         if m:
             break
     else:
+        if re.match(r"^ALTER\b", text, re.IGNORECASE):
+            # ALTER reached routing but matched no supported form:
+            # fail here with the dialect, not downstream with a
+            # confusing analyzer error about unbound views.
+            raise MergeParseError(
+                "unsupported ALTER TABLE form — this dialect supports "
+                "ALTER TABLE <t> ADD COLUMN <name> <type>, "
+                "ALTER TABLE <t> ADD COLUMNS (<name> <type>, ...), and "
+                "ALTER TABLE <t> DROP COLUMN <name>; "
+                f"got: {text[:80]!r}"
+            )
         return False, None
     if backend is None:
         raise MergeParseError(
@@ -1905,7 +1952,15 @@ def _run_maintenance(
                   "operation string, n_files bigint",
         )
     if verb == "restore":
-        backend.restore(path, int(m.group("version")))
+        if m.group("version") is not None:
+            v = int(m.group("version"))
+        else:
+            # RESTORE ... TO TIMESTAMP AS OF: same resolution rule as
+            # the read-side time travel (greatest commit_ts <= literal)
+            v = backend.version_at_timestamp(
+                path, _parse_ts_literal(m.group("ts"))
+            )
+        backend.restore(path, v)
         return True, None
     if verb == "vacuum":
         hours = m.group("hours")
@@ -1918,8 +1973,17 @@ def _run_maintenance(
         )
         return True, None
     if verb == "add_column":
+        if m.group("drop") is not None:
+            if not hasattr(backend, "drop_column"):
+                raise ValueError(
+                    f"backend "
+                    f"{getattr(backend, 'name', type(backend).__name__)!r} "
+                    "has no drop_column() — ALTER needs the manifest tier"
+                )
+            backend.drop_column(path, _unquote(m.group("drop")))
+            return True, None
         cols_text = m.group("cols") or m.group("col")
-        for item in _split_top(cols_text):
+        for item in _split_coldefs(cols_text):
             toks = item.strip().split(None, 1)
             if len(toks) != 2:
                 raise MergeParseError(

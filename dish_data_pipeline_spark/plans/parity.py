@@ -811,6 +811,148 @@ SELECT * FROM (VALUES
 """
 
 
+def q_time_travel_ts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TIMESTAMP AS OF`` through the textual surface (round 14):
+    a manifest table is created from one orders slice (v0), then
+    truncate-reloaded from another (v1); the commit wall-clocks are
+    read back from ``DESCRIBE HISTORY``'s new timestamp column, and
+    ONE SQL statement unions per-status counts at a literal BETWEEN
+    the two commits (resolves to v0 — the greatest version with
+    commit_ts <= literal, Delta's rule) with counts at a literal
+    AFTER the last commit (resolves to the current snapshot). Hash-
+    matches only if timestamp resolution lands on exactly the right
+    committed versions. Reference parity: the reference has no
+    lakehouse tier; this extends its BigQuery-MERGE surface
+    (pipeline/data_pipeline.py:160-206) with the audit-by-time shape
+    Delta users write daily."""
+    import os as _os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import time as _time  # noqa: PLC0415
+    from datetime import datetime, timezone  # noqa: PLC0415
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    from dish_data_pipeline_spark.plans.common import scratch_dir
+
+    base = scratch_dir("tt_ts_sql", _os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(base, ignore_errors=True)
+    be = ManifestParquetBackend()
+    path = _os.path.join(base, "t")
+    raw = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    cat = {"orders": raw}
+    paths = {"t": path}
+    run_sql(
+        spark,
+        "CREATE TABLE t AS SELECT * FROM `proj.ds.orders` "
+        "WHERE o_orderkey % 5 = 0",
+        cat, backend=be, table_paths=paths,
+    )
+    # the two commits must be strictly ordered in wall-clock for the
+    # midpoint literal to be unambiguous (file IO already separates
+    # them; the sleep makes it certain)
+    _time.sleep(0.02)
+    run_sql(
+        spark,
+        "CREATE OR REPLACE TABLE t AS SELECT * FROM `proj.ds.orders` "
+        "WHERE o_orderkey % 2 = 1",
+        cat, backend=be, table_paths=paths,
+    )
+    hist = be.history(path)
+    ts0, ts1 = hist[0]["timestamp"], hist[1]["timestamp"]
+
+    def _lit(ts: float) -> str:
+        return datetime.fromtimestamp(ts, tz=timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S.%f"
+        )
+
+    out = run_sql(
+        spark,
+        "SELECT 'v0' AS snap, o_orderstatus AS st, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM t TIMESTAMP AS OF '{_lit((ts0 + ts1) / 2.0)}' "
+        "GROUP BY o_orderstatus "
+        "UNION ALL "
+        "SELECT 'cur' AS snap, o_orderstatus AS st, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM t TIMESTAMP AS OF '{_lit(ts1 + 3600.0)}' "
+        "GROUP BY o_orderstatus",
+        backend=be, table_paths=paths,
+    )
+    final = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
+SQL_TIME_TRAVEL_TS_SQL = """
+SELECT 'v0' AS snap, o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey % 5 = 0 GROUP BY o_orderstatus
+UNION ALL
+SELECT 'cur' AS snap, o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderstatus
+"""
+
+
+def q_alter_table_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual schema evolution (round 14): CTAS an orders slice,
+    ``ALTER TABLE ADD COLUMN batch_tag STRING`` (metadata-only — the
+    committed files are untouched, the manifest schema widens), then
+    INSERT a second slice WITH the new column and aggregate over
+    ``COALESCE(batch_tag, 'legacy')``. Hash-matches only if the
+    pre-alter rows read NULL for the evolved column and the post-
+    alter insert carried its values — Delta's additive-evolution
+    semantics driven entirely from SQL strings."""
+    import os as _os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.merge_sql import run_sql_script
+
+    from dish_data_pipeline_spark.plans.common import scratch_dir
+
+    base = scratch_dir("alter_sql", _os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(base, ignore_errors=True)
+    be = ManifestParquetBackend()
+    paths = {"t": _os.path.join(base, "t")}
+    raw = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    out = run_sql_script(
+        spark,
+        "CREATE TABLE t AS SELECT * FROM `proj.ds.orders` "
+        "WHERE o_orderkey % 4 = 0;"
+        "ALTER TABLE t ADD COLUMN batch_tag STRING;"
+        "INSERT INTO t SELECT o_orderkey, o_totalprice, o_orderstatus, "
+        "'r14' FROM `proj.ds.orders` WHERE o_orderkey % 4 = 2;"
+        "SELECT COALESCE(batch_tag, 'legacy') AS tag, "
+        "o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n, "
+        "MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi "
+        "FROM t GROUP BY COALESCE(batch_tag, 'legacy'), o_orderstatus",
+        {"orders": raw},
+        backend=be,
+        table_paths=paths,
+    )
+    final = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
+SQL_ALTER_TABLE_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, NULL AS batch_tag
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderstatus, 'r14'
+  FROM orders WHERE o_orderkey % 4 = 2)
+SELECT COALESCE(batch_tag, 'legacy') AS tag, o_orderstatus AS st,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+FROM t GROUP BY COALESCE(batch_tag, 'legacy'), o_orderstatus
+"""
+
+
 # --- J3: semi/anti joins ------------------------------------------
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read(spark, sf_dir, "customer")
@@ -1076,6 +1218,16 @@ PARITY_QUERIES: dict[str, QueryDef] = {
         q_time_travel_sql, SQL_TIME_TRAVEL_SQL,
         "VERSION AS OF via run_sql: current snapshot joined against "
         "the pre-reload v0 through the backend's versioned read",
+        ("sql", "lakehouse")),
+    "time_travel_ts_sql": QueryDef(
+        q_time_travel_ts_sql, SQL_TIME_TRAVEL_TS_SQL,
+        "TIMESTAMP AS OF via run_sql: commit wall-clocks resolve to "
+        "the right versions (between-commits → v0, after-latest → cur)",
+        ("sql", "lakehouse")),
+    "alter_table_sql": QueryDef(
+        q_alter_table_sql, SQL_ALTER_TABLE_SQL,
+        "ALTER TABLE ADD COLUMN textually: metadata-only additive "
+        "evolution, NULL backfill + post-alter INSERT",
         ("sql", "lakehouse")),
     "dml_sql_roundtrip": QueryDef(
         q_dml_sql_roundtrip, SQL_DML_SQL_ROUNDTRIP,

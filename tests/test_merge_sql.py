@@ -1634,3 +1634,100 @@ def test_textual_update_on_end_column(spark, tmp_path):
         {"stg": staging}, backend=be, table_paths={"t": path},
     )
     assert be.read(spark, path).collect() == [Row(k=1, end=9)]
+
+
+def test_drop_column_lifecycle_and_resurrection_guard(spark, tmp_path):
+    """DROP COLUMN is metadata-only (schema narrows, files
+    untouched); re-adding the dropped name is refused while its
+    bytes live in committed files (stale values must not
+    resurrect), and allowed again once OPTIMIZE has rewritten
+    through the manifest schema."""
+    from dish_data_pipeline_spark.merge_sql import MergeParseError, run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(
+        spark.createDataFrame(
+            [Row(k=1, v="a", w=1.5)], "k long, v string, w double"
+        ),
+        path,
+    )
+    run_sql(spark, "ALTER TABLE t DROP COLUMN w",
+            backend=be, table_paths={"t": path})
+    assert be.read(spark, path).columns == ["k", "v"]
+    with pytest.raises(ValueError, match="still exists physically"):
+        run_sql(spark, "ALTER TABLE t ADD COLUMN w INT",
+                backend=be, table_paths={"t": path})
+    run_sql(spark, "OPTIMIZE t", backend=be, table_paths={"t": path})
+    run_sql(spark, "ALTER TABLE t ADD COLUMN w INT",
+            backend=be, table_paths={"t": path})
+    assert be.read(spark, path).collect() == [Row(k=1, v="a", w=None)]
+    be.drop_column(path, "v")
+    be.drop_column(path, "w")
+    with pytest.raises(ValueError, match="last column"):
+        be.drop_column(path, "k")
+    with pytest.raises(ValueError, match="does not exist"):
+        be.drop_column(path, "v")
+    with pytest.raises(MergeParseError, match="unsupported ALTER"):
+        run_sql(spark, "ALTER TABLE t RENAME COLUMN v TO u",
+                backend=be, table_paths={"t": path})
+
+
+def test_drop_column_strips_stats_and_bloom(spark, tmp_path):
+    """The dropped column's stats and bloom entries leave the
+    manifest with it — stale prune metadata must not outlive the
+    column."""
+    be, path = _mk_backend(spark, tmp_path)
+    df = spark.createDataFrame(
+        [Row(k=i, v=str(i)) for i in range(10)], "k long, v string"
+    )
+    be.create(df, path, stats_cols=["k", "v"], bloom_cols=["k", "v"])
+    be.drop_column(path, "v")
+    man = be._manifest(path, be.latest_version(path))
+    assert man["stats_cols"] == ["k"]
+    assert all("v" not in s for s in man["stats"].values())
+    assert man["bloom"]["cols"] == ["k"]
+    assert all("v" not in e for e in man["bloom"]["files"].values())
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """RESTORE TABLE ... TO TIMESTAMP AS OF resolves through the
+    same greatest-commit_ts-<=-literal rule as the read side."""
+    import time as _time
+    from datetime import datetime, timezone
+
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    raw = spark.createDataFrame([Row(k=i) for i in range(8)], "k long")
+    run_sql(spark, "CREATE TABLE t AS SELECT * FROM `r` WHERE k < 2",
+            {"r": raw}, backend=be, table_paths={"t": path})
+    _time.sleep(0.05)
+    run_sql(spark, "CREATE OR REPLACE TABLE t AS SELECT * FROM `r`",
+            {"r": raw}, backend=be, table_paths={"t": path})
+    h = be.history(path)
+    mid = (h[0]["timestamp"] + h[1]["timestamp"]) / 2
+    lit = datetime.fromtimestamp(mid, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    run_sql(spark, f"RESTORE TABLE t TO TIMESTAMP AS OF '{lit}'",
+            backend=be, table_paths={"t": path})
+    assert be.read(spark, path).count() == 2
+    assert be.history(path)[-1]["operation"] == "restore(v0)"
+
+
+def test_alter_add_nested_generic_types(spark, tmp_path):
+    """ADD COLUMNS splits on commas outside BOTH parens and angle
+    brackets: DECIMAL(10,2) and STRUCT<a:INT,b:STRING> stay whole."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(spark.createDataFrame([Row(k=1)], "k long"), path)
+    run_sql(
+        spark,
+        "ALTER TABLE t ADD COLUMNS "
+        "(s STRUCT<a:INT,b:STRING>, d DECIMAL(10,2))",
+        backend=be, table_paths={"t": path},
+    )
+    assert be.read(spark, path).schema.simpleString() == (
+        "struct<k:bigint,s:struct<a:int,b:string>,d:decimal(10,2)>"
+    )

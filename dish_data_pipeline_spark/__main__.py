@@ -269,11 +269,11 @@ def main(argv: list[str] | None = None, http_get=None) -> int:
             for name, path in paths.items():
                 if name == spec.target:
                     continue
-                try:
-                    readable = be.exists(spark, path)
-                except Exception:
-                    readable = False
-                if readable:
+                # exists() answering False is the expected
+                # not-a-table outcome; a genuine probe error
+                # (permissions, corrupt log) must propagate, not be
+                # demoted to an unbound name
+                if be.exists(spark, path):
                     tables[name] = be.read(spark, path)
                 else:
                     print(

@@ -1331,62 +1331,112 @@ class ManifestParquetBackend:
     def add_column(
         self, spark: SparkSession, path: str, name: str, ddl_type: str
     ) -> int:
-        """``ALTER TABLE ... ADD COLUMN`` analog: metadata-only
-        ADDITIVE schema evolution — commit a new version reusing the
-        latest manifest's files, stats, and bloom config verbatim
-        with the schema widened by one NULLABLE column. Existing
+        """Single-column convenience form of :meth:`add_columns`."""
+        return self.add_columns(spark, path, [(name, ddl_type)])
+
+    def add_columns(
+        self,
+        spark: SparkSession,
+        path: str,
+        coldefs: Sequence[tuple[str, str]],
+    ) -> int:
+        """``ALTER TABLE ... ADD COLUMN[S]`` analog: metadata-only
+        ADDITIVE schema evolution — commit ONE new version reusing
+        the latest manifest's files, stats, and bloom config
+        verbatim with the schema widened by the listed NULLABLE
+        columns (all-or-nothing: every name and type is validated
+        BEFORE the commit, so a bad item mid-list cannot leave a
+        half-applied ALTER — round-14 review finding #3). Existing
         parquet files are untouched; the schema-first read path
         (:meth:`read` passes the manifest schema to the scan) fills
-        the new column with NULL for every pre-alter file, exactly
+        the new columns with NULL for every pre-alter file, exactly
         Delta's behavior. Anything non-additive is rejected: adding
-        an existing column (i.e. a type change in disguise) raises,
-        because the files already committed under the old type are
-        immutable — rewriting them is a MERGE/CTAS job, not an
-        ALTER. Returns the committed version."""
+        an existing column (i.e. a type change in disguise) raises —
+        compared case-INSENSITIVELY, because Spark's default
+        resolution is case-insensitive and a case-variant duplicate
+        would be ambiguous at read time. Returns the committed
+        version."""
         from pyspark.sql.types import (  # noqa: PLC0415
             StructField,
             StructType,
             _parse_datatype_string,
         )
 
+        if not coldefs:
+            raise ValueError("ALTER TABLE ADD COLUMNS: empty column list")
         base = self.latest_version(path)
         if base is None:
             raise FileNotFoundError(f"no table at {path}")
         latest = self._manifest(path, base)
         schema = StructType.fromJson(json.loads(latest["schema"]))
-        if any(fld.name == name for fld in schema.fields):
-            raise ValueError(
-                f"column {name!r} already exists in {path} — ALTER TABLE "
-                "supports only additive evolution (a type change means "
-                "rewriting committed files: use CREATE OR REPLACE TABLE "
-                "or MERGE)"
+        # validate EVERYTHING first — names (vs schema and vs each
+        # other, case-insensitively), types, physical absence — then
+        # commit once
+        taken = {fld.name.lower() for fld in schema.fields}
+        new_fields = []
+        for name, ddl_type in coldefs:
+            if name.lower() in taken:
+                raise ValueError(
+                    f"column {name!r} already exists in {path} (names "
+                    "resolve case-insensitively) — ALTER TABLE supports "
+                    "only additive evolution (a type change means "
+                    "rewriting committed files: use CREATE OR REPLACE "
+                    "TABLE or MERGE)"
+                )
+            taken.add(name.lower())
+            new_fields.append(
+                StructField(name, _parse_datatype_string(ddl_type), True)
             )
         # resurrection guard: a column DROPPED earlier is gone from
         # the manifest schema but its bytes remain in any live file
         # written before the drop — re-adding the name would read
-        # those stale values back instead of NULL. One footer-schema
-        # read per live file (driver-side, maintenance-path cost, the
-        # same class as stats collection) proves the name physically
+        # those stale values back instead of NULL (Spark resolves
+        # the schema against physical columns case-insensitively,
+        # so the guard compares folded names). Cheap path first: if
+        # the UNBROKEN manifest history (back to v0) records no
+        # drop_column of the name, no live file can carry it and the
+        # footer sweep is skipped — the common estate-scale ADD
+        # stays metadata-only. With a drop on record (or history
+        # expired, so we cannot know), one footer-schema read per
+        # live file (driver-side, maintenance-path cost, the same
+        # class as stats collection) must prove the name physically
         # absent; otherwise the re-add needs a rewrite.
-        import pyarrow.parquet as pq  # noqa: PLC0415
+        suspect = [
+            fld.name
+            for fld in new_fields
+            if self._name_may_linger(path, fld.name, latest)
+        ]
+        if suspect:
+            import pyarrow.parquet as pq  # noqa: PLC0415
 
-        for rel in latest["files"]:
-            physical = pq.read_schema(os.path.join(path, rel))
-            if name in physical.names:
-                raise ValueError(
-                    f"column {name!r} still exists physically in live "
-                    f"file {rel} (dropped earlier?) — re-adding it would "
-                    "resurrect stale values. Rewrite first (OPTIMIZE "
-                    "after the drop, or CREATE OR REPLACE TABLE)"
-                )
-        dtype = _parse_datatype_string(ddl_type)
-        new_schema = StructType(
-            list(schema.fields) + [StructField(name, dtype, True)]
+            folded = {n.lower() for n in suspect}
+            for rel in latest["files"]:
+                physical = {
+                    n.lower()
+                    for n in pq.read_schema(os.path.join(path, rel)).names
+                }
+                clash = folded & physical
+                if clash:
+                    raise ValueError(
+                        f"column(s) {sorted(clash)} still exist physically "
+                        f"in live file {rel} (dropped earlier?) — "
+                        "re-adding would resurrect stale values. Rewrite "
+                        "first (OPTIMIZE after the drop, or CREATE OR "
+                        "REPLACE TABLE)"
+                    )
+        new_schema = StructType(list(schema.fields) + new_fields)
+        rendered = ", ".join(
+            f"{fld.name} {fld.dataType.simpleString()}" for fld in new_fields
+        )
+        marker = (
+            f"add_column({rendered})"
+            if len(new_fields) == 1
+            else f"add_columns({rendered})"
         )
         manifest = {
             "version": base + 1,
             "parent": base,
-            "alter": f"add_column({name} {dtype.simpleString()})",
+            "alter": marker,
             "files": latest["files"],
             "schema": json.dumps(new_schema.jsonValue()),
             "stats_cols": latest.get("stats_cols") or [],
@@ -1400,6 +1450,29 @@ class ManifestParquetBackend:
                 f"lost the ALTER race at {path}; re-examine state"
             )
         return base + 1
+
+    def _name_may_linger(self, path: str, name: str, latest: dict) -> bool:
+        """True when a live data file MIGHT physically carry ``name``
+        despite it being absent from the current schema — i.e. the
+        add_column footer sweep cannot be skipped. False only on
+        proof: the manifest chain from the current version back to
+        v0 is fully present (no expired link) and records no
+        ``drop_column(name)``. Walks parents driver-side (manifests
+        are small JSON). Marker comparison folds case — Spark
+        resolves columns case-insensitively, so ``drop_column(W)``
+        makes a later ``add_column(w)`` just as dangerous."""
+        marker = f"drop_column({name})".lower()
+        man = latest
+        while True:
+            if (man.get("alter") or "").lower() == marker:
+                return True
+            parent = man.get("parent")
+            if parent is None:
+                return False  # reached v0: complete, drop-free history
+            try:
+                man = self._manifest(path, parent)
+            except FileNotFoundError:
+                return True  # history expired: cannot prove absence
 
     def drop_column(self, path: str, name: str) -> int:
         """``ALTER TABLE ... DROP COLUMN`` analog: metadata-only —

@@ -297,12 +297,18 @@ def _strip_comments(text: str, tolerant: bool = False) -> str:
 def _mask_quotes_and_comments(text: str, tolerant: bool = False) -> str:
     """Length-preserving mask with BOTH literal contents and comment
     bytes blanked — for structural regexes that must see neither
-    (``VERSION AS OF`` in a comment is prose, not time travel)."""
-    out = list(_mask_quotes(text, tolerant=tolerant))
+    (``VERSION AS OF`` in a comment is prose, not time travel).
+
+    Order matters: comments are blanked FIRST, then the quote mask
+    runs over the comment-blanked text — an apostrophe inside a
+    ``--`` or ``/* */`` comment (``-- don't``) must not open a
+    phantom string literal that blanks the rest of the statement
+    (round-14 review finding #1)."""
+    out = list(text)
     for s, e in _comment_spans(text, tolerant=True):
         for k in range(s, e):
             out[k] = " "
-    return "".join(out)
+    return _mask_quotes("".join(out), tolerant=tolerant)
 
 
 def _norm(sql: str) -> str:
@@ -1152,13 +1158,15 @@ def _run_select(
         return view
 
     try:
-        # Backticked refs, found on the (tolerant) quote mask and
-        # rewritten BY POSITION — a backtick or a catalog-name
-        # spelling inside a string literal can never open a binding
-        # or be rewritten (the literals-survive-byte-for-byte
-        # contract applies to the SELECT path too).
+        # Backticked refs, found on the (tolerant) comment-blanked
+        # quote mask and rewritten BY POSITION — a backtick or a
+        # catalog-name spelling inside a string literal OR comment
+        # can never open a binding or be rewritten (the
+        # literals-survive-byte-for-byte contract applies to the
+        # SELECT path too; a `name` mentioned in a comment is prose
+        # — round-14 review finding #2).
         text = sql
-        mask = _mask_quotes(text, tolerant=True)
+        mask = _mask_quotes_and_comments(text, tolerant=True)
         bound: dict[str, str] = {}
         out: list[str] = []
         last = 0
@@ -1897,7 +1905,7 @@ def _run_maintenance(
         (_RESTORE_RE, "restore"),
         (_VACUUM_RE, "vacuum"),
         (_OPTIMIZE_RE, "compact"),
-        (_ALTER_RE, "add_column"),
+        (_ALTER_RE, "alter"),
     ):
         m = rx.match(text)
         if m:
@@ -1927,10 +1935,16 @@ def _run_maintenance(
             f"{verb} references {target!r} with no table_paths mapping; "
             f"mapped: {sorted(table_paths or {})}"
         )
-    if not hasattr(backend, verb):
+    # the backend method the MATCHED form actually needs (ALTER maps
+    # per-form — a DROP must not be rejected for a missing
+    # add_columns, round-14 review finding #6)
+    needed = verb
+    if verb == "alter":
+        needed = "drop_column" if m.group("drop") is not None else "add_columns"
+    if not hasattr(backend, needed):
         raise ValueError(
             f"backend {getattr(backend, 'name', type(backend).__name__)!r} "
-            f"has no {verb}() — maintenance verbs need the manifest tier"
+            f"has no {needed}() — maintenance verbs need the manifest tier"
         )
     if verb == "history":
         from datetime import datetime, timezone  # noqa: PLC0415
@@ -1957,6 +1971,13 @@ def _run_maintenance(
         else:
             # RESTORE ... TO TIMESTAMP AS OF: same resolution rule as
             # the read-side time travel (greatest commit_ts <= literal)
+            if not hasattr(backend, "version_at_timestamp"):
+                raise ValueError(
+                    f"backend "
+                    f"{getattr(backend, 'name', type(backend).__name__)!r} "
+                    "does not support TIMESTAMP AS OF (no "
+                    "version_at_timestamp)"
+                )
             v = backend.version_at_timestamp(
                 path, _parse_ts_literal(m.group("ts"))
             )
@@ -1972,17 +1993,12 @@ def _run_maintenance(
             ) * 3600.0,
         )
         return True, None
-    if verb == "add_column":
+    if verb == "alter":
         if m.group("drop") is not None:
-            if not hasattr(backend, "drop_column"):
-                raise ValueError(
-                    f"backend "
-                    f"{getattr(backend, 'name', type(backend).__name__)!r} "
-                    "has no drop_column() — ALTER needs the manifest tier"
-                )
             backend.drop_column(path, _unquote(m.group("drop")))
             return True, None
         cols_text = m.group("cols") or m.group("col")
+        coldefs = []
         for item in _split_coldefs(cols_text):
             toks = item.strip().split(None, 1)
             if len(toks) != 2:
@@ -1990,9 +2006,10 @@ def _run_maintenance(
                     f"ALTER TABLE ADD COLUMN needs '<name> <type>', "
                     f"got {item.strip()!r}"
                 )
-            backend.add_column(
-                spark, path, _unquote(toks[0].strip()), toks[1].strip()
-            )
+            coldefs.append((_unquote(toks[0].strip()), toks[1].strip()))
+        # ONE backend call → one commit: a bad item mid-list must not
+        # leave a half-applied ALTER (round-14 review finding #3)
+        backend.add_columns(spark, path, coldefs)
         return True, None
     cols = m.group("cols")
     zorder = [c.strip().strip("`") for c in cols.split(",")] if cols else None

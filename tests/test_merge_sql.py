@@ -1654,7 +1654,7 @@ def test_drop_column_lifecycle_and_resurrection_guard(spark, tmp_path):
     run_sql(spark, "ALTER TABLE t DROP COLUMN w",
             backend=be, table_paths={"t": path})
     assert be.read(spark, path).columns == ["k", "v"]
-    with pytest.raises(ValueError, match="still exists physically"):
+    with pytest.raises(ValueError, match="still exist physically"):
         run_sql(spark, "ALTER TABLE t ADD COLUMN w INT",
                 backend=be, table_paths={"t": path})
     run_sql(spark, "OPTIMIZE t", backend=be, table_paths={"t": path})
@@ -1731,3 +1731,145 @@ def test_alter_add_nested_generic_types(spark, tmp_path):
     assert be.read(spark, path).schema.simpleString() == (
         "struct<k:bigint,s:struct<a:int,b:string>,d:decimal(10,2)>"
     )
+
+
+def test_add_column_footer_sweep_skipped_without_drop_history(spark, tmp_path, monkeypatch):
+    """The resurrection guard's footer sweep only runs when the
+    manifest history records a drop of the name (or is expired):
+    a plain ADD on a never-dropped table stays metadata-only."""
+    import pyarrow.parquet as pq
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(
+        spark.createDataFrame([Row(k=1, w=2)], "k long, w long"), path
+    )
+    calls = []
+    real = pq.read_schema
+    monkeypatch.setattr(pq, "read_schema",
+                        lambda *a, **k: calls.append(a) or real(*a, **k))
+    be.add_column(spark, path, "x", "INT")
+    assert calls == []  # cheap path: no footer reads
+    # w's bytes live in the created files; dropping then re-adding
+    # must sweep footers and refuse
+    be.drop_column(path, "w")
+    with pytest.raises(ValueError, match="still exist physically"):
+        be.add_column(spark, path, "w", "LONG")
+    assert calls  # guarded path swept footers
+    # a DIFFERENT name on a table with drop history also sweeps, and
+    # passes (nothing physical)
+    n = len(calls)
+    be.add_column(spark, path, "y", "INT")
+    assert len(calls) == n  # cheap path again: no drop of 'y' on record
+
+
+def test_add_column_sweeps_when_history_expired(spark, tmp_path):
+    """With the manifest chain broken by expire_versions, absence of
+    a drop marker proves nothing — the sweep must run (and pass,
+    since nothing was ever dropped)."""
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(spark.createDataFrame([Row(k=1)], "k long"), path)
+    be.append(spark.createDataFrame([Row(k=2)], "k long"), path)
+    be.expire_versions(path, keep_last=1)
+    assert be._name_may_linger(path, "x", be._manifest(path, be.latest_version(path)))
+    be.add_column(spark, path, "x", "INT")  # sweep runs, files clean
+    assert be.read(spark, path).columns == ["k", "x"]
+
+
+# ---- round-14 self-review findings ----
+
+
+def test_apostrophe_in_comment_does_not_hide_verb(spark, tmp_path):
+    """Review finding #1: an apostrophe inside a comment must not
+    open a phantom literal that blanks the routing gate — the DML
+    verb must still route to the backend."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    raw = spark.createDataFrame([Row(k=1)], "k long")
+    run_sql(
+        spark,
+        "-- don't lose this\nCREATE TABLE t AS SELECT * FROM `p.d.raw`",
+        {"raw": raw}, backend=be, table_paths={"t": path},
+    )
+    assert be.read(spark, path).count() == 1  # committed to the backend
+    out = run_sql(
+        spark,
+        "/* note: can't fail */ SELECT COUNT(*) AS n FROM t "
+        "VERSION AS OF 0 -- v0, isn't it",
+        backend=be, table_paths={"t": path},
+    )
+    assert out.collect()[0].n == 1  # time travel still bound
+
+
+def test_backticked_name_in_comment_is_prose(spark):
+    """Review finding #2: a backticked name mentioned in a comment
+    must not be resolved against the catalog."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    df = spark.createDataFrame([Row(k=1)], "k long")
+    out = run_sql(
+        spark,
+        "SELECT k FROM `orders` -- see `proj.ds.nonexistent` for detail",
+        {"orders": df},
+    )
+    assert out.collect() == [Row(k=1)]
+
+
+def test_add_columns_is_atomic(spark, tmp_path):
+    """Review finding #3: a bad item anywhere in ADD COLUMNS commits
+    NOTHING — no half-applied ALTER."""
+    from dish_data_pipeline_spark.merge_sql import MergeParseError, run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(spark.createDataFrame([Row(k=1)], "k long"), path)
+    v0 = be.latest_version(path)
+    with pytest.raises(MergeParseError, match="needs '<name> <type>'"):
+        run_sql(spark, "ALTER TABLE t ADD COLUMNS (x INT, y)",
+                backend=be, table_paths={"t": path})
+    with pytest.raises(Exception):  # bad type parses server-side
+        run_sql(spark, "ALTER TABLE t ADD COLUMNS (x INT, y NOTATYPE)",
+                backend=be, table_paths={"t": path})
+    assert be.latest_version(path) == v0  # nothing committed
+    assert be.read(spark, path).columns == ["k"]
+    run_sql(spark, "ALTER TABLE t ADD COLUMNS (x INT, y STRING)",
+            backend=be, table_paths={"t": path})
+    assert be.latest_version(path) == v0 + 1  # ONE commit for both
+    assert be.history(path)[-1]["operation"] == (
+        "alter(add_columns(x int, y string))"
+    )
+
+
+def test_case_variant_resurrection_refused(spark, tmp_path):
+    """Review finding #4: Spark resolves columns case-insensitively,
+    so dropping `w` and re-adding `W` would read the stale bytes —
+    both the duplicate check and the guard fold case."""
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(
+        spark.createDataFrame([Row(k=1, w=2)], "k long, w long"), path
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        be.add_column(spark, path, "K", "INT")
+    be.drop_column(path, "w")
+    with pytest.raises(ValueError, match="still exist"):
+        be.add_column(spark, path, "W", "LONG")
+    with pytest.raises(ValueError, match="already exists"):
+        be.add_columns(spark, path, [("x", "INT"), ("X", "LONG")])
+
+
+def test_drop_on_backend_without_add_columns_names_right_method(spark, tmp_path):
+    """Review finding #6: a DROP against a backend lacking
+    drop_column names drop_column in the error, not add_columns."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    class NoAlter:
+        name = "flat"
+
+        def exists(self, spark, path):
+            return True
+
+    with pytest.raises(ValueError, match="has no drop_column"):
+        run_sql(spark, "ALTER TABLE t DROP COLUMN w",
+                backend=NoAlter(), table_paths={"t": "/nowhere"})
+    with pytest.raises(ValueError, match="has no add_columns"):
+        run_sql(spark, "ALTER TABLE t ADD COLUMN w INT",
+                backend=NoAlter(), table_paths={"t": "/nowhere"})

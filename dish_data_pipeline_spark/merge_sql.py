@@ -21,8 +21,9 @@ WRITE_TRUNCATE staging load (:141-148) and a WRITE_APPEND audit log
   TO VERSION|TIMESTAMP AS OF`` / ``VACUUM [RETAIN n HOURS]`` — bare
   form keeps a 168h safety window — / ``OPTIMIZE [ZORDER BY]`` /
   ``ALTER TABLE ... ADD COLUMN[S]`` / ``ALTER TABLE ... DROP
-  COLUMN`` — metadata-only additive evolution, round 14), and
-  SELECT/VALUES/WITH — with Delta-style ``FROM t VERSION AS OF n``
+  COLUMN`` — metadata-only additive evolution, round 14 — /
+  ``DESCRIBE [TABLE]`` schema card / ``SHOW TABLES`` catalog
+  listing), and SELECT/VALUES/WITH — with Delta-style ``FROM t VERSION AS OF n``
   and ``FROM t TIMESTAMP AS OF '<ts>'`` time travel bound to the
   backend's versioned reads (a timestamp resolves to the greatest
   version whose commit wall-clock is <= the literal).
@@ -1037,7 +1038,7 @@ def run_sql(
         gate = _mask_quotes_and_comments(sql, tolerant=True)
         catalog.update(tt)
     if re.match(
-        r"^\s*(?:DESCRIBE|RESTORE|VACUUM|OPTIMIZE|ALTER)\b",
+        r"^\s*(?:DESCRIBE|RESTORE|VACUUM|OPTIMIZE|ALTER|SHOW)\b",
         gate,  # length-preserving: leading comments read as spaces
         re.IGNORECASE,
     ):
@@ -1836,6 +1837,10 @@ def _run_update(spark: SparkSession, dml: DmlSpec, backend, path: str) -> None:
 _DESCRIBE_RE = re.compile(
     r"^DESCRIBE\s+HISTORY\s+(?P<target>" + _NAME + r")$", re.IGNORECASE
 )
+_DESCRIBE_TABLE_RE = re.compile(
+    r"^DESCRIBE\s+(?:TABLE\s+)?(?P<target>" + _NAME + r")$", re.IGNORECASE
+)
+_SHOW_TABLES_RE = re.compile(r"^SHOW\s+TABLES$", re.IGNORECASE)
 _RESTORE_RE = re.compile(
     r"^RESTORE\s+(?:TABLE\s+)?(?P<target>" + _NAME + r")\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
@@ -1900,12 +1905,24 @@ def _run_maintenance(
     DataFrame for DESCRIBE HISTORY, None for the committing verbs.
     Backends lacking a verb fail loud."""
     text = _norm(sql)
+    # SHOW TABLES takes no target — handle before the target loop
+    if backend is not None and _SHOW_TABLES_RE.match(text):
+        rows = [
+            (name, p, bool(backend.exists(spark, p)))
+            for name, p in sorted((table_paths or {}).items())
+        ]
+        return True, spark.createDataFrame(
+            rows, "table string, path string, exists boolean"
+        )
     for rx, verb in (
         (_DESCRIBE_RE, "history"),
         (_RESTORE_RE, "restore"),
         (_VACUUM_RE, "vacuum"),
         (_OPTIMIZE_RE, "compact"),
         (_ALTER_RE, "alter"),
+        # DESCRIBE [TABLE] <t> must come after DESCRIBE HISTORY (the
+        # bare form would otherwise swallow "HISTORY t")
+        (_DESCRIBE_TABLE_RE, "describe"),
     ):
         m = rx.match(text)
         if m:
@@ -1924,6 +1941,10 @@ def _run_maintenance(
             )
         return False, None
     if backend is None:
+        if verb == "describe":
+            # DESCRIBE [TABLE] without a backend: fall through to the
+            # SELECT path — spark.sql handles DESCRIBE on bound views
+            return False, None
         raise MergeParseError(
             f"{verb.upper()} operates on a table — pass backend= and "
             "table_paths= to run_sql"
@@ -1931,6 +1952,8 @@ def _run_maintenance(
     target = _unquote(m.group("target"))
     path = _resolve_path(target, table_paths)
     if path is None:
+        if verb == "describe":
+            return False, None  # not an estate table: Spark's DESCRIBE
         raise KeyError(
             f"{verb} references {target!r} with no table_paths mapping; "
             f"mapped: {sorted(table_paths or {})}"
@@ -1941,6 +1964,8 @@ def _run_maintenance(
     needed = verb
     if verb == "alter":
         needed = "drop_column" if m.group("drop") is not None else "add_columns"
+    elif verb == "describe":
+        needed = "read"  # the schema card comes from a (lazy) read
     if not hasattr(backend, needed):
         raise ValueError(
             f"backend {getattr(backend, 'name', type(backend).__name__)!r} "
@@ -1964,6 +1989,20 @@ def _run_maintenance(
         return True, spark.createDataFrame(
             rows, "version bigint, parent bigint, timestamp timestamp, "
                   "operation string, n_files bigint",
+        )
+    if verb == "describe":
+        # Spark's DESCRIBE TABLE card (col_name / data_type /
+        # comment) from the committed schema — a metadata read on
+        # the manifest tier (schema comes from the manifest, no
+        # file is opened)
+        df = backend.read(spark, path)
+        rows = [
+            (f.name, f.dataType.simpleString(),
+             None if f.nullable else "not null")
+            for f in df.schema.fields
+        ]
+        return True, spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
         )
     if verb == "restore":
         if m.group("version") is not None:

@@ -1873,3 +1873,32 @@ def test_drop_on_backend_without_add_columns_names_right_method(spark, tmp_path)
     with pytest.raises(ValueError, match="has no add_columns"):
         run_sql(spark, "ALTER TABLE t ADD COLUMN w INT",
                 backend=NoAlter(), table_paths={"t": "/nowhere"})
+
+
+def test_describe_table_and_show_tables(spark, tmp_path):
+    """DESCRIBE [TABLE] <t> returns the committed schema card from
+    the manifest; SHOW TABLES lists the table_paths catalog with an
+    exists flag. Without a backend (or for a non-estate name)
+    DESCRIBE falls through to Spark's own handling."""
+    from dish_data_pipeline_spark.merge_sql import run_sql
+
+    be, path = _mk_backend(spark, tmp_path)
+    be.create(
+        spark.createDataFrame([Row(k=1, v="a")], "k long, v string"), path
+    )
+    card = run_sql(spark, "DESCRIBE TABLE t",
+                   backend=be, table_paths={"t": path}).collect()
+    assert [(r.col_name, r.data_type) for r in card] == [
+        ("k", "bigint"), ("v", "string"),
+    ]
+    # bare form too
+    card2 = run_sql(spark, "DESCRIBE t",
+                    backend=be, table_paths={"t": path}).collect()
+    assert card == card2
+    tbls = run_sql(spark, "SHOW TABLES",
+                   backend=be,
+                   table_paths={"t": path, "ghost": str(tmp_path / "no")}
+                   ).collect()
+    assert [(r.table, r.exists) for r in tbls] == [
+        ("ghost", False), ("t", True),
+    ]

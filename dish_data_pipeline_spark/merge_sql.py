@@ -439,10 +439,12 @@ def _top_level_spans(text: str, want: str) -> list[re.Match]:
     not clause boundaries. ``END`` is structural ONLY while a CASE
     is open — ``end`` is non-reserved in Spark and common as an
     interval-table column, so ``SET t.end = s.end`` must parse as
-    plain identifiers (round-13 advisor item). The residual
-    dialect rule: an identifier spelled ``case``/``end``/``then``
-    INSIDE an open ``CASE`` expression must be backticked, or the
-    scanner will close the span early."""
+    plain identifiers (round-13 advisor item) — and a token
+    preceded by ``.`` is a qualified reference, never structural,
+    so ``CASE WHEN m THEN t.end ELSE u.end END`` parses too. The
+    residual dialect rule: a BARE UNQUALIFIED identifier spelled
+    ``case``/``end``/``then`` inside an open ``CASE`` expression
+    must be backticked, or the scanner will close the span early."""
     mask = _mask_quotes(text)
     hits: list[re.Match] = []
     pdepth = cdepth = 0
@@ -453,6 +455,9 @@ def _top_level_spans(text: str, want: str) -> list[re.Match]:
         elif tok == ")":
             pdepth -= 1
         else:
+            if m.start() > 0 and mask[m.start() - 1] == ".":
+                continue  # qualified ref (t.case / s.end / u.then):
+                # an identifier, never a structural token
             up = tok.upper()
             if up == "CASE":
                 cdepth += 1

@@ -416,3 +416,66 @@ def test_select_not_mistaken_for_dml():
 
     assert _parse_dml("SELECT 'INSERT INTO t' AS v") is None
     assert _parse_dml("WITH x AS (SELECT 1) SELECT * FROM x") is None
+
+
+# ------------------------------------------------- round-14: comment fuzz
+
+#: inter-token separators carrying comments — including apostrophes
+#: and quote chars INSIDE comment text (the round-14 review's phantom
+#: -literal hazard) and semicolons/keywords that must stay inert
+COMMENT_WS = st.sampled_from([
+    " -- note\n",
+    " -- don't trip; WHEN MATCHED\n",
+    " /* c */ ",
+    " /* it's; a `trap' */ ",
+    " /* nested /* inner; */ still */ ",
+    "\n-- VERSION AS OF 9\n",
+    " /* THEN DELETE */ ",
+])
+
+
+@settings(max_examples=200, deadline=None)
+@given(spec=merge_spec(), ws=COMMENT_WS)
+def test_comments_between_tokens_are_inert(spec, ws):
+    """Injecting comments (line/block/nested, with embedded quotes,
+    semicolons, and MERGE keywords) as EVERY inter-token separator
+    leaves the parse identical to the plain rendering."""
+    assert parse_merge(render_merge(spec, ws=ws)) == parse_merge(
+        render_merge(spec)
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=6),
+    seps=st.lists(COMMENT_WS, min_size=7, max_size=7),
+)
+def test_split_statements_under_comment_noise(n, seps):
+    """A script of n statements interleaved with comment noise splits
+    into exactly those n statements regardless of semicolons or
+    quote characters inside the comments."""
+    from dish_data_pipeline_spark.merge_sql import split_statements
+
+    stmts = [f"SELECT {i} AS x" for i in range(n)]
+    script = ""
+    for i, s in enumerate(stmts):
+        script += seps[i] + s + " ;"
+    script += seps[n]
+    got = split_statements(script)
+    assert [g.strip() for g in got] == stmts
+
+
+def test_qualified_case_end_then_inside_case():
+    """Round-14: tokens preceded by '.' are qualified identifiers —
+    `t.end` / `u.then` / `s.case` inside an OPEN CASE must not close
+    or split the span."""
+    spec = parse_merge(
+        "MERGE INTO tgt T USING stg S ON T.k = S.k "
+        "WHEN MATCHED THEN UPDATE SET "
+        "x = CASE WHEN S.v > 0 THEN T.end ELSE S.end END, "
+        "y = CASE WHEN S.case = 1 THEN S.then ELSE 0 END"
+    )
+    assert spec.clauses[0].update_set == {
+        "x": "CASE WHEN S.v > 0 THEN T.end ELSE S.end END",
+        "y": "CASE WHEN S.case = 1 THEN S.then ELSE 0 END",
+    }

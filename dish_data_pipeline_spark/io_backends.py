@@ -1538,6 +1538,21 @@ class ManifestParquetBackend:
             )
         return base + 1
 
+    def drop_table(self, path: str) -> None:
+        """``DROP TABLE`` analog: remove the table directory — log,
+        every version's manifests, and all data files. Refuses to
+        remove a directory that is not a committed manifest table
+        (no version in its log), so a mistyped ``table_paths``
+        mapping can never point this at an arbitrary directory.
+        Single-maintainer operation like vacuum: concurrent readers
+        get FileNotFoundError, a concurrent writer's commit is
+        swept with everything else."""
+        if self.latest_version(path) is None:
+            raise FileNotFoundError(
+                f"not a committed manifest table: {path}"
+            )
+        shutil.rmtree(path)
+
     def expire_versions(self, path: str, keep_last: int = 7) -> list[int]:
         """Retention expiry: drop the manifests of all but the newest
         ``keep_last`` versions, shrinking the time-travel horizon so

@@ -15,7 +15,10 @@ WRITE_TRUNCATE staging load (:141-148) and a WRITE_APPEND audit log
   markers.
 - :func:`run_sql` — one statement of any kind: MERGE, ``INSERT
   INTO`` (append), ``INSERT OVERWRITE`` / ``CREATE [OR REPLACE]
-  TABLE AS`` (truncate-load), ``DELETE FROM`` / ``UPDATE ... SET``
+  TABLE AS`` (truncate-load), ``CREATE [OR REPLACE] TABLE (col
+  type, ...)`` (empty-table DDL), ``TRUNCATE TABLE`` (empty
+  snapshot, history preserved), ``DROP TABLE [IF EXISTS]``,
+  ``DELETE FROM`` / ``UPDATE ... SET``
   (file-scoped on the manifest tier), the maintenance verbs
   (``DESCRIBE HISTORY`` — with commit timestamps — / ``RESTORE ...
   TO VERSION|TIMESTAMP AS OF`` / ``VACUUM [RETAIN n HOURS]`` — bare
@@ -1043,7 +1046,8 @@ def run_sql(
         gate = _mask_quotes_and_comments(sql, tolerant=True)
         catalog.update(tt)
     if re.match(
-        r"^\s*(?:DESCRIBE|RESTORE|VACUUM|OPTIMIZE|ALTER|SHOW)\b",
+        r"^\s*(?:DESCRIBE|RESTORE|VACUUM|OPTIMIZE|ALTER|SHOW|TRUNCATE"
+        r"|DROP)\b",
         gate,  # length-preserving: leading comments read as spaces
         re.IGNORECASE,
     ):
@@ -1071,6 +1075,20 @@ def run_sql(
         if dml is not None:
             _run_dml(spark, dml, catalog, backend, table_paths)
             return None
+        if backend is not None and re.match(
+            r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\b", gate,
+            re.IGNORECASE,
+        ):
+            # an estate-backed session must not let an unrecognized
+            # CREATE TABLE form fall through to spark.sql — that
+            # would silently create a Spark-catalog managed table
+            # the backend never sees
+            raise MergeParseError(
+                "unsupported CREATE TABLE form for the backend estate "
+                "— this dialect supports CREATE [OR REPLACE] TABLE "
+                "<t> AS <select> and CREATE [OR REPLACE] TABLE <t> "
+                f"(<name> <type>, ...); got: {_norm(sql)[:80]!r}"
+            )
     return _run_select(spark, sql, catalog)
 
 
@@ -1258,6 +1276,8 @@ class DmlSpec:
     body_sql: str
     update_set: dict[str, str] | None = None
     where_sql: str | None = None
+    #: column-definition list of an empty CREATE TABLE (col type, ...)
+    schema_sql: str | None = None
 
 
 _INSERT_RE = re.compile(
@@ -1269,6 +1289,11 @@ _CREATE_RE = re.compile(
     r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
     r"(?P<target>" + _NAME + r")\s+AS\s+(?P<body>.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+_CREATE_EMPTY_HEAD_RE = re.compile(
+    r"^CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+    r"(?P<target>" + _NAME + r")\s*(?=\()",
+    re.IGNORECASE,
 )
 
 
@@ -1337,6 +1362,23 @@ def _parse_dml(sql: str) -> DmlSpec | None:
             None,
             m.group("body").strip(),
         )
+    m = _CREATE_EMPTY_HEAD_RE.match(text)
+    if m:
+        # empty-table DDL: CREATE TABLE t (k BIGINT, v STRING) —
+        # commits an empty snapshot with the declared schema. The
+        # column list must be the ENTIRE remainder (balanced span to
+        # end-of-statement); CREATE forms with trailing clauses
+        # (USING/PARTITIONED BY/...) are outside the dialect and
+        # fall through to run_sql's loud CREATE guard.
+        end = _balanced_span(text, m.end())
+        if end == len(text):
+            return DmlSpec(
+                "create_or_replace" if m.group("replace") else "create",
+                _unquote(m.group("target")),
+                None,
+                "",
+                schema_sql=text[m.end() + 1 : end - 1].strip(),
+            )
     m = _INSERT_RE.match(text)
     if m is None:
         return None
@@ -1500,7 +1542,14 @@ def _run_dml(
         else:
             _run_update(spark, dml, backend, path)
         return
-    body = _run_select(spark, dml.body_sql, catalog)
+    if dml.schema_sql is not None:
+        # empty-table DDL: materialize a zero-row frame with the
+        # declared schema; the create/replace block below commits it
+        from pyspark.sql.types import StructType  # noqa: PLC0415
+
+        body = spark.createDataFrame([], StructType.fromDDL(dml.schema_sql))
+    else:
+        body = _run_select(spark, dml.body_sql, catalog)
 
     if dml.op in ("create", "create_or_replace"):
         if backend.exists(spark, path):
@@ -1846,6 +1895,14 @@ _DESCRIBE_TABLE_RE = re.compile(
     r"^DESCRIBE\s+(?:TABLE\s+)?(?P<target>" + _NAME + r")$", re.IGNORECASE
 )
 _SHOW_TABLES_RE = re.compile(r"^SHOW\s+TABLES$", re.IGNORECASE)
+_TRUNCATE_RE = re.compile(
+    r"^TRUNCATE\s+TABLE\s+(?P<target>" + _NAME + r")$", re.IGNORECASE
+)
+_DROP_TABLE_RE = re.compile(
+    r"^DROP\s+TABLE\s+(?P<if_exists>IF\s+EXISTS\s+)?"
+    r"(?P<target>" + _NAME + r")$",
+    re.IGNORECASE,
+)
 _RESTORE_RE = re.compile(
     r"^RESTORE\s+(?:TABLE\s+)?(?P<target>" + _NAME + r")\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<version>\d+)"
@@ -1925,6 +1982,8 @@ def _run_maintenance(
         (_VACUUM_RE, "vacuum"),
         (_OPTIMIZE_RE, "compact"),
         (_ALTER_RE, "alter"),
+        (_TRUNCATE_RE, "truncate"),
+        (_DROP_TABLE_RE, "drop_table"),
         # DESCRIBE [TABLE] <t> must come after DESCRIBE HISTORY (the
         # bare form would otherwise swallow "HISTORY t")
         (_DESCRIBE_TABLE_RE, "describe"),
@@ -1971,6 +2030,8 @@ def _run_maintenance(
         needed = "drop_column" if m.group("drop") is not None else "add_columns"
     elif verb == "describe":
         needed = "read"  # the schema card comes from a (lazy) read
+    elif verb == "truncate":
+        needed = "replace"  # truncate = replace with an empty snapshot
     if not hasattr(backend, needed):
         raise ValueError(
             f"backend {getattr(backend, 'name', type(backend).__name__)!r} "
@@ -2009,6 +2070,24 @@ def _run_maintenance(
         return True, spark.createDataFrame(
             rows, "col_name string, data_type string, comment string"
         )
+    if verb == "truncate":
+        # TRUNCATE TABLE: commit an empty snapshot with the current
+        # schema — history is preserved (the pre-truncate version
+        # stays time-travelable until expiry), matching the engine's
+        # truncate-load story
+        current = backend.read(spark, path)
+        backend.replace(current.limit(0), path)
+        return True, None
+    if verb == "drop_table":
+        if not backend.exists(spark, path):
+            if m.group("if_exists") is not None:
+                return True, None
+            raise FileNotFoundError(
+                f"DROP TABLE: no table at {path} (use DROP TABLE IF "
+                "EXISTS to tolerate)"
+            )
+        backend.drop_table(path)
+        return True, None
     if verb == "restore":
         if m.group("version") is not None:
             v = int(m.group("version"))

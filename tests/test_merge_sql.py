@@ -1902,3 +1902,62 @@ def test_describe_table_and_show_tables(spark, tmp_path):
     assert [(r.table, r.exists) for r in tbls] == [
         ("ghost", False), ("t", True),
     ]
+
+
+def test_empty_create_truncate_drop_lifecycle(spark, tmp_path):
+    """Round-14 DDL gap closure: CREATE TABLE (col type, ...) commits
+    an empty snapshot with the declared schema, TRUNCATE TABLE
+    commits an empty snapshot preserving history (the pre-truncate
+    version stays time-travelable), DROP TABLE removes the table
+    (IF EXISTS tolerates absence), and unsupported CREATE forms on
+    an estate session are rejected loudly instead of leaking a
+    Spark-catalog managed table."""
+    import os as _os
+
+    from dish_data_pipeline_spark.merge_sql import (
+        MergeParseError,
+        run_sql,
+        run_sql_script,
+    )
+
+    be, path = _mk_backend(spark, tmp_path)
+    out = run_sql_script(
+        spark,
+        "CREATE TABLE t (k BIGINT, s STRUCT<a:INT,b:STRING>, v STRING);"
+        "INSERT INTO t VALUES (1, NAMED_STRUCT('a', 1, 'b', 'x'), 'a');"
+        "SELECT COUNT(*) AS n FROM t",
+        backend=be, table_paths={"t": path},
+    )
+    assert out.collect()[0].n == 1
+    assert be.read(spark, path).schema.simpleString() == (
+        "struct<k:bigint,s:struct<a:int,b:string>,v:string>"
+    )
+    run_sql(spark, "TRUNCATE TABLE t", backend=be, table_paths={"t": path})
+    assert be.read(spark, path).count() == 0
+    # pre-truncate snapshot still reachable
+    old = run_sql(spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 1",
+                  backend=be, table_paths={"t": path})
+    assert old.collect()[0].n == 1
+    with pytest.raises(MergeParseError, match="unsupported CREATE TABLE"):
+        run_sql(spark,
+                "CREATE TABLE t2 (k BIGINT) USING parquet",
+                backend=be, table_paths={"t2": str(tmp_path / "t2")})
+    run_sql(spark, "DROP TABLE t", backend=be, table_paths={"t": path})
+    assert not _os.path.exists(path)
+    run_sql(spark, "DROP TABLE IF EXISTS t",
+            backend=be, table_paths={"t": path})  # tolerated
+    with pytest.raises(FileNotFoundError, match="DROP TABLE"):
+        run_sql(spark, "DROP TABLE t", backend=be, table_paths={"t": path})
+
+
+def test_drop_table_refuses_non_table_dir(spark, tmp_path):
+    """drop_table never rmtree's a directory without a committed
+    manifest — a mistyped table_paths mapping cannot nuke data."""
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    d = tmp_path / "not_a_table"
+    d.mkdir()
+    (d / "precious.txt").write_text("data")
+    with pytest.raises(FileNotFoundError, match="not a committed"):
+        ManifestParquetBackend().drop_table(str(d))
+    assert (d / "precious.txt").exists()

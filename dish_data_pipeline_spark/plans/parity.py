@@ -953,6 +953,65 @@ FROM t GROUP BY COALESCE(batch_tag, 'legacy'), o_orderstatus
 """
 
 
+def q_ddl_lifecycle_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DDL verbs end-to-end (round 14): ``CREATE TABLE (col
+    type, ...)`` declares an EMPTY table, ``INSERT INTO`` loads one
+    orders slice, ``TRUNCATE TABLE`` commits an empty snapshot
+    (history preserved — v1 stays time-travelable), a second INSERT
+    loads a different slice, and ONE final statement unions per-
+    status counts of the pre-truncate snapshot (``VERSION AS OF 1``)
+    with the current table. Hash-matches only if the declared schema
+    round-tripped, the truncate actually emptied the table without
+    destroying history, and both loads landed exactly once."""
+    import os as _os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+    from dish_data_pipeline_spark.merge_sql import run_sql_script
+
+    from dish_data_pipeline_spark.plans.common import scratch_dir
+
+    base = scratch_dir("ddl_sql", _os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(base, ignore_errors=True)
+    be = ManifestParquetBackend()
+    paths = {"t": _os.path.join(base, "t")}
+    raw = read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    out = run_sql_script(
+        spark,
+        "CREATE TABLE t (o_orderkey BIGINT, o_totalprice DOUBLE, "
+        "o_orderstatus STRING);"
+        "INSERT INTO t SELECT o_orderkey, o_totalprice, o_orderstatus "
+        "FROM `proj.ds.orders` WHERE o_orderkey % 6 = 0;"
+        "TRUNCATE TABLE t;"
+        "INSERT INTO t SELECT o_orderkey, o_totalprice, o_orderstatus "
+        "FROM `proj.ds.orders` WHERE o_orderkey % 6 = 3;"
+        "SELECT 'pre' AS phase, o_orderstatus AS st, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM t VERSION AS OF 1 GROUP BY o_orderstatus "
+        "UNION ALL "
+        "SELECT 'cur' AS phase, o_orderstatus AS st, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM t GROUP BY o_orderstatus",
+        {"orders": raw},
+        backend=be,
+        table_paths=paths,
+    )
+    final = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return final
+
+
+SQL_DDL_LIFECYCLE_SQL = """
+SELECT 'pre' AS phase, o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey % 6 = 0 GROUP BY o_orderstatus
+UNION ALL
+SELECT 'cur' AS phase, o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders WHERE o_orderkey % 6 = 3 GROUP BY o_orderstatus
+"""
+
+
 # --- J3: semi/anti joins ------------------------------------------
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read(spark, sf_dir, "customer")
@@ -1228,6 +1287,11 @@ PARITY_QUERIES: dict[str, QueryDef] = {
         q_alter_table_sql, SQL_ALTER_TABLE_SQL,
         "ALTER TABLE ADD COLUMN textually: metadata-only additive "
         "evolution, NULL backfill + post-alter INSERT",
+        ("sql", "lakehouse")),
+    "ddl_lifecycle_sql": QueryDef(
+        q_ddl_lifecycle_sql, SQL_DDL_LIFECYCLE_SQL,
+        "empty CREATE TABLE + INSERT + TRUNCATE (history preserved) "
+        "+ reload, pre/post union via VERSION AS OF",
         ("sql", "lakehouse")),
     "dml_sql_roundtrip": QueryDef(
         q_dml_sql_roundtrip, SQL_DML_SQL_ROUNDTRIP,

@@ -123,7 +123,8 @@ BUDGETS: dict[str, tuple[int, int, bool]] = {
     # EXEMPT (stated, round-14 judge ask #6): the textual-lifecycle
     # certifications — staging_sql_roundtrip, time_travel_sql,
     # time_travel_ts_sql, dml_sql_roundtrip, maintenance_sql,
-    # alter_table_sql, stream_merge_sql_replay — run a sequence of
+    # alter_table_sql, ddl_lifecycle_sql, stream_merge_sql_replay —
+    # run a sequence of
     # COMMITTING statements against a scratch manifest table and
     # return a collect()-materialized card (the scratch dir is torn
     # down before return, so the result must outlive it). Their

@@ -126,10 +126,19 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     t.add_argument(
         "op",
-        choices=["history", "restore", "vacuum", "compact", "expire"],
+        choices=["history", "restore", "vacuum", "compact", "expire",
+                 "add-column", "drop-column", "drop"],
     )
     t.add_argument("path", help="table path")
     t.add_argument("--version", type=int, help="restore target version")
+    t.add_argument(
+        "--column",
+        action="append",
+        default=[],
+        metavar="NAME[=TYPE]",
+        help="add-column: NAME=TYPE (repeatable, one commit); "
+        "drop-column: NAME",
+    )
     t.add_argument(
         "--min-age", type=float, default=0.0,
         help="vacuum retention window in seconds",
@@ -171,10 +180,19 @@ def main(argv: list[str] | None = None, http_get=None) -> int:
 
         be = ManifestParquetBackend()
         if args.op == "history":
+            from datetime import datetime, timezone
+
             for h in be.history(args.path):
+                ts = (
+                    datetime.fromtimestamp(
+                        h["timestamp"], tz=timezone.utc
+                    ).strftime("%Y-%m-%d %H:%M:%S")
+                    if h.get("timestamp") is not None
+                    else "-"
+                )
                 print(
                     f"v{h['version']:>4}  parent={h['parent']}  "
-                    f"files={h['n_files']:>4}  {h['operation']}"
+                    f"{ts}  files={h['n_files']:>4}  {h['operation']}"
                 )
             return 0
         if args.op == "restore":
@@ -191,6 +209,38 @@ def main(argv: list[str] | None = None, http_get=None) -> int:
         if args.op == "expire":
             expired = be.expire_versions(args.path, keep_last=args.keep_last)
             print(f"expired versions: {expired or '-'}")
+            return 0
+        if args.op == "add-column":
+            if not args.column:
+                print("add-column requires --column NAME=TYPE "
+                      "(repeatable)", file=sys.stderr)
+                return 2
+            coldefs = []
+            for item in args.column:
+                name, sep, ddl = item.partition("=")
+                if not sep or not name or not ddl:
+                    print(f"bad --column {item!r}; want NAME=TYPE",
+                          file=sys.stderr)
+                    return 2
+                coldefs.append((name, ddl))
+            from dish_data_pipeline_spark import get_spark as _gs
+
+            v = be.add_columns(
+                _gs("dish-data-pipeline-spark-cli"), args.path, coldefs
+            )
+            print(f"added {len(coldefs)} column(s) as v{v}")
+            return 0
+        if args.op == "drop-column":
+            if not args.column or len(args.column) != 1:
+                print("drop-column requires exactly one --column NAME",
+                      file=sys.stderr)
+                return 2
+            v = be.drop_column(args.path, args.column[0])
+            print(f"dropped {args.column[0]} as v{v}")
+            return 0
+        if args.op == "drop":
+            be.drop_table(args.path)
+            print(f"dropped table at {args.path}")
             return 0
         # compact needs a session
         from dish_data_pipeline_spark import get_spark as _gs

@@ -238,3 +238,31 @@ def test_cli_sql_trailing_dml(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert "committing DML" in capsys.readouterr().out
+
+
+def test_cli_table_alter_ops(tmp_path, capsys, spark):
+    """table add-column / drop-column / drop drive the round-14
+    schema-evolution and removal primitives from the CLI."""
+    from dish_data_pipeline_spark.__main__ import main
+    from dish_data_pipeline_spark.io_backends import ManifestParquetBackend
+
+    path = str(tmp_path / "t")
+    be = ManifestParquetBackend()
+    be.create(
+        spark.createDataFrame([(1, "a")], "k long, v string"), path
+    )
+    assert main(["table", "add-column", path,
+                 "--column", "x=INT", "--column", "y=STRING"]) == 0
+    assert "added 2 column(s) as v1" in capsys.readouterr().out
+    assert be.read(spark, path).columns == ["k", "v", "x", "y"]
+    assert main(["table", "drop-column", path, "--column", "y"]) == 0
+    assert be.read(spark, path).columns == ["k", "v", "x"]
+    # history line carries the commit timestamp
+    assert main(["table", "history", path]) == 0
+    out = capsys.readouterr().out
+    assert "alter(drop_column(y))" in out and "20" in out
+    assert main(["table", "drop", path]) == 0
+    assert not be.exists(spark, path)
+    # guard-rails: missing/bad args exit 2
+    assert main(["table", "add-column", path]) == 2
+    assert main(["table", "drop-column", path]) == 2

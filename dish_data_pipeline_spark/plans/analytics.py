@@ -859,11 +859,18 @@ def _with_replay_shuffle_partitions(
     near-empty partitions (measured 5.6 s → 1.9 s for a 3-batch
     windowed aggregation at 32 → size-derived partitions, sf0.1).
     The count is derived from the ACTUAL bytes just written for the
-    replay — ceil(bytes / 32 MB), clamped to [1, defaultParallelism]
+    replay — ceil(bytes / 4 MB), clamped to [1, defaultParallelism]
     — i.e. scale-adaptive, not tuned to this box: a 10× input grows
-    the count toward cluster width. ``DISH_REPLAY_STATE_PARTITIONS``
-    overrides for production replays whose state outgrows the input
-    heuristic.
+    the count toward cluster width. The 4 MB target is a COMPRESSED-
+    parquet proxy for in-memory state (~5–8× expansion for these
+    event rows, so ≈ 30–60 MB of live state per partition — the
+    guide's healthy range), calibrated on the sf0.1→sf1.0 decade:
+    at sf1.0 the dedup replay ran 26.7 s on 1 partition vs 13–15 s
+    on 8–32 (state work is row-bound, so compressed bytes
+    under-count it), while sf0.1 still derives 1 partition (2–4 MB
+    replays) and keeps the measured 5.6 s → 1.9 s win.
+    ``DISH_REPLAY_STATE_PARTITIONS`` overrides for production
+    replays whose state outgrows the input heuristic.
 
     ``explicit`` (caller override) wins over the size heuristic:
     Python-stateful transforms over HIGH-cardinality keys
@@ -886,7 +893,7 @@ def _with_replay_shuffle_partitions(
             1,
             min(
                 spark.sparkContext.defaultParallelism,
-                math.ceil(total / (32 << 20)),
+                math.ceil(total / (4 << 20)),
             ),
         )
     key = "spark.sql.shuffle.partitions"

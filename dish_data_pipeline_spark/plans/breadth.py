@@ -25,6 +25,7 @@ from dish_data_pipeline_spark.plans.common import (
     scratch_dir,
     sql_davg,
     sql_dsum,
+    widen,
 )
 
 
@@ -410,12 +411,22 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avro_rt", os.path.basename(sf_dir.rstrip("/"))
     )
     shutil.rmtree(out, ignore_errors=True)
+    # widen BEFORE the sink: the pure-Python encode is CPU-bound
+    # per row, and orders arrives as ONE ~3 MB scan split — without
+    # this the whole container encode (and the read-back decode,
+    # which parallelizes per container file) runs on a single core
+    # (measured 1.2 s + 0.9 s single-threaded at sf0.1). At real
+    # scale the input already carries >= cluster-width partitions
+    # and widen is a no-op (plans/common.py).
     write_table(
-        o.select(
-            "o_orderkey",
-            "o_orderstatus",
-            "o_totalprice",
-            "o_orderdate",
+        widen(
+            o.select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+            ),
+            spark,
         ),
         out,
         "avro",

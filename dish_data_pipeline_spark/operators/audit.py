@@ -59,6 +59,12 @@ def audit_row(
             list(source_files),
         )
     ]
-    return spark.createDataFrame(row, AUDIT_SCHEMA).withColumn(
-        "load_timestamp", F.col("load_timestamp")
-    )
+    # ONE row by construction: parallelize it as ONE slice so each
+    # append write runs one task instead of defaultParallelism
+    # near-empty ones (createDataFrame's default slicing). NOT
+    # coalesce(1): coalescing the 32-slice parent couples the single
+    # task to every parent partition's locality and was measured
+    # paying a multi-second locality wait per write in local mode.
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(row, 1), AUDIT_SCHEMA
+    ).withColumn("load_timestamp", F.col("load_timestamp"))

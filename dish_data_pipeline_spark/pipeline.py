@@ -110,6 +110,15 @@ def run_feed(
         else:
             df = dedup_keyed(df, None)
 
+        # Compute the feed relation ONCE: the DQ gate's aggregate,
+        # the staging write and the audited count all consume the
+        # same extract→normalize→dedup plan, which previously
+        # re-executed per action (driver re-serialization of the
+        # fetched records plus the dedup window shuffle, 2-3×).
+        # The cache is feed-sized (the reference ingests ~3k
+        # rows/run) and released in the finally below.
+        cached = df = df.persist()
+
         # Feed-specific config wins over the built-in defaults — a
         # feed named like a default (daily_visits/ga_sessions) must
         # be gated on ITS OWN required/keys, matching the dedup path.
@@ -117,19 +126,27 @@ def run_feed(
             **DEFAULT_POLICIES,
             feed.name: {"required": feed.required, "keys": feed.keys},
         }
-        passed, issues = run_data_quality_checks(df, feed.name, policies)
-        if not passed:
-            fatal = [i for i in issues if not is_recoverable(i)]
-            if fatal:
-                _audit(0, f"FAILED: {', '.join(issues)}")
-                return PipelineResult(feed.name, "FAILED", 0, issues)
-            # Recoverable duplicates: dedup by key and continue
-            # (reference pipeline/data_pipeline.py:253-258).
-            df = dedup_keyed(df, feed.keys)
+        try:
+            passed, issues = run_data_quality_checks(df, feed.name, policies)
+            if not passed:
+                fatal = [i for i in issues if not is_recoverable(i)]
+                if fatal:
+                    _audit(0, f"FAILED: {', '.join(issues)}")
+                    return PipelineResult(feed.name, "FAILED", 0, issues)
+                # Recoverable duplicates: dedup by key and continue
+                # (reference pipeline/data_pipeline.py:253-258) — a
+                # plan over the cached base, so the recovery pass
+                # re-windows cached rows, not the source fetch.
+                df = dedup_keyed(df, feed.keys)
 
-        dio.write_staging(df, staging_path)
+            dio.write_staging(df, staging_path)
+            # Audited count = the staged row count; counting the
+            # (cached) relation just written avoids re-listing and
+            # re-scanning the parquet it produced.
+            count = df.count()
+        finally:
+            cached.unpersist()
         staged = spark.read.parquet(staging_path)
-        count = staged.count()
 
         if backend.exists(spark, target_path):
             backend.merge_keep_latest(

@@ -389,6 +389,315 @@ def _decode(node: Any, buf: bytes, pos: int) -> tuple[Any, int]:
     raise ValueError(f"cannot decode avro type {t!r}")
 
 
+# ------------------------------------------------- compiled codecs
+#
+# ``_encode``/``_decode`` above re-dispatch on the SCHEMA for every
+# value: per cell that is an isinstance test, a dict lookup, a
+# string compare chain and (for records) a try/except attribute
+# probe — none of which depends on the data. The compilers below
+# walk the schema ONCE and return a closure tree in which every
+# node's branch decisions are already taken, so the per-value work
+# is only the value's own bytes (guide §4: make the Python hot loop
+# tight; the schema walk is heavyweight init done once per task).
+# Byte/semantics equivalence with the interpreters is pinned by
+# tests/test_avro_python.py (including the Java-library conformance
+# fixtures) plus a direct compiled-vs-interpreted property test.
+
+
+def compile_encoder(node: Any):
+    """Schema node → ``enc(v, out)`` closure writing the identical
+    bytes ``_encode(node, v, out)`` would."""
+    if isinstance(node, list):  # union: zigzag branch index, then value
+        null_idx = node.index("null") if "null" in node else None
+        branch = next(
+            (i for i, n in enumerate(node) if n != "null"), None
+        )
+        inner = compile_encoder(node[branch]) if branch is not None else None
+
+        def enc_union(v: Any, out: bytearray) -> None:
+            if v is None:
+                if null_idx is None:  # same error as node.index("null")
+                    raise ValueError("'null' is not in list")
+                _write_long(out, null_idx)
+                return
+            _write_long(out, branch)
+            inner(v, out)
+
+        return enc_union
+    t = node if isinstance(node, str) else node["type"]
+    if t in ("long", "int"):
+        logical = node.get("logicalType") if isinstance(node, dict) else None
+        if logical == "date":
+
+            def enc_date(v: Any, out: bytearray) -> None:
+                _write_long(out, (v - _EPOCH_DATE).days)
+
+            return enc_date
+        if logical == "timestamp-micros":
+
+            def enc_ts(v: Any, out: bytearray) -> None:
+                # naive datetimes from PySpark rows are LOCAL wall
+                # time; .timestamp() round-trips the instant (see
+                # _encode)
+                _write_long(out, round(v.timestamp() * 1_000_000))
+
+            return enc_ts
+        if logical == "local-timestamp-micros":
+
+            def enc_ntz(v: Any, out: bytearray) -> None:
+                d = v - _dt.datetime(1970, 1, 1)
+                _write_long(
+                    out,
+                    (d.days * 86_400 + d.seconds) * 1_000_000
+                    + d.microseconds,
+                )
+
+            return enc_ntz
+
+        def enc_long(v: Any, out: bytearray) -> None:
+            n = int(v)
+            n = (n << 1) ^ (n >> 63)  # zigzag (arithmetic shift)
+            while n > 0x7F:
+                out.append((n & 0x7F) | 0x80)
+                n >>= 7
+            out.append(n)
+
+        return enc_long
+    if t == "double":
+        pack_d = struct.Struct("<d").pack
+
+        def enc_double(v: Any, out: bytearray) -> None:
+            out += pack_d(float(v))
+
+        return enc_double
+    if t == "float":
+        pack_f = struct.Struct("<f").pack
+
+        def enc_float(v: Any, out: bytearray) -> None:
+            out += pack_f(float(v))
+
+        return enc_float
+    if t == "string":
+
+        def enc_string(v: Any, out: bytearray) -> None:
+            b = v.encode("utf-8")
+            _write_long(out, len(b))
+            out += b
+
+        return enc_string
+    if t == "bytes":
+
+        def enc_bytes(v: Any, out: bytearray) -> None:
+            b = bytes(v)
+            _write_long(out, len(b))
+            out += b
+
+        return enc_bytes
+    if t == "boolean":
+
+        def enc_bool(v: Any, out: bytearray) -> None:
+            out.append(1 if v else 0)
+
+        return enc_bool
+    if t == "null":
+
+        def enc_null(v: Any, out: bytearray) -> None:
+            pass
+
+        return enc_null
+    if t == "array":
+        enc_item = compile_encoder(node["items"])
+
+        def enc_array(v: Any, out: bytearray) -> None:
+            if v:
+                _write_long(out, len(v))
+                for item in v:
+                    enc_item(item, out)
+            _write_long(out, 0)
+
+        return enc_array
+    if t == "map":
+        enc_val = compile_encoder(node["values"])
+
+        def enc_map(v: Any, out: bytearray) -> None:
+            if v:
+                _write_long(out, len(v))
+                for k, val in v.items():
+                    b = k.encode("utf-8")
+                    _write_long(out, len(b))
+                    out += b
+                    enc_val(val, out)
+            _write_long(out, 0)
+
+        return enc_map
+    if t == "record":
+        fields = [
+            (f["name"], compile_encoder(f["type"])) for f in node["fields"]
+        ]
+
+        def enc_record(v: Any, out: bytearray) -> None:
+            for name, fenc in fields:
+                try:  # index lookup, not getattr (see _record_get)
+                    fv = v[name]
+                except TypeError:
+                    fv = getattr(v, name)
+                fenc(fv, out)
+
+        return enc_record
+    raise ValueError(f"cannot encode avro type {t!r}")
+
+
+def compile_decoder(node: Any):
+    """Schema node → ``dec(buf, pos) -> (value, pos)`` closure
+    returning exactly what ``_decode(node, buf, pos)`` would."""
+    if isinstance(node, list):
+        branches = [compile_decoder(n) for n in node]
+
+        def dec_union(buf: bytes, pos: int):
+            idx, pos = _read_long(buf, pos)
+            return branches[idx](buf, pos)
+
+        return dec_union
+    t = node if isinstance(node, str) else node["type"]
+    if t in ("long", "int"):
+        logical = node.get("logicalType") if isinstance(node, dict) else None
+        conv = None
+        if logical == "date":
+            conv = lambda n: _EPOCH_DATE + _dt.timedelta(days=n)  # noqa: E731
+        elif logical == "timestamp-micros":
+            conv = lambda n: _EPOCH_TS + _dt.timedelta(microseconds=n)  # noqa: E731
+        elif logical == "timestamp-millis":
+            conv = lambda n: _EPOCH_TS + _dt.timedelta(milliseconds=n)  # noqa: E731
+        elif logical == "local-timestamp-micros":
+            conv = lambda n: _dt.datetime(1970, 1, 1) + _dt.timedelta(  # noqa: E731
+                microseconds=n
+            )
+        elif logical == "local-timestamp-millis":
+            conv = lambda n: _dt.datetime(1970, 1, 1) + _dt.timedelta(  # noqa: E731
+                milliseconds=n
+            )
+        if conv is not None:
+
+            def dec_logical(buf: bytes, pos: int):
+                n, pos = _read_long(buf, pos)
+                return conv(n), pos
+
+            return dec_logical
+
+        def dec_long(buf: bytes, pos: int):
+            shift = acc = 0
+            while True:
+                b = buf[pos]
+                pos += 1
+                acc |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    return (acc >> 1) ^ -(acc & 1), pos
+                shift += 7
+
+        return dec_long
+    if t == "double":
+        unpack_d = struct.Struct("<d").unpack_from
+
+        def dec_double(buf: bytes, pos: int):
+            return unpack_d(buf, pos)[0], pos + 8
+
+        return dec_double
+    if t == "float":
+        unpack_f = struct.Struct("<f").unpack_from
+
+        def dec_float(buf: bytes, pos: int):
+            return unpack_f(buf, pos)[0], pos + 4
+
+        return dec_float
+    if t == "string":
+
+        def dec_string(buf: bytes, pos: int):
+            n, pos = _read_long(buf, pos)
+            return buf[pos : pos + n].decode("utf-8"), pos + n
+
+        return dec_string
+    if t == "bytes":
+
+        def dec_bytes(buf: bytes, pos: int):
+            n, pos = _read_long(buf, pos)
+            return bytes(buf[pos : pos + n]), pos + n
+
+        return dec_bytes
+    if t == "boolean":
+
+        def dec_bool(buf: bytes, pos: int):
+            return buf[pos] == 1, pos + 1
+
+        return dec_bool
+    if t == "null":
+
+        def dec_null(buf: bytes, pos: int):
+            return None, pos
+
+        return dec_null
+    if t == "array":
+        dec_item = compile_decoder(node["items"])
+
+        def dec_array(buf: bytes, pos: int):
+            items: list = []
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    return items, pos
+                if n < 0:  # block with byte-size prefix (spec-legal)
+                    _, pos = _read_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    item, pos = dec_item(buf, pos)
+                    items.append(item)
+
+        return dec_array
+    if t == "map":
+        dec_val = compile_decoder(node["values"])
+
+        def dec_map(buf: bytes, pos: int):
+            m: dict = {}
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    return m, pos
+                if n < 0:
+                    _, pos = _read_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    ln, pos = _read_long(buf, pos)
+                    k = buf[pos : pos + ln].decode("utf-8")
+                    pos += ln
+                    m[k], pos = dec_val(buf, pos)
+
+        return dec_map
+    if t == "record":
+        fields = [
+            (f["name"], compile_decoder(f["type"])) for f in node["fields"]
+        ]
+        # Generate a flat function: sequential field decodes into
+        # locals, one dict-display return — no per-row loop over the
+        # field list and no per-field dict stores. Field names are
+        # data, never code: they appear only inside repr'd string
+        # literals; decoders are passed via the exec namespace.
+        ns = {f"_f{i}": fdec for i, (_, fdec) in enumerate(fields)}
+        body = "".join(
+            f"    v{i}, pos = _f{i}(buf, pos)\n"
+            for i in range(len(fields))
+        )
+        items = ", ".join(
+            f"{name!r}: v{i}" for i, (name, _) in enumerate(fields)
+        )
+        src = (
+            "def dec_record(buf, pos):\n"
+            f"{body}"
+            f"    return {{{items}}}, pos\n"
+        )
+        exec(src, ns)  # noqa: S102 — codegen over our own schema walk
+        return ns["dec_record"]
+    raise ValueError(f"cannot decode avro type {t!r}")
+
+
 # ---------------------------------------------------------- snappy codec
 #
 # Pure-Python implementation of Google's snappy RAW block format
@@ -605,8 +914,9 @@ def write_container(
         block = bytearray()
         in_block = 0
 
+    enc = compile_encoder(schema)  # schema walked once, not per value
     for row in rows:
-        _encode(schema, row, block)
+        enc(row, block)
         in_block += 1
         total += 1
         if in_block >= block_rows:
@@ -642,6 +952,7 @@ def parse_header(buf: bytes) -> tuple[dict, str, bytes, int]:
 def decode_container(buf: bytes) -> Iterator[dict]:
     """Yield rows (dicts) from container-file bytes."""
     schema, codec, sync, pos = parse_header(buf)
+    dec = compile_decoder(schema)  # schema walked once, not per value
     while pos < len(buf):
         n_rows, pos = _read_long(buf, pos)
         n_bytes, pos = _read_long(buf, pos)
@@ -662,7 +973,7 @@ def decode_container(buf: bytes) -> Iterator[dict]:
             raise ValueError(f"unsupported avro codec {codec!r}")
         p = 0
         for _ in range(n_rows):
-            row, p = _decode(schema, data, p)
+            row, p = dec(data, p)
             yield row
         if buf[pos : pos + 16] != sync:
             raise ValueError("avro block sync marker mismatch")

@@ -161,7 +161,24 @@ def records_to_dataframe(
 ) -> DataFrame:
     """Small-feed path: driver records → DataFrame. Schema explicit
     when known (inference drift is a reference defect class,
-    SURVEY.md §7.4.4); JSON-inference fallback otherwise."""
+    SURVEY.md §7.4.4); JSON-inference fallback otherwise.
+
+    The JSON fallback's RDD is sliced by RECORD COUNT, not the
+    default ``defaultParallelism``: a feed-sized batch (the
+    reference ingests ~3k rows/run) in 32 slices pays ~32 near-empty
+    tasks per consuming action — twice over, because
+    ``spark.read.json`` runs an eager schema-inference job first.
+    One slice per ~4k records keeps the per-task JSON parse bounded
+    while a genuinely large record list still fans out to cluster
+    width."""
     if schema is not None:
         return spark.createDataFrame(records, schema)
-    return spark.read.json(spark.sparkContext.parallelize([json.dumps(r) for r in records]))
+    payload = [json.dumps(r) for r in records]
+    slices = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-len(payload) // 4_000),  # ceil
+        ),
+    )
+    return spark.read.json(spark.sparkContext.parallelize(payload, slices))

@@ -674,3 +674,85 @@ def test_snappy_encoder_actually_compresses():
     far = b"X" * 3000 + near + b"Y" * 60000 + near
     for p in (near, far):
         assert snappy_decompress(snappy_compress(p)) == p
+
+
+def test_compiled_codec_matches_interpreter():
+    """r15: write_container/decode_container run the COMPILED closure
+    codecs (schema walked once per task, guide §4); this pins them
+    byte-identical / value-identical to the reference interpreters
+    ``_encode``/``_decode`` over every schema node kind — unions,
+    logical types, nested record/array/map, empty containers, and
+    Row-vs-dict record access."""
+    from dish_data_pipeline_spark.sources.avro_python import (
+        _decode,
+        _encode,
+        compile_decoder,
+        compile_encoder,
+        spark_schema_to_avro,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("i", T.IntegerType(), True),
+            T.StructField("d", T.DoubleType(), True),
+            T.StructField("f", T.FloatType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("b", T.BooleanType(), True),
+            T.StructField("raw", T.BinaryType(), True),
+            T.StructField("day", T.DateType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("ntz", T.TimestampNTZType(), True),
+            T.StructField("arr", T.ArrayType(T.DoubleType(), False), True),
+            T.StructField(
+                "m", T.MapType(T.StringType(), T.LongType(), False), True
+            ),
+            T.StructField(
+                "nest",
+                T.StructType(
+                    [
+                        T.StructField("x", T.LongType(), True),
+                        T.StructField("y", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    node = spark_schema_to_avro(schema)
+    values = [
+        {
+            "k": -(2**62), "i": -7, "d": 3.5, "f": 1.25, "s": "héllo ∆",
+            "b": True, "raw": b"\x00\xffbin", "day": dt.date(2024, 2, 29),
+            "ts": dt.datetime(2024, 2, 29, 12, 34, 56, 789012),
+            "ntz": dt.datetime(2030, 1, 2, 3, 4, 5, 6),
+            "arr": [1.0, -2.5], "m": {"a": 1, "b": -2},
+            "nest": {"x": 42, "y": "deep"},
+        },
+        {
+            "k": 0, "i": None, "d": None, "f": None, "s": None, "b": None,
+            "raw": None, "day": None, "ts": None, "ntz": None, "arr": None,
+            "m": None, "nest": None,
+        },
+        {
+            "k": 2**62, "i": 0, "d": -0.0, "f": float("inf"), "s": "",
+            "b": False, "raw": b"", "day": dt.date(1969, 12, 31),
+            "ts": dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+            "ntz": dt.datetime(1901, 6, 15, 0, 0, 0, 1),
+            "arr": [], "m": {},
+            "nest": {"x": None, "y": None},
+        },
+    ]
+    enc, dec = compile_encoder(node), compile_decoder(node)
+    for v in values:
+        ref, got = bytearray(), bytearray()
+        _encode(node, v, ref)
+        enc(v, got)
+        assert bytes(got) == bytes(ref)
+        # Row access path (index lookup, getattr fallback)
+        row_got = bytearray()
+        enc(Row(**v), row_got)
+        assert bytes(row_got) == bytes(ref)
+        want, want_pos = _decode(node, bytes(ref), 0)
+        have, have_pos = dec(bytes(ref), 0)
+        assert (have, have_pos) == (want, want_pos)

@@ -268,6 +268,19 @@ class ManifestParquetBackend:
         with open(self._manifest_path(path, version)) as f:
             return json.load(f)
 
+    def txn_covered(self, path: str, txn: tuple[str, int]) -> bool:
+        """True when the LATEST committed manifest already covers the
+        ``(app_id, batch_id)`` idempotence marker — the replay fast
+        path, checkable from the manifest alone (one driver-side JSON
+        read, no DataFrame built, no job). Callers that commit must
+        still re-check inside their commit loop: a rival can cover
+        the txn between this probe and the commit."""
+        v = self.latest_version(path)
+        if v is None:
+            return False
+        covered = self._manifest(path, v).get("txns", {})
+        return covered.get(txn[0], -1) >= txn[1]
+
     # -- data + commit ----------------------------------------------
     def _write_data(
         self,
@@ -587,6 +600,11 @@ class ManifestParquetBackend:
         window where a rival can win the version race."""
         from dish_data_pipeline_spark.cache_registry import tracked_persist
 
+        if txn is not None and self.txn_covered(path, txn):
+            # replay fast path: detected from the manifest BEFORE the
+            # dedup plan is built or persisted (the in-loop re-check
+            # below still guards the commit race)
+            return None
         deduped = tracked_persist(keep_latest(staging, keys, ts_col, tiebreakers))
         for attempt in range(self.max_retries + 1):
             base = self.latest_version(path)

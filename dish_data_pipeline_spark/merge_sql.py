@@ -895,6 +895,15 @@ def merge_into_backend(
     covered commits nothing (both routes: ``merge_keep_latest`` and
     the generic ``replace``)."""
     spec = parse_merge(sql) if isinstance(sql, str) else sql
+    if txn is not None:
+        covered = getattr(backend, "txn_covered", None)
+        if covered is not None and covered(target_path, txn):
+            # replayed micro-batch: the backend's manifest already
+            # covers this (app, batch) marker — short-circuit BEFORE
+            # reading the target or building any plan (both commit
+            # routes would return None anyway; they re-check inside
+            # their commit loops, so racing writers stay safe)
+            return None
     target = backend.read(spark, target_path)
     # ChainMap keeps a lazy caller catalog lazy — only the target's
     # entry is overridden with the backend read

@@ -788,6 +788,17 @@ def _replay_as_stream(
         shutil.rmtree(stream_dir, ignore_errors=True)
 
 
+def _empty_1slice(spark: SparkSession, schema) -> DataFrame:
+    """Empty DataFrame as ONE empty slice: the default
+    ``createDataFrame([], schema)`` parallelizes cluster-wide, so
+    creating the sinks' empty scratch tables scheduled
+    defaultParallelism no-row write tasks (measured ~0.8 s vs ~0.3 s
+    per create at local[32])."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([], 1), schema
+    )
+
+
 def _write_replay_batches(stream_dir: str, parts) -> list[str]:
     """Write each batch relation as ONE mtime-ordered parquet file
     ``b<i>.parquet`` under ``stream_dir`` — with a SINGLE Spark job.
@@ -1977,7 +1988,7 @@ def q_stream_sink_exactly_once(
             (e.filter(F.col("ts") <= mid), e.filter(F.col("ts") > mid)),
         )
         be = ManifestParquetBackend()
-        be.create(spark.createDataFrame([], e.schema), table)
+        be.create(_empty_1slice(spark, e.schema), table)
 
         def run(ck: str) -> None:
             q = stream_append_to_table(
@@ -2066,7 +2077,7 @@ def q_stream_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         _write_replay_batches(src_dir, (e, corrections))
         be = ManifestParquetBackend()
-        be.create(spark.createDataFrame([], e.schema), table)
+        be.create(_empty_1slice(spark, e.schema), table)
 
         def run(ck: str) -> None:
             q = stream_upsert_to_table(
@@ -2181,7 +2192,7 @@ def q_stream_merge_sql_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         _write_replay_batches(src_dir, batches)
         be = ManifestParquetBackend()
-        be.create(spark.createDataFrame([], e.schema), table)
+        be.create(_empty_1slice(spark, e.schema), table)
 
         def run(ck: str) -> None:
             q = stream_merge_sql_to_table(

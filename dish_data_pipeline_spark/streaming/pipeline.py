@@ -322,7 +322,7 @@ def stream_merge_sql_to_table(
         tables[spec.source] = batch
         merge_into_backend(
             batch.sparkSession,
-            sql,
+            spec,  # already parsed at wiring time — no per-batch re-parse
             be,
             table_path,
             tables,

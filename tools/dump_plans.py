@@ -1,7 +1,7 @@
-"""Dump `.explain("formatted")` for catalog queries to plans/r14/.
+"""Dump `.explain("formatted")` for catalog queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> <query> [query ...]
-Writes plans/r14/<query>_<suffix>.txt. Runs each query's fn (some
+Writes plans/$DISH_PLANS_ROUND (default r15)/<query>_<suffix>.txt. Runs each query's fn (some
 catalog queries execute work eagerly inside fn; the captured plan is
 the returned DataFrame's physical plan — for roundtrip/replay queries
 that is the materialized-result plan, which is exactly what changes
@@ -22,7 +22,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", os.environ.get("DISH_PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plans")

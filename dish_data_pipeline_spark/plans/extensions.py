@@ -309,8 +309,13 @@ FROM corpus GROUP BY md5(text)
 
 # --- MinHash-LSH near-dup (oracle replicates the LSH exactly) -----
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
     corpus = _docs_with_dupes(spark, sf_dir)
-    shingled = with_shingles(corpus)
+    # shingled feeds the banded side AND both rescore joins; the
+    # rescore broadcasts the (small) pair set, so without a persist
+    # the shingle pass re-runs per consumer (measured 1.6x at sf1.0)
+    shingled = tracked_persist(with_shingles(corpus))
     pairs = minhash_candidate_pairs(with_minhash(shingled))
     return (
         exact_jaccard_pairs(shingled, pairs)
@@ -327,8 +332,10 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- n-gram Jaccard rescoring of banded candidates ----------------
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
     corpus = _docs_with_dupes(spark, sf_dir)
-    shingled = with_shingles(corpus)
+    shingled = tracked_persist(with_shingles(corpus))  # see minhash_neardup
     pairs = minhash_candidate_pairs(with_minhash(shingled))
     return exact_jaccard_pairs(shingled, pairs).select(
         "id_a", "id_b", "est_jaccard", "jaccard"
@@ -2625,7 +2632,16 @@ FROM c
 
 # --- Near-dup clustering (connected components over LSH pairs) ----
 def _minhash_pairs(corpus: DataFrame, threshold: float = 0.8) -> DataFrame:
-    shingled = with_shingles(corpus)
+    from dish_data_pipeline_spark.cache_registry import tracked_persist
+
+    # The shingle pass feeds the banded LSH side and both exact-
+    # Jaccard rescore joins. The rescore broadcasts the (small) pair
+    # set, so the shingled subtree has no reusable exchange and
+    # re-computes per consumer without this persist (r14 probed
+    # persisting the PAIR subtree - a wash, ReuseExchange covers it -
+    # but the shingle relation itself measured 1.5x sf0.1 -> 1.6x
+    # sf1.0 when cached; MEMORY_AND_DISK spills gracefully at scale).
+    shingled = tracked_persist(with_shingles(corpus))
     pairs = minhash_candidate_pairs(with_minhash(shingled))
     return (
         exact_jaccard_pairs(shingled, pairs)

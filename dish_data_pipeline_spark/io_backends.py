@@ -530,7 +530,13 @@ class ManifestParquetBackend:
         schema = StructType.fromJson(json.loads(man["schema"]))
         files = [os.path.join(path, f) for f in man["files"]]
         if not files:
-            return spark.createDataFrame([], schema)
+            # one empty slice, not defaultParallelism empty ones —
+            # consumers of an empty snapshot (e.g. the first MERGE
+            # into a fresh table) otherwise schedule a cluster-width
+            # no-row stage per action
+            return spark.createDataFrame(
+                spark.sparkContext.parallelize([], 1), schema
+            )
         return spark.read.schema(schema).parquet(*files)
 
     def create(
@@ -1202,7 +1208,9 @@ class ManifestParquetBackend:
         man = self._manifest(path, v)
         schema = StructType.fromJson(json.loads(man["schema"]))
         if not kept:
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame(
+                spark.sparkContext.parallelize([], 1), schema
+            )
         return spark.read.schema(schema).parquet(
             *[os.path.join(path, f) for f in kept]
         )

@@ -1556,7 +1556,10 @@ def _run_dml(
         # declared schema; the create/replace block below commits it
         from pyspark.sql.types import StructType  # noqa: PLC0415
 
-        body = spark.createDataFrame([], StructType.fromDDL(dml.schema_sql))
+        body = spark.createDataFrame(  # one empty slice, not 32
+            spark.sparkContext.parallelize([], 1),
+            StructType.fromDDL(dml.schema_sql),
+        )
     else:
         body = _run_select(spark, dml.body_sql, catalog)
 

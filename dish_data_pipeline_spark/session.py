@@ -52,6 +52,26 @@ _DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def _parse_env_conf(env_conf: str | None) -> dict[str, str]:
+    """Parse ``DISH_SPARK_CONF`` ("k=v;k2=v2") into a conf dict.
+    A malformed entry raises here, naming the env var, rather than
+    surfacing as a cryptic Spark launch failure."""
+    out: dict[str, str] = {}
+    if not env_conf:
+        return out
+    for pair in env_conf.split(";"):
+        pair = pair.strip()
+        if not pair:
+            continue
+        k, sep, v = pair.partition("=")
+        if not sep or not k.strip():
+            raise ValueError(
+                f"DISH_SPARK_CONF entry {pair!r} is not key=value"
+            )
+        out[k.strip()] = v.strip()
+    return out
+
+
 def get_spark(
     app_name: str = "dish-data-pipeline-spark",
     master: str | None = None,
@@ -78,6 +98,11 @@ def get_spark(
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
+    # Deployment-specific conf overrides without code edits (the
+    # "parameterise scale-dependent settings" posture): semicolon-
+    # separated key=value pairs, e.g.
+    #   DISH_SPARK_CONF="spark.io.compression.codec=zstd"
+    conf.update(_parse_env_conf(os.environ.get("DISH_SPARK_CONF")))
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -741,7 +741,14 @@ def _replay_as_stream(
     LATER micro-batches — watermark-advancing sentinels for
     append-mode aggregations, whose results only flush once a
     SUBSEQUENT batch's watermark passes them (the caller filters the
-    sentinels back out of the result)."""
+    sentinels back out of the result).
+
+    CALLER CONTRACT: ``transform`` must be insensitive to row order
+    WITHIN a micro-batch — the batch files are written via a hash
+    repartition (see ``_write_replay_batches``), so intra-batch
+    order is not the input order. Every current caller qualifies
+    (stateful ops sort within the batch; aggregations/joins are
+    order-free; planted duplicates are payload-identical)."""
     import os
     import shutil
     import tempfile
@@ -840,6 +847,15 @@ def _write_replay_batches(stream_dir: str, parts) -> list[str]:
         )
         dst = os.path.join(stream_dir, f"b{i}.parquet")
         if files:
+            if len(files) != 1:
+                # one task per _replay_batch id ⇒ one file — unless a
+                # session conf splits task output into multiple files
+                raise RuntimeError(
+                    f"expected exactly one parquet file per replay "
+                    f"batch, found {len(files)} in {d}; a conf like "
+                    "spark.sql.files.maxRecordsPerFile breaks the "
+                    "one-file-per-batch layout this harness relies on"
+                )
             (src,) = files
             shutil.move(os.path.join(d, src), dst)
         else:  # empty batch: partitionBy wrote nothing for this id
@@ -889,7 +905,13 @@ def _with_replay_shuffle_partitions(
     Python work, not byte-bound — collapsing them to one partition
     serializes every group through a single Python worker (the
     ``widen()`` rationale; measured 3× slower on the per-user funnel
-    at sf0.1), so such callers pass cluster width."""
+    at sf0.1), so such callers pass cluster width.
+
+    NOTE: ``spark.sql.shuffle.partitions`` is a SESSION conf — a
+    concurrent query planned in the same session during the replay
+    window would pick up the replay's count. Session-conf scoping is
+    unavoidable for streaming state stores; the bench and driver
+    harnesses are single-threaded, which is the assumption here."""
     import math
     import os
 
@@ -897,7 +919,16 @@ def _with_replay_shuffle_partitions(
     if explicit is not None:
         n = max(1, explicit)
     elif env:
-        n = max(1, int(env))
+        try:
+            n = int(env)
+        except ValueError as exc:
+            raise ValueError(
+                "DISH_REPLAY_STATE_PARTITIONS must be an integer, "
+                f"got {env!r}"
+            ) from exc
+        # clamp like the heuristic: a fat-fingered huge value would
+        # otherwise become the state-store count verbatim
+        n = max(1, min(n, 100_000))
     else:
         total = sum(os.path.getsize(f) for f in batch_files)
         n = max(

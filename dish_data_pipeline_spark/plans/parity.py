@@ -581,7 +581,12 @@ def q_staging_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM `proj.ds.audit`"
     )
     # materialize JVM-side before the scratch tables are torn down
-    # (eager localCheckpoint: no driver collect round-trip)
+    # (eager localCheckpoint: no driver collect round-trip). Trade-off
+    # vs the old collect(): results live in executor block storage,
+    # NOT driver rows — on a real cluster an executor loss after
+    # teardown makes the frame unrecoverable, so consume promptly.
+    # Fine for the single-process harness; applies to every eager
+    # localCheckpoint materialization in this module and analytics.py.
     final = out.localCheckpoint()
     shutil.rmtree(base, ignore_errors=True)
     return final
